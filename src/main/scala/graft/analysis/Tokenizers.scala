@@ -1,0 +1,213 @@
+package graft.analysis
+
+/** A produced token.
+  * @param term        token text (normalized)
+  * @param pos         token ordinal (Groonga token_cursor position semantics:
+  *                    reference lib/token_cursor.c — one position per cursor
+  *                    step, including GET-mode skipped unmatured overlaps)
+  * @param forcePrefix GET mode: token was unmatured (shorter than the n-gram
+  *                    unit) and reached end of input → must be prefix-expanded
+  *                    against the lexicon (reference lib/token_cursor.c:241-252)
+  * @param startOff    original codepoint offset of the first char (for
+  *                    highlight/snippet)
+  * @param endOff      original codepoint offset one past the last char
+  */
+final case class Token(term: String, pos: Int, forcePrefix: Boolean, startOff: Int, endOff: Int)
+
+sealed trait TokenizeMode
+object TokenizeMode {
+  /** Index-build mode: emit every token including overlapping n-grams. */
+  case object Add extends TokenizeMode
+  /** Query mode: skip unmatured overlaps, stop at end of input. */
+  case object Get extends TokenizeMode
+}
+
+/** Raw token statuses (internal; mirror of GRN_TOKEN_* in
+  * reference include/groonga/token.h).
+  */
+private object TokenStatus {
+  val Overlap = 1
+  val Unmatured = 2
+  val ReachEnd = 4
+  val Last = 8
+}
+
+trait GTokenizer extends Serializable {
+  def normalizer: String => Normalized
+  def tokenize(s: String, mode: TokenizeMode): Vector[Token] =
+    tokenizeNormalized(normalizer(s), mode)
+  def tokenizeNormalized(n: Normalized, mode: TokenizeMode): Vector[Token]
+}
+
+/** Character n-gram tokenizer with uni-run grouping — a re-expression of
+  * Groonga's `ngram_next` (reference lib/tokenizers.c:349-455):
+  *
+  *   - consecutive ALPHA chars emit one token when `uniAlpha` (same for
+  *     DIGIT/SYMBOL runs); runs always break at blanks (alpha/digit) or at
+  *     blanks-unless-ignoreBlank (symbol);
+  *   - other char classes (CJK, ...) emit overlapping n-grams of `unit`
+  *     chars, stopping early at blanks or class boundaries — a short gram is
+  *     flagged UNMATURED;
+  *   - cursor-level filtering per reference lib/token_cursor.c:182-252:
+  *     ADD emits everything; GET skips unmatured overlapping grams (position
+  *     still advances) and stops once input end was reached.
+  *
+  * TokenBigram = unit 2, uniAlpha/Digit/Symbol; variants per
+  * reference lib/tokenizers.c:306-345.
+  */
+final class NgramTokenizer(
+    val unit: Int,
+    val uniAlpha: Boolean,
+    val uniDigit: Boolean,
+    val uniSymbol: Boolean,
+    val ignoreBlank: Boolean,
+    val normalizer: String => Normalized
+) extends GTokenizer {
+
+  import CharType._
+  import TokenStatus._
+
+  def tokenizeNormalized(nz: Normalized, mode: TokenizeMode): Vector[Token] = {
+    val e = nz.length
+    val out = Vector.newBuilder[Token]
+    var nextIdx = 0
+    var posCtr = -1 // token_cursor->pos starts at -1
+    var overlap = false
+    var done = e == 0
+
+    while (!done) {
+      val p = nextIdx
+      var r = p
+      var len = 0
+      var status = 0
+
+      if (p >= e) {
+        done = true
+      } else {
+        val ct = nz.types(p)
+        if (uniAlpha && ct == Alpha) {
+          var cont = true
+          while (cont && r < e) {
+            len += 1; r += 1
+            if (nz.blanks(r - 1)) cont = false
+            else if (r < e && nz.types(r) != Alpha) cont = false
+          }
+          nextIdx = r; overlap = false
+        } else if (uniDigit && ct == Digit) {
+          var cont = true
+          while (cont && r < e) {
+            len += 1; r += 1
+            if (nz.blanks(r - 1)) cont = false
+            else if (r < e && nz.types(r) != Digit) cont = false
+          }
+          nextIdx = r; overlap = false
+        } else if (uniSymbol && ct == Symbol) {
+          var cont = true
+          while (cont && r < e) {
+            len += 1; r += 1
+            if (!ignoreBlank && nz.blanks(r - 1)) cont = false
+            else if (r < e && nz.types(r) != Symbol) cont = false
+          }
+          nextIdx = r; overlap = false
+        } else {
+          // n-gram branch
+          len = 1; r = p + 1
+          nextIdx = r // next gram starts one char over (overlapping grams)
+          var cont = true
+          while (cont && len < unit && r < e) {
+            if (!ignoreBlank && nz.blanks(r - 1)) cont = false
+            else {
+              val t = nz.types(r)
+              if ((uniAlpha && t == Alpha) || (uniDigit && t == Digit) ||
+                (uniSymbol && t == Symbol)) cont = false
+              else { len += 1; r += 1 }
+            }
+          }
+          if (overlap) status |= Overlap
+          if (len < unit) status |= Unmatured
+          overlap = len > 1
+        }
+
+        if (p == r || nextIdx >= e) status |= Last
+        if (r == e) status |= ReachEnd
+
+        // --- cursor-level handling (lib/token_cursor.c) ---
+        posCtr += 1
+        var emit = len > 0
+        var forcePrefix = false
+        if ((status & Unmatured) != 0) {
+          if ((status & Overlap) != 0) {
+            if (mode == TokenizeMode.Get) emit = false // skip, pos consumed
+          } else if ((status & ReachEnd) != 0) forcePrefix = true
+        }
+        if (emit) {
+          out += Token(nz.slice(p, r), posCtr,
+            forcePrefix && mode == TokenizeMode.Get,
+            nz.offsets(p), if (r - 1 < e) nz.offsets(r - 1) + 1 else nz.offsets(e - 1) + 1)
+        }
+        if ((status & Last) != 0) done = true
+        else if (mode == TokenizeMode.Get && (status & ReachEnd) != 0) done = true
+      }
+    }
+    out.result()
+  }
+}
+
+/** Delimiter tokenizer — split on blank runs of the normalized string
+  * (reference lib/tokenizers.c:101-236 `delimited_next`, TokenDelimit splits
+  * on ' '; consecutive delimiters collapse).
+  */
+final class DelimitTokenizer(val normalizer: String => Normalized) extends GTokenizer {
+  def tokenizeNormalized(nz: Normalized, mode: TokenizeMode): Vector[Token] = {
+    val e = nz.length
+    val out = Vector.newBuilder[Token]
+    var i = 0
+    var pos = 0
+    while (i < e) {
+      var j = i
+      var stop = false
+      while (!stop && j < e) {
+        if (nz.blanks(j)) { stop = true; j += 1 }
+        else j += 1
+      }
+      val end = if (stop) j else e
+      out += Token(nz.slice(i, end), pos, forcePrefix = false,
+        nz.offsets(i), nz.offsets(end - 1) + 1)
+      pos += 1
+      i = end
+    }
+    out.result()
+  }
+}
+
+/** Registry mirroring reference lib/tokenizers.c:798-843. */
+object Tokenizers {
+  private def auto = (s: String) => Normalizer.auto(s)
+
+  lazy val TokenBigram = new NgramTokenizer(2, true, true, true, false, auto)
+  lazy val TokenUnigram = new NgramTokenizer(1, true, true, true, false, auto)
+  lazy val TokenTrigram = new NgramTokenizer(3, true, true, true, false, auto)
+  lazy val TokenBigramSplitSymbol = new NgramTokenizer(2, true, true, false, false, auto)
+  lazy val TokenBigramSplitSymbolAlpha = new NgramTokenizer(2, false, true, false, false, auto)
+  lazy val TokenBigramSplitSymbolAlphaDigit = new NgramTokenizer(2, false, false, false, false, auto)
+  lazy val TokenBigramIgnoreBlank = new NgramTokenizer(2, true, true, true, true, auto)
+  lazy val TokenBigramIgnoreBlankSplitSymbol = new NgramTokenizer(2, true, true, false, true, auto)
+  lazy val TokenBigramIgnoreBlankSplitSymbolAlpha = new NgramTokenizer(2, false, true, false, true, auto)
+  lazy val TokenBigramIgnoreBlankSplitSymbolAlphaDigit = new NgramTokenizer(2, false, false, false, true, auto)
+  lazy val TokenDelimit = new DelimitTokenizer(auto)
+
+  def byName(name: String): GTokenizer = name match {
+    case "TokenBigram" => TokenBigram
+    case "TokenUnigram" => TokenUnigram
+    case "TokenTrigram" => TokenTrigram
+    case "TokenBigramSplitSymbol" => TokenBigramSplitSymbol
+    case "TokenBigramSplitSymbolAlpha" => TokenBigramSplitSymbolAlpha
+    case "TokenBigramSplitSymbolAlphaDigit" => TokenBigramSplitSymbolAlphaDigit
+    case "TokenBigramIgnoreBlank" => TokenBigramIgnoreBlank
+    case "TokenBigramIgnoreBlankSplitSymbol" => TokenBigramIgnoreBlankSplitSymbol
+    case "TokenBigramIgnoreBlankSplitSymbolAlpha" => TokenBigramIgnoreBlankSplitSymbolAlpha
+    case "TokenBigramIgnoreBlankSplitSymbolAlphaDigit" => TokenBigramIgnoreBlankSplitSymbolAlphaDigit
+    case "TokenDelimit" => TokenDelimit
+    case other => throw new IllegalArgumentException(s"unknown tokenizer: $other")
+  }
+}
