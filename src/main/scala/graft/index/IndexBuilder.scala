@@ -1,0 +1,357 @@
+package graft.index
+
+import graft.analysis.{Tokenizers, TokenizeMode}
+import graft.codec.{PostingCodec, PostingBlock}
+import graft.core.{Posting, Sha256}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession, SaveMode}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths, Path}
+
+/** Build configuration.
+  *
+  * @param tokenizerName analysis chain (must match at query time)
+  * @param withPositions store token positions (needed for phrase/NEAR)
+  * @param nShards       document shards — the unit of query parallelism; each
+  *                      shard holds a complete sub-index for its docId range
+  *                      (scale knob: at 10^12 docs, thousands of shards)
+  * @param buildPartitions shuffle partitions of the (shard,term,salt) encode
+  * @param hotTermDf     df threshold above which a term's postings are salted
+  *                      across `nSalts` sub-lists during the build shuffle
+  *                      (defuses reducer skew on `if`/`return`-class terms)
+  * @param nSalts        salt fan-out for hot terms
+  * @param sampleFraction posting sample used to estimate per-term df for
+  *                      hot-term detection (pre-pass, SURVEY.md §2.10)
+  */
+final case class IndexConfig(
+    tokenizerName: String = "TokenBigram",
+    withPositions: Boolean = true,
+    nShards: Int = 32,
+    buildPartitions: Int = 32,
+    hotTermDf: Long = 50000L,
+    nSalts: Int = 8,
+    sampleFraction: Double = 0.05,
+    seed: Long = 42L
+)
+
+/** Manifest: everything the query side needs + stage checkpoints for resume. */
+final case class IndexManifest(
+    numDocs: Long,
+    avgDoclen: Double,
+    totalTokens: Long,
+    tokenizerName: String,
+    withPositions: Boolean,
+    nShards: Int,
+    nSalts: Int,
+    shardSize: Long,
+    contentShaXor: Long,
+    hotTerms: Array[String],
+    stagesDone: Seq[String]
+)
+
+object IndexManifest {
+  // dependency-free JSON (values are numbers/strings/flat arrays)
+  def toJson(m: IndexManifest): String = {
+    def js(s: String) = "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    } + "\""
+    s"""{"numDocs":${m.numDocs},"avgDoclen":${m.avgDoclen},"totalTokens":${m.totalTokens},
+       |"tokenizerName":${js(m.tokenizerName)},"withPositions":${m.withPositions},
+       |"nShards":${m.nShards},"nSalts":${m.nSalts},"shardSize":${m.shardSize},
+       |"contentShaXor":${m.contentShaXor},
+       |"hotTerms":[${m.hotTerms.map(js).mkString(",")}],
+       |"stagesDone":[${m.stagesDone.map(js).mkString(",")}]}""".stripMargin
+  }
+
+  def fromJson(s: String): IndexManifest = {
+    def num(k: String): String = {
+      val p = java.util.regex.Pattern.compile("\"" + k + "\":([-0-9.Ee]+)")
+      val mt = p.matcher(s); require(mt.find(), s"manifest missing $k"); mt.group(1)
+    }
+    def str(k: String): String = {
+      val p = java.util.regex.Pattern.compile("\"" + k + "\":\"((?:[^\"\\\\]|\\\\.)*)\"")
+      val mt = p.matcher(s); require(mt.find(), s"manifest missing $k")
+      mt.group(1).replace("\\\"", "\"").replace("\\\\", "\\")
+    }
+    def arr(k: String): Array[String] = {
+      val p = java.util.regex.Pattern.compile("\"" + k + "\":\\[(.*?)\\]", java.util.regex.Pattern.DOTALL)
+      val mt = p.matcher(s); require(mt.find(), s"manifest missing $k")
+      val body = mt.group(1).trim
+      if (body.isEmpty) Array.empty
+      else body.split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
+    }
+    IndexManifest(
+      numDocs = num("numDocs").toLong,
+      avgDoclen = num("avgDoclen").toDouble,
+      totalTokens = num("totalTokens").toLong,
+      tokenizerName = str("tokenizerName"),
+      withPositions = s.contains("\"withPositions\":true"),
+      nShards = num("nShards").toInt,
+      nSalts = num("nSalts").toInt,
+      shardSize = num("shardSize").toLong,
+      contentShaXor = num("contentShaXor").toLong,
+      hotTerms = arr("hotTerms"),
+      stagesDone = arr("stagesDone").toSeq
+    )
+  }
+}
+
+/** Offline inverted-index bulk build — the Spark-first re-expression of
+  * Groonga's `grn_ii_build` three-phase pipeline (reference lib/ii.c:8802:
+  * tokenize-parse → block spill → key-ordered k-way merge + re-encode):
+  *
+  *   phase 1 (parse)  = `flatMap(tokenize)` with per-document local combine,
+  *   phase 2 (spill)  = the shuffle, keyed (shard, term, salt) — hot terms
+  *                      salted by docId hash to defuse reducer skew,
+  *   phase 3 (commit) = `sortWithinPartitions(shard, term, salt, docId)` +
+  *                      streaming `mapPartitions` encoder producing
+  *                      delta+varint blocks with skip entries and block-max tf
+  *                      (the chunk/dgap layout of reference lib/ii.c:2659).
+  *
+  * Outputs under `dir`: docs/ (docId, meta, doclen, sha256, shard),
+  * segments/ (shard, term, salt, df, cf, blocks), lexicon/ (term, df, cf),
+  * metrics/ (per-partition lineage rows: terms, postings, bytes, elapsedMs),
+  * manifest.json. Each stage is checkpointed; `build` resumes past completed
+  * stages (north-rule resumability).
+  */
+object IndexBuilder {
+
+  /** Input contract: columns (docId: Long, content: String) plus pass-through
+    * metadata columns. docId must be unique; use [[assignDocIds]] when the
+    * source has no id.
+    */
+  def build(spark: SparkSession, docsIn: DataFrame, dir: String, cfg: IndexConfig): IndexManifest = {
+    import spark.implicits._
+    val base = Paths.get(dir)
+    Files.createDirectories(base)
+
+    def stageDone(name: String): Boolean = Files.exists(base.resolve(s"_stage_$name.done"))
+    def markDone(name: String): Unit = Files.writeString(base.resolve(s"_stage_$name.done"), "ok")
+
+    val tokenizerName = cfg.tokenizerName
+
+    // ---- stage 1: docs (sha256 invariant, shard assignment) -------------
+    // No tokenization here — doclen is derived from the postings pass
+    // (sum of tf per doc), so content is analyzed exactly once.
+    if (!stageDone("docs")) {
+      val shaUdf = udf { (content: String) => Sha256.hex(content) }
+      val nDocs = docsIn.count()
+      val shardSize = math.max(1L, (nDocs + cfg.nShards - 1) / cfg.nShards)
+      docsIn
+        .withColumn("sha256", shaUdf(col("content")))
+        .withColumn("shard", (col("docId") / lit(shardSize)).cast("int"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$dir/docs")
+      Files.writeString(base.resolve("_shard_size"), shardSize.toString)
+      markDone("docs")
+    }
+    val shardSize = Files.readString(base.resolve("_shard_size")).trim.toLong
+    val docs = spark.read.parquet(s"$dir/docs")
+
+    // ---- stage 2+3: postings shuffle + encode, norms --------------------
+    if (!stageDone("segments")) {
+      val tokName = tokenizerName
+      val withPos = cfg.withPositions
+      // phase 1: tokenize + per-document combine (map-side: one posting row
+      // per (term, doc) — no (term, doc, pos) explosion through the shuffle)
+      val postings: DataFrame = docs.select("docId", "content").as[(Long, String)]
+        .flatMap { case (docId, content) =>
+          val toks = Tokenizers.byName(tokName).tokenize(content, TokenizeMode.Add)
+          val acc = new java.util.HashMap[String, scala.collection.mutable.ArrayBuffer[Int]]()
+          toks.foreach { t =>
+            var buf = acc.get(t.term)
+            if (buf == null) { buf = new scala.collection.mutable.ArrayBuffer[Int](4); acc.put(t.term, buf) }
+            buf += t.pos
+          }
+          val out = new Array[(String, Long, Int, Array[Int])](acc.size)
+          var i = 0
+          val it = acc.entrySet().iterator()
+          while (it.hasNext) {
+            val e = it.next()
+            out(i) = (e.getKey, docId, e.getValue.length, if (withPos) e.getValue.toArray else Array.emptyIntArray)
+            i += 1
+          }
+          out
+        }
+        .toDF("term", "docId", "tf", "positions")
+        // tokenize once, feed three consumers (hot-term sample, norms agg,
+        // segment shuffle) from the materialized postings
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+
+      // norms sidecar: doclen = sum of tf over the doc's terms — per-shard
+      // varint blob co-read with the shard's postings at query time
+      postings
+        .withColumn("shard", (col("docId") / lit(shardSize)).cast("int"))
+        .groupBy("shard", "docId")
+        .agg(sum("tf").cast("int").as("doclen"))
+        .as[(Int, Long, Int)]
+        .groupByKey(_._1)
+        .mapGroups { (shard, it) =>
+          val arr = it.map(t => (t._2, t._3)).toArray.sortBy(_._1)
+          (shard, graft.codec.Norms.encode(arr.iterator))
+        }
+        .toDF("shard", "norms")
+        .write.mode(SaveMode.Overwrite).parquet(s"$dir/norms")
+      markDone("norms")
+
+      // pre-pass: estimate per-term df from a sample to pick hot terms
+      val estDf = postings.sample(withReplacement = false, cfg.sampleFraction, cfg.seed)
+        .groupBy("term").count()
+        .withColumn("estDf", (col("count") / lit(cfg.sampleFraction)).cast("long"))
+      val hotTerms: Array[String] =
+        estDf.filter(col("estDf") >= cfg.hotTermDf).select("term").as[String].collect().sorted
+      Files.writeString(base.resolve("_hot_terms"), hotTerms.mkString("\n"))
+      val hotB = spark.sparkContext.broadcast(hotTerms.toSet)
+
+      val nSalts = cfg.nSalts
+      val saltUdf = udf { (term: String, docId: Long) =>
+        if (hotB.value.contains(term)) (java.lang.Long.remainderUnsigned(docId * 0x9e3779b97f4a7c15L, nSalts.toLong)).toInt
+        else 0
+      }
+
+      // phase 2: the shuffle — (shard, term, salt) key, sorted by docId within
+      val keyed = postings
+        .withColumn("shard", (col("docId") / lit(shardSize)).cast("int"))
+        .withColumn("salt", saltUdf(col("term"), col("docId")))
+        .repartition(cfg.buildPartitions, col("shard"), col("term"), col("salt"))
+        .sortWithinPartitions("shard", "term", "salt", "docId")
+
+      // phase 3: streaming run-length encoder; one pass, segment rows +
+      // per-partition lineage metrics collected via accumulator (tiny: one
+      // row per partition; deduped by partitionId against task retries)
+      val metricsAcc = spark.sparkContext.collectionAccumulator[(Int, Long, Long, Long, Long)]("buildMetrics")
+      val segRows = keyed
+        .select("shard", "term", "salt", "docId", "tf", "positions")
+        .as[(Int, String, Int, Long, Int, Array[Int])]
+        .mapPartitions { it =>
+          val partId = org.apache.spark.TaskContext.getPartitionId()
+          val t0 = System.nanoTime()
+          var nTerms = 0L; var nPostings = 0L; var nBytes = 0L
+          val out = new scala.collection.mutable.ArrayBuffer[SegmentRow]()
+          var curKey: (Int, String, Int) = null
+          var pending = new scala.collection.mutable.ArrayBuffer[Posting]()
+          def flush(): Unit = {
+            if (curKey != null && pending.nonEmpty) {
+              val (blocks, df, cf) = PostingCodec.encode(pending.iterator, withPos)
+              val rows = blocks.map(b => BlockRow(b.firstDoc, b.lastDoc, b.n, b.maxTf, b.data))
+              out += SegmentRow(curKey._1, curKey._2, curKey._3, df, cf, rows)
+              nTerms += 1; nPostings += df
+              nBytes += rows.map(_.data.length.toLong).sum
+              pending = new scala.collection.mutable.ArrayBuffer[Posting]()
+            }
+          }
+          new Iterator[SegmentRow] {
+            private var finished = false
+            private def fill(): Unit = {
+              while (out.isEmpty && it.hasNext) {
+                val (shard, term, salt, docId, tf, positions) = it.next()
+                val key = (shard, term, salt)
+                if (curKey == null) curKey = key
+                else if (key != curKey) { flush(); curKey = key }
+                pending += Posting(docId, tf, positions)
+              }
+              if (out.isEmpty && !it.hasNext && !finished) {
+                flush()
+                finished = true
+                metricsAcc.add((partId, nTerms, nPostings, nBytes,
+                  (System.nanoTime() - t0) / 1000000L))
+              }
+            }
+            def hasNext: Boolean = { fill(); out.nonEmpty }
+            def next(): SegmentRow = { fill(); out.remove(0) }
+          }
+        }
+      segRows.toDF()
+        .write.mode(SaveMode.Overwrite).parquet(s"$dir/segments")
+
+      // lineage metrics (driver-side tiny write; dedupe retried tasks)
+      import scala.jdk.CollectionConverters._
+      val metricRows = metricsAcc.value.asScala.toSeq
+        .groupBy(_._1).map(_._2.head).toSeq
+        .map { case (p, t, po, b, e) => (p, t, po, b, e) }
+      spark.createDataset(metricRows)
+        .toDF("partitionId", "terms", "postings", "bytes", "elapsedMs")
+        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/metrics")
+      postings.unpersist()
+      markDone("segments")
+    }
+
+    // ---- stage 5: lexicon (term dictionary with global df/cf) -----------
+    if (!stageDone("lexicon")) {
+      spark.read.parquet(s"$dir/segments")
+        .groupBy("term")
+        .agg(sum("df").as("df"), sum("cf").as("cf"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$dir/lexicon")
+      markDone("lexicon")
+    }
+
+    // ---- stage 6: manifest ----------------------------------------------
+    val stats = docs.agg(
+      count(lit(1)).as("n"),
+      // content sha256 invariant digest: order-independent sum of 8-hex-char
+      // prefixes — cheap to recompute after any stage
+      sum(conv(substring(col("sha256"), 1, 8), 16, 10).cast("long")).as("shaSum")
+    ).collect()(0)
+    val tokStats = spark.read.parquet(s"$dir/norms").as[(Int, Array[Byte])]
+      .map { case (_, blob) =>
+        val lk = graft.codec.Norms.decode(blob)
+        (lk.size.toLong, lk.lens.map(_.toLong).sum)
+      }.toDF("nd", "toks").agg(sum("toks")).collect()(0)
+    val totalTokens = if (tokStats.isNullAt(0)) 0L else tokStats.getLong(0)
+    val hotTerms: Array[String] = {
+      val p = base.resolve("_hot_terms")
+      if (Files.exists(p)) Files.readString(p).split("\n").filter(_.nonEmpty) else Array.empty
+    }
+    val numDocs = stats.getLong(0)
+    val manifest = IndexManifest(
+      numDocs = numDocs,
+      avgDoclen = if (numDocs == 0) 0.0 else totalTokens.toDouble / numDocs,
+      totalTokens = totalTokens,
+      tokenizerName = tokenizerName,
+      withPositions = cfg.withPositions,
+      nShards = cfg.nShards,
+      nSalts = cfg.nSalts,
+      shardSize = shardSize,
+      contentShaXor = stats.getLong(1),
+      hotTerms = hotTerms,
+      stagesDone = Seq("docs", "segments", "norms", "lexicon")
+    )
+    Files.writeString(base.resolve("manifest.json"), IndexManifest.toJson(manifest))
+    manifest
+  }
+
+  /** Deterministic dense docId assignment = global sort rank over the natural
+    * key, without `zipWithIndex`: range-partition by key, sort within
+    * partitions, then add per-partition offsets (one tiny count per
+    * partition). The id of a row depends only on the total order, not on
+    * partition boundaries.
+    */
+  def assignDocIds(spark: SparkSession, df: DataFrame, keyCols: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val sorted = df.repartitionByRange(keyCols.map(col): _*)
+      .sortWithinPartitions(keyCols.map(col): _*)
+    val counts = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
+      Iterator((i, it.size.toLong))
+    }.collect().sortBy(_._1)
+    val offsets = counts.map(_._2).scanLeft(0L)(_ + _)
+    val offB = spark.sparkContext.broadcast(offsets)
+    val schema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("docId", org.apache.spark.sql.types.LongType, nullable = false) +: sorted.schema.fields)
+    val withIds = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
+      var id = offB.value(i)
+      it.map { row =>
+        val r = org.apache.spark.sql.Row.fromSeq(id +: row.toSeq)
+        id += 1
+        r
+      }
+    }
+    spark.createDataFrame(withIds, schema)
+  }
+}
+
+/** Segment row: one (shard, term, salt) posting sub-list. */
+final case class SegmentRow(shard: Int, term: String, salt: Int, df: Long, cf: Long, blocks: Seq[BlockRow])
+
+/** Stored block — see [[graft.codec.PostingBlock]]. */
+final case class BlockRow(firstDoc: Long, lastDoc: Long, n: Int, maxTf: Int, data: Array[Byte]) {
+  def toBlock: PostingBlock = PostingBlock(firstDoc, lastDoc, n, maxTf, data)
+}

@@ -1,0 +1,186 @@
+package graft.search
+
+import graft.analysis.{Tokenizers, TokenizeMode}
+import graft.codec.PostingCodec
+import graft.core.Posting
+import graft.index.{IndexReader, SegmentRow}
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+final case class ScoredDoc(docId: Long, score: Double)
+
+/** Scoring strategies. The reference default is `(noccur + tscore) * weight`
+  * (lib/ii.c:6984); `scorer_tf_idf` per lib/scorers.c:26-52; BM25 is our new
+  * scorer in the same pluggable slot (reference include/groonga/scorer.h) —
+  * all the inputs it needs (tf, df, N, doclen) are stored by the build.
+  */
+sealed trait Scorer extends Serializable
+case object DefaultScorer extends Scorer
+final case class Bm25(k1: Double = 1.2, b: Double = 0.75) extends Scorer {
+  def idf(n: Long, df: Long): Double =
+    math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+  def tfNorm(tf: Int, dl: Int, avgdl: Double): Double =
+    tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+  /** Upper bound of tfNorm over all doclens, for a tf bound. */
+  def tfNormUb(tfMax: Int): Double = tfMax * (k1 + 1.0) / (tfMax + k1 * (1.0 - b))
+}
+case object TfIdfScorer extends Scorer
+
+/** Match kinds dispatched like grn_ii_select (reference lib/ii.c:6734):
+  * Phrase = multi-token EXACT (consecutive position alignment), Near = *N.
+  */
+sealed trait MatchKind extends Serializable
+case object PhraseMatch extends MatchKind
+final case class NearMatch(maxInterval: Int) extends MatchKind
+
+object Searcher {
+
+  final case class QTok(term: String, offset: Int)
+
+  /** Tokenize query text in GET mode against the index's analysis chain. */
+  def queryTokens(reader: IndexReader, text: String): Seq[QTok] = {
+    Tokenizers.byName(reader.manifest.tokenizerName)
+      .tokenize(text, TokenizeMode.Get)
+      .map(t => QTok(t.term, t.pos))
+  }
+
+  private def mergeSalts(rows: Seq[SegmentRow], withPos: Boolean): Array[Posting] = {
+    if (rows.size == 1)
+      PostingCodec.decode(rows.head.blocks.map(_.toBlock), withPos).toArray
+    else
+      rows.iterator.flatMap(r => PostingCodec.decode(r.blocks.map(_.toBlock), withPos))
+        .toArray.sortBy(_.docId)
+  }
+
+  /** Binary search: does sorted `arr` contain `v`? */
+  @inline private def containsSorted(arr: Array[Int], v: Int): Boolean =
+    java.util.Arrays.binarySearch(arr, v) >= 0
+
+  /** Galloping advance: smallest index >= lo with arr(idx).docId >= target. */
+  private def advance(arr: Array[Posting], lo: Int, target: Long): Int = {
+    var step = 1
+    var hi = lo
+    while (hi < arr.length && arr(hi).docId < target) { hi = math.min(arr.length, hi + step); step <<= 1 }
+    // binary search in (lo-ish, hi]
+    var a = math.max(lo, hi - (step >> 1))
+    var b = hi
+    while (a < b) {
+      val m = (a + b) >>> 1
+      if (arr(m).docId < target) a = m + 1 else b = m
+    }
+    a
+  }
+
+  /** Shard-local evaluation of a multi-token match with the reference
+    * semantics: rarest-first conjunctive docID intersection with skipping
+    * (reference lib/ii.c:6804-6973 token_info_skip), phrase check via
+    * position alignment (one occurrence per full alignment), NEAR via a
+    * min-heap position window (reference lib/ii.c:6900-6940 bt_push/bt_pop).
+    * Returns (docId, noccur) — caller applies score arithmetic.
+    */
+  def evalShardMatch(
+      qtoks: Seq[QTok],
+      segRows: Seq[SegmentRow],
+      withPos: Boolean,
+      kind: MatchKind
+  ): Iterator[(Long, Int)] = {
+    val byTerm: Map[String, Array[Posting]] =
+      segRows.groupBy(_.term).map { case (t, rs) => t -> mergeSalts(rs, withPos) }
+    val uniq = qtoks.groupBy(_.term).toSeq // (term, offsets-with-dups)
+    if (uniq.exists { case (t, _) => !byTerm.contains(t) }) return Iterator.empty
+    // rarest-first: drive from the smallest per-shard posting list
+    val lists = uniq.map { case (t, qs) => (qs.map(_.offset), byTerm(t)) }
+      .sortBy(_._2.length)
+    if (lists.isEmpty) return Iterator.empty
+
+    val driverOffsets = lists.head._1
+    val driver = lists.head._2
+    val others = lists.tail.toArray
+    val idx = new Array[Int](others.length)
+    val out = Vector.newBuilder[(Long, Int)]
+    val singleTerm = others.isEmpty && driverOffsets.size == 1
+
+    var i = 0
+    while (i < driver.length) {
+      val docId = driver(i).docId
+      var ok = true
+      var j = 0
+      while (ok && j < others.length) {
+        idx(j) = advance(others(j)._2, idx(j), docId)
+        ok = idx(j) < others(j)._2.length && others(j)._2(idx(j)).docId == docId
+        j += 1
+      }
+      if (ok) {
+        val noccur: Int =
+          if (singleTerm) driver(i).tf // single-token query: noccur = tf
+          else if (!withPos) 1 // positions not stored: presence only
+          else kind match {
+            case PhraseMatch =>
+              // one occurrence per base where every query offset aligns
+              val driverPs = driver(i).positions
+              var cnt = 0
+              var p = 0
+              while (p < driverPs.length) {
+                val base = driverPs(p) - driverOffsets.head
+                if (base >= 0) {
+                  var all = true
+                  var d = 1
+                  while (all && d < driverOffsets.size) {
+                    all = containsSorted(driverPs, base + driverOffsets(d)); d += 1
+                  }
+                  var q = 0
+                  while (all && q < others.length) {
+                    val ps = others(q)._2(idx(q)).positions
+                    val offs = others(q)._1
+                    var d2 = 0
+                    while (all && d2 < offs.size) {
+                      all = containsSorted(ps, base + offs(d2)); d2 += 1
+                    }
+                    q += 1
+                  }
+                  if (all) cnt += 1
+                }
+                p += 1
+              }
+              cnt
+            case NearMatch(maxInterval) =>
+              val posLists = new Array[Array[Int]](1 + others.length)
+              posLists(0) = driver(i).positions
+              var q = 0
+              while (q < others.length) {
+                posLists(q + 1) = others(q)._2(idx(q)).positions
+                q += 1
+              }
+              nearCount(posLists, maxInterval)
+          }
+        if (noccur > 0) out += ((docId, noccur))
+      }
+      i += 1
+    }
+    out.result().iterator
+  }
+
+  /** Count NEAR windows: one per advance of the minimum cursor where the
+    * current [min,max] span is <= maxInterval (mirrors lib/ii.c:6900-6940).
+    */
+  def nearCount(lists: Array[Array[Int]], maxInterval: Int): Int = {
+    if (lists.exists(_.isEmpty)) return 0
+    val idx = new Array[Int](lists.length)
+    var count = 0
+    var done = false
+    while (!done) {
+      var minV = Int.MaxValue; var maxV = Int.MinValue; var minI = -1
+      var i = 0
+      while (i < lists.length) {
+        val v = lists(i)(idx(i))
+        if (v < minV) { minV = v; minI = i }
+        if (v > maxV) maxV = v
+        i += 1
+      }
+      if (maxV - minV <= maxInterval) count += 1
+      idx(minI) += 1
+      if (idx(minI) >= lists(minI).length) done = true
+    }
+    count
+  }
+}
