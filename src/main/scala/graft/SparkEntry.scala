@@ -1,13 +1,460 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.index.DocIndex
+import graft.ops.{Dedup, Similarity, TextAnalysis}
+import graft.search.{Engine, NearMatch, PhraseMatch}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract: one `queries` entry per implemented operator
+  * (SURVEY.md §2 + training-pipeline ops), with a DuckDB-equivalent
+  * `oracleSql` for everything SQL-expressible.
+  *
+  * Cross-engine determinism rules used throughout:
+  *   - no raw floats that result from arithmetic — fixed-point integers
+  *     (`*1000` / `*10000`, rounded or floor-div) or exact decimal sums;
+  *   - every result has a total ORDER BY on both sides;
+  *   - column names identical between the Spark result and the oracle SQL.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** ScoredDoc dataset → (doc_id, score bigint), ordered. */
+  private def scored(ds: org.apache.spark.sql.Dataset[graft.search.ScoredDoc]): DataFrame =
+    ds.toDF("doc_id", "s")
+      .select(col("doc_id"), col("s").cast("long").as("score"))
+      .orderBy("doc_id")
+
+  /** ScoredDoc dataset → (doc_id, score_q4 bigint) for float-valued scores. */
+  private def scoredQ4(ds: org.apache.spark.sql.Dataset[graft.search.ScoredDoc]): DataFrame =
+    ds.toDF("doc_id", "s")
+      .select(col("doc_id"), round(col("s") * 10000).cast("long").as("score_q4"))
+
+  /** Flagship query on sf=0.001: build the documents index (cached),
+    * answer a top-10 BM25 query through WAND; driver smoke-checks rows>0.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val r = DocIndex.reader(spark, "/root/testdata/sf0.001")
+    scoredQ4(Engine.bm25TopK(r, "spark dup", 10))
+      .orderBy(desc("score_q4"), asc("doc_id"))
+  }
+
+  // fixed-point helpers for oracle-matching money sums (exact decimal math)
+  private def cents(c: String): Column =
+    (sum(col(c).cast("decimal(18,2)")) * 100).cast("long")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- Groonga select-family over the star schema (SURVEY.md §2) ----
+    // drilldown with calc_types COUNT/SUM/MIN/MAX (grn_table_group,
+    // reference lib/db.c:4111 + rset.c:20)
+    "q1_drilldown_calc" -> ((s, d) => t(s, d, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_recs"),
+        sum("l_quantity").cast("long").as("sum_qty"),
+        min("l_quantity").cast("long").as("min_qty"),
+        max("l_quantity").cast("long").as("max_qty"),
+        cents("l_extendedprice").as("sum_price_cents"))
+      .orderBy("l_returnflag")),
+
+    // --sortby -price, _key + limit = partial top-k sort
+    // (grn_table_sort, reference lib/db.c:11176)
+    "q2_sort_topk" -> ((s, d) => t(s, d, "orders")
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      .limit(20)
+      .select(col("o_orderkey"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("price_cents"))),
+
+    // between() + in_values() selector functions
+    // (reference lib/proc.c:3736, 4052)
+    "q3_filter_between_in" -> ((s, d) => t(s, d, "lineitem")
+      .filter(col("l_quantity").between(10, 20) &&
+        col("l_returnflag").isin("A", "R"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), sum("l_quantity").cast("long").as("sum_qty"))
+      .orderBy("l_returnflag")),
+
+    // reference-column traversal a.b.c = join chain (reference
+    // lib/db.c:5306 accessors); dims broadcast by Catalyst
+    "q4_ref_join" -> ((s, d) => t(s, d, "customer")
+      .join(t(s, d, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .join(t(s, d, "region"), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name").agg(count(lit(1)).as("n_customers"))
+      .orderBy("r_name")),
+
+    // sub_filter(ref, cond) = left-semi join (reference lib/proc.c:3530)
+    "q5_sub_filter" -> ((s, d) => t(s, d, "orders")
+      .join(t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING"),
+        col("o_custkey") === col("c_custkey"), "left_semi")
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")),
+
+    // drilldown with range gap = numeric bucketing
+    // (GRN_TABLE_GROUP_BY_RANGE_GAP, reference lib/db.c:3751)
+    "q6_range_gap" -> ((s, d) => t(s, d, "orders")
+      .groupBy(floor(col("o_totalprice") / 10000).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("bucket")),
+
+    // subrec capture: top-N per group (GRN_OBJ_WITH_SUBREC,
+    // reference lib/db.c:3532) as a window rank
+    "q7_window_subrec" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      t(s, d, "orders")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("o_custkey")
+            .orderBy(desc("o_totalprice"), asc("o_orderkey"))))
+        .filter(col("rn") <= 2)
+        .select("o_custkey", "o_orderkey", "rn")
+        .orderBy("o_custkey", "rn")
+    }),
+
+    // time-bucketed aggregation over the events table
+    "q8_events_window" -> ((s, d) => t(s, d, "events")
+      .groupBy(col("event_type"),
+        expr("unix_micros(cast(ts as timestamp)) div 3600000000")
+          .as("hour_bucket"))
+      .agg(count(lit(1)).as("n"), min("value").as("min_val"),
+        max("value").as("max_val"))
+      .orderBy("event_type", "hour_bucket")),
+
+    // edit_distance() scalar (reference lib/proc/proc_fuzzy_search.c:94)
+    "q9_edit_distance" -> ((s, d) => t(s, d, "nation")
+      .select(col("n_name"), levenshtein(col("n_name"), lit("CHINA")).as("dist"))
+      .orderBy("n_name")),
+
+    // string_length + html_untag scalars (reference lib/proc.c:3460,
+    // plugins/functions/string.c:94)
+    "q10_string_ops" -> ((s, d) => t(s, d, "part")
+      .select(col("p_partkey"), length(col("p_name")).as("name_len"),
+        length(TextAnalysis.htmlUntag(
+          concat(lit("<b>"), col("p_name"), lit("</b>")))).as("untag_len"))
+      .orderBy("p_partkey")),
+
+    // ---- full-text engine over the documents index ----
+    // single-term match, default scorer: _score = tf
+    // (reference lib/ii.c:6984)
+    "ft_term" -> ((s, d) =>
+      scored(Engine.matchScores(DocIndex.reader(s, d), "spark"))),
+
+    // result-set algebra: scores ADD on collision
+    // (grn_table_setoperation, reference lib/db.c:4195)
+    "ft_and" -> ((s, d) => {
+      val r = DocIndex.reader(s, d)
+      scored(Engine.SetOps.and(
+        Engine.matchScores(r, "spark"), Engine.matchScores(r, "dup")))
+    }),
+    "ft_or" -> ((s, d) => {
+      val r = DocIndex.reader(s, d)
+      scored(Engine.SetOps.or(
+        Engine.matchScores(r, "spark"), Engine.matchScores(r, "dup")))
+    }),
+    "ft_and_not" -> ((s, d) => {
+      val r = DocIndex.reader(s, d)
+      scored(Engine.SetOps.andNot(
+        Engine.matchScores(r, "spark"), Engine.matchScores(r, "dup")))
+    }),
+    // adjuster: additive boost factor*tf for members of the boost set
+    // (reference lib/proc/proc_select.c:125)
+    "ft_adjust" -> ((s, d) => {
+      val r = DocIndex.reader(s, d)
+      scored(Engine.SetOps.adjust(
+        Engine.matchScores(r, "spark"),
+        Engine.matchScores(r, "dup", weight = 3.0)))
+    }),
+
+    // phrase match via position alignment (reference lib/ii.c:6941-6973)
+    "ft_phrase" -> ((s, d) =>
+      scored(Engine.matchScores(DocIndex.reader(s, d), "fast key"))),
+
+    // NEAR: docs where the terms occur within a position window
+    // (reference lib/ii.c:6900-6940); emitted as a presence set
+    "ft_near" -> ((s, d) =>
+      scored(Engine.matchScores(DocIndex.reader(s, d), "fast sort",
+        kind = NearMatch(3))).select("doc_id")),
+
+    // prefix search = lexicon expansion + OR (reference lib/pat.c:1091)
+    "ft_prefix" -> ((s, d) =>
+      scored(Engine.prefixSearch(DocIndex.reader(s, d), "b"))),
+
+    // fuzzy search = Levenshtein lexicon expansion + OR
+    // (reference lib/pat.c:1441)
+    "ft_fuzzy" -> ((s, d) =>
+      scored(Engine.fuzzySearch(DocIndex.reader(s, d), "part", maxDistance = 1))),
+
+    // similar-document search (GRN_OP_SIMILAR, reference lib/ii.c:6217):
+    // M rarest terms of the input, score = Σ tf·ln(N/df)
+    "ft_similar" -> ((s, d) =>
+      scoredQ4(Engine.similarSearch(DocIndex.reader(s, d),
+        "dup batch join window slow spark", m = 3)).orderBy("doc_id")),
+
+    // BM25 over all matching docs (rank-identity oracle for the top-k path)
+    "ft_bm25_all" -> ((s, d) => {
+      val r = DocIndex.reader(s, d)
+      scoredQ4(Engine.bm25TopK(r, "spark dup", r.manifest.numDocs.toInt,
+        useWand = false)).orderBy("doc_id")
+    }),
+
+    // top-k BM25 through block-max WAND — the north-star query path
+    "ft_bm25_topk" -> ((s, d) =>
+      scoredQ4(Engine.bm25TopK(DocIndex.reader(s, d), "spark dup", 10))
+        .orderBy(desc("score_q4"), asc("doc_id"))),
+
+    // lexicon = term dictionary with global df/cf (reference grn_ii stats)
+    "ft_lexicon" -> ((s, d) => DocIndex.reader(s, d).lexicon
+      .select(col("term"), col("df"), col("cf")).orderBy("term")),
+
+    // ---- training-data pipeline ops over documents/embeddings ----
+    "dd_exact" -> ((s, d) => Dedup.exactStats(t(s, d, "documents"))),
+
+    "dd_minhash_bands" -> ((s, d) => Dedup.lshBands(
+      Dedup.minhashSignatures(t(s, d, "documents")), bands = 16)
+      .orderBy("doc_id", "band")),
+
+    "dd_lsh_pairs" -> ((s, d) => Dedup.lshCandidatePairs(Dedup.lshBands(
+      Dedup.minhashSignatures(t(s, d, "documents")), bands = 16))
+      .orderBy("a", "b")),
+
+    "dd_simhash" -> ((s, d) =>
+      Dedup.simhash(t(s, d, "documents")).orderBy("doc_id")),
+
+    "dd_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(t(s, d, "documents"), "source").orderBy("a", "b")),
+
+    "sim_topk" -> ((s, d) => Similarity.cosineTopK(t(s, d, "embeddings"), 0L, 10)),
+
+    "sim_lsh_buckets" -> ((s, d) => Similarity.lshBuckets(t(s, d, "embeddings"))
+      .groupBy("bucket").agg(count(lit(1)).as("n")).orderBy("bucket")),
+
+    "ta_quality" -> ((s, d) =>
+      TextAnalysis.quality(t(s, d, "documents")).orderBy("doc_id")),
+
+    "ta_tokcount" -> ((s, d) =>
+      TextAnalysis.tokenCounts(t(s, d, "documents")).orderBy("doc_id")),
+
+    "ta_langid" -> ((s, d) =>
+      TextAnalysis.langId(t(s, d, "documents")).orderBy("doc_id")),
+
+    "ta_fingerprint" -> ((s, d) =>
+      TextAnalysis.fingerprint(t(s, d, "documents")).orderBy("doc_id"))
+  )
+
+  // ---- DuckDB oracles ---------------------------------------------------
+  // The words CTE is the oracle-side TokenDelimit: documents.text is
+  // single-space word text, so tokenization == string_split(text, ' ').
+  private val W =
+    "words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)"
+  private def tfOf(term: String): String =
+    s"(SELECT doc_id, len(list_filter(string_split(text, ' '), x -> x = '$term')) AS tf FROM documents)"
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_drilldown_calc" ->
+      """SELECT l_returnflag, count(*) AS n_recs,
+        | CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+        | CAST(min(l_quantity) AS BIGINT) AS min_qty,
+        | CAST(max(l_quantity) AS BIGINT) AS max_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_price_cents
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q2_sort_topk" ->
+      """SELECT o_orderkey,
+        | CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_cents
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
+
+    "q3_filter_between_in" ->
+      """SELECT l_returnflag, count(*) AS n, CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+        |FROM lineitem
+        |WHERE l_quantity BETWEEN 10 AND 20 AND l_returnflag IN ('A', 'R')
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q4_ref_join" ->
+      """SELECT r_name, count(*) AS n_customers
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    "q5_sub_filter" ->
+      """SELECT o_orderpriority, count(*) AS n FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q6_range_gap" ->
+      """SELECT CAST(floor(o_totalprice / 10000) AS BIGINT) AS bucket, count(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "q7_window_subrec" ->
+      """SELECT o_custkey, o_orderkey, rn FROM (
+        | SELECT o_custkey, o_orderkey,
+        |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        | FROM orders) WHERE rn <= 2 ORDER BY o_custkey, rn""".stripMargin,
+
+    "q8_events_window" ->
+      """SELECT event_type, epoch_us(ts) // 3600000000 AS hour_bucket, count(*) AS n,
+        | min(value) AS min_val, max(value) AS max_val
+        |FROM events GROUP BY 1, 2 ORDER BY event_type, hour_bucket""".stripMargin,
+
+    "q9_edit_distance" ->
+      "SELECT n_name, levenshtein(n_name, 'CHINA') AS dist FROM nation ORDER BY n_name",
+
+    "q10_string_ops" ->
+      """SELECT p_partkey, length(p_name) AS name_len,
+        | length(regexp_replace('<b>' || p_name || '</b>', '<[^>]*>', '', 'g')) AS untag_len
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "ft_term" ->
+      s"""WITH tf AS ${tfOf("spark")}
+         |SELECT doc_id, tf AS score FROM tf WHERE tf > 0 ORDER BY doc_id""".stripMargin,
+
+    "ft_and" ->
+      s"""WITH a AS ${tfOf("spark")}, b AS ${tfOf("dup")}
+         |SELECT a.doc_id, a.tf + b.tf AS score FROM a JOIN b USING (doc_id)
+         |WHERE a.tf > 0 AND b.tf > 0 ORDER BY doc_id""".stripMargin,
+
+    "ft_or" ->
+      s"""WITH a AS ${tfOf("spark")}, b AS ${tfOf("dup")}
+         |SELECT a.doc_id, a.tf + b.tf AS score FROM a JOIN b USING (doc_id)
+         |WHERE a.tf > 0 OR b.tf > 0 ORDER BY doc_id""".stripMargin,
+
+    "ft_and_not" ->
+      s"""WITH a AS ${tfOf("spark")}, b AS ${tfOf("dup")}
+         |SELECT a.doc_id, a.tf AS score FROM a JOIN b USING (doc_id)
+         |WHERE a.tf > 0 AND b.tf = 0 ORDER BY doc_id""".stripMargin,
+
+    "ft_adjust" ->
+      s"""WITH a AS ${tfOf("spark")}, b AS ${tfOf("dup")}
+         |SELECT a.doc_id, a.tf + 3 * b.tf AS score FROM a JOIN b USING (doc_id)
+         |WHERE a.tf > 0 ORDER BY doc_id""".stripMargin,
+
+    "ft_phrase" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |p AS (SELECT doc_id,
+        |  len([i for i in range(1, len(w)) if w[i] = 'fast' AND w[i+1] = 'key']) AS score
+        | FROM t)
+        |SELECT doc_id, score FROM p WHERE score > 0 ORDER BY doc_id""".stripMargin,
+
+    "ft_near" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |p AS (SELECT doc_id,
+        |  [i for i in range(1, len(w) + 1) if w[i] = 'fast'] AS pa,
+        |  [i for i in range(1, len(w) + 1) if w[i] = 'sort'] AS pb
+        | FROM t)
+        |SELECT doc_id FROM p
+        |WHERE len(pa) > 0 AND len(pb) > 0
+        |  AND len(list_filter(pa, x -> len(list_filter(pb, y -> abs(x - y) <= 3)) > 0)) > 0
+        |ORDER BY doc_id""".stripMargin,
+
+    "ft_prefix" ->
+      """SELECT doc_id, len(list_filter(string_split(text, ' '), x -> x LIKE 'b%')) AS score
+        |FROM documents
+        |WHERE len(list_filter(string_split(text, ' '), x -> x LIKE 'b%')) > 0
+        |ORDER BY doc_id""".stripMargin,
+
+    "ft_fuzzy" ->
+      s"""WITH $W,
+         |vocab AS (SELECT DISTINCT w FROM words WHERE levenshtein(w, 'part') <= 1)
+         |SELECT doc_id, count(*) AS score FROM words
+         |WHERE w IN (SELECT w FROM vocab) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "ft_similar" ->
+      s"""WITH $W,
+         |dfx AS (SELECT w, count(DISTINCT doc_id) AS df FROM words GROUP BY w),
+         |nn AS (SELECT count(*) AS n FROM documents),
+         |qt AS (SELECT w, df FROM dfx
+         |  WHERE w IN ('dup', 'batch', 'join', 'window', 'slow', 'spark')
+         |  ORDER BY df, w LIMIT 3),
+         |tf AS (SELECT doc_id, w, count(*) AS tf FROM words
+         |  WHERE w IN (SELECT w FROM qt) GROUP BY doc_id, w)
+         |SELECT doc_id,
+         | CAST(round(sum(tf * ln(n / df)) * 10000) AS BIGINT) AS score_q4
+         |FROM tf JOIN qt USING (w) CROSS JOIN nn
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "ft_bm25_all" ->
+      s"""WITH $W,
+         |dl AS (SELECT doc_id, count(*) AS dl FROM words GROUP BY doc_id),
+         |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+         |tf AS (SELECT doc_id, w, count(*) AS tf FROM words
+         |  WHERE w IN ('spark', 'dup') GROUP BY doc_id, w),
+         |dfx AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+         |sc AS (SELECT tf.doc_id,
+         |  sum(ln((n - df + 0.5) / (df + 0.5) + 1.0)
+         |      * tf * (1.2 + 1.0) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))) AS score
+         | FROM tf JOIN dfx USING (w) JOIN dl USING (doc_id) CROSS JOIN stats
+         | GROUP BY tf.doc_id)
+         |SELECT doc_id, CAST(round(score * 10000) AS BIGINT) AS score_q4
+         |FROM sc ORDER BY doc_id""".stripMargin,
+
+    "ft_bm25_topk" ->
+      s"""WITH $W,
+         |dl AS (SELECT doc_id, count(*) AS dl FROM words GROUP BY doc_id),
+         |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+         |tf AS (SELECT doc_id, w, count(*) AS tf FROM words
+         |  WHERE w IN ('spark', 'dup') GROUP BY doc_id, w),
+         |dfx AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+         |sc AS (SELECT tf.doc_id,
+         |  sum(ln((n - df + 0.5) / (df + 0.5) + 1.0)
+         |      * tf * (1.2 + 1.0) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))) AS score
+         | FROM tf JOIN dfx USING (w) JOIN dl USING (doc_id) CROSS JOIN stats
+         | GROUP BY tf.doc_id)
+         |SELECT doc_id, CAST(round(score * 10000) AS BIGINT) AS score_q4
+         |FROM sc ORDER BY score_q4 DESC, doc_id LIMIT 10""".stripMargin,
+
+    "ft_lexicon" ->
+      s"""WITH $W
+         |SELECT w AS term, count(DISTINCT doc_id) AS df, count(*) AS cf
+         |FROM words GROUP BY w ORDER BY term""".stripMargin,
+
+    "dd_exact" ->
+      "SELECT count(*) AS total, count(DISTINCT md5(text)) AS uniq FROM documents",
+
+    "dd_ngram_jaccard" ->
+      """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT doc_id, source, unnest(list_distinct(
+        |   [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)])) AS gr
+        | FROM t WHERE len(w) >= 3),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id),
+        |it AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+        | FROM g x JOIN g y ON x.source = y.source AND x.gr = y.gr AND x.doc_id < y.doc_id
+        | GROUP BY 1, 2)
+        |SELECT a, b, inter * 1000 // (sa.sz + sb.sz - inter) AS jaccard_q3
+        |FROM it JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+        |ORDER BY a, b""".stripMargin,
+
+    "sim_topk" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id,
+        | CAST(round(list_cosine_similarity(e.embedding::DOUBLE[], q.qe) * 1000) AS BIGINT) AS sim_q3
+        |FROM embeddings e, q WHERE e.vec_id <> 0
+        |ORDER BY sim_q3 DESC, vec_id LIMIT 10""".stripMargin,
+
+    "ta_quality" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)
+        |SELECT doc_id, len(w)::BIGINT AS n_words, length(text)::BIGINT AS n_chars_c,
+        | (CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) * 100) // len(w) AS avg_wlen_q2,
+        | (len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is','on')))::BIGINT * 1000) // len(w) AS stop_ratio_q3
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "ta_tokcount" ->
+      """SELECT doc_id, len(string_split(text, ' '))::BIGINT AS ws_tokens,
+        | len(regexp_extract_all(text, '[a-z]+|[0-9]+'))::BIGINT AS re_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "ta_langid" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sc AS (SELECT doc_id,
+        |  len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is','on'))) AS s_en,
+        |  len(list_filter(w, x -> x IN ('der','die','das','und','ist','ein','zu','den'))) AS s_de,
+        |  len(list_filter(w, x -> x IN ('el','la','de','y','que','en','un','es'))) AS s_es
+        | FROM t)
+        |SELECT doc_id,
+        | CASE WHEN s_en >= s_de AND s_en >= s_es THEN 'en'
+        |      WHEN s_de >= s_es THEN 'de' ELSE 'es' END AS pred_lang,
+        | s_en::BIGINT AS s_en
+        |FROM sc ORDER BY doc_id""".stripMargin,
+
+    "ta_fingerprint" ->
+      "SELECT doc_id, substr(md5(text), 1, 16) AS fp FROM documents ORDER BY doc_id"
+  )
 }

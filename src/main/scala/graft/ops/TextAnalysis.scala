@@ -1,0 +1,88 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines: language
+  * identification, quality scoring, token counting, document fingerprinting.
+  *
+  * All of these are pure Catalyst column expressions (no UDFs) so they stay
+  * inside whole-stage codegen and scale linearly with input partitions — at
+  * 100 TB each is a single narrow map stage over the scan, no shuffle.
+  *
+  * Scores that are ratios are emitted as integer fixed-point (`*1000 div n`)
+  * — exact integer arithmetic, reproducible across engines (no float
+  * accumulation order issues).
+  */
+object TextAnalysis {
+
+  /** Whitespace word array of a single-space-normalized text column. */
+  def words(text: Column): Column = split(text, " ")
+
+  /** Stopword lists used by [[langId]] and [[quality]]. Deterministic,
+    * documented sets — the language-ID heuristic is a stopword-hit argmax
+    * (n-gram-free variant; same shape as classic stopword LID).
+    */
+  val stopEn: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "on")
+  val stopDe: Seq[String] = Seq("der", "die", "das", "und", "ist", "ein", "zu", "den")
+  val stopEs: Seq[String] = Seq("el", "la", "de", "y", "que", "en", "un", "es")
+
+  private def inList(v: String, xs: Seq[String]): String =
+    xs.map(x => s"'$x'").mkString(s"$v IN (", ", ", ")")
+
+  /** Count of array elements contained in a literal stopword list —
+    * `size(filter(words, w -> w IN (...)))`, codegen-friendly.
+    */
+  def stopHits(wordsCol: String, stops: Seq[String]): Column =
+    expr(s"size(filter($wordsCol, w -> ${inList("w", stops)}))")
+
+  /** Quality-scoring row per document:
+    * n_words, n_chars, avg word length (x100 fixed point), stopword ratio
+    * (x1000 fixed point), all exact integers.
+    */
+  def quality(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("w", words(col(textCol)))
+      .withColumn("n_words", size(col("w")).cast("long"))
+      .withColumn("n_chars_c", length(col(textCol)).cast("long"))
+      .withColumn("sum_wlen",
+        expr("aggregate(transform(w, x -> length(x)), 0L, (acc, x) -> acc + x)"))
+      .withColumn("avg_wlen_q2", expr("sum_wlen * 100 div n_words"))
+      .withColumn("stop_hits", stopHits("w", stopEn).cast("long"))
+      .withColumn("stop_ratio_q3", expr("stop_hits * 1000 div n_words"))
+      .select(col("doc_id"), col("n_words"), col("n_chars_c"),
+        col("avg_wlen_q2"), col("stop_ratio_q3"))
+
+  /** Token counting: whitespace tokens and BPE-ish regex tokens
+    * (`[a-z]+|[0-9]+` word/number pieces).
+    */
+  def tokenCounts(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(words(col(textCol))).cast("long").as("ws_tokens"),
+      size(expr(s"regexp_extract_all($textCol, '[a-z]+|[0-9]+', 0)"))
+        .cast("long").as("re_tokens"))
+
+  /** Stopword-argmax language ID over {en, de, es}; ties resolve in fixed
+    * order en > de > es (deterministic).
+    */
+  def langId(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("w", words(col(textCol)))
+      .withColumn("s_en", stopHits("w", stopEn))
+      .withColumn("s_de", stopHits("w", stopDe))
+      .withColumn("s_es", stopHits("w", stopEs))
+      .select(col("doc_id"),
+        expr("CASE WHEN s_en >= s_de AND s_en >= s_es THEN 'en' " +
+          "WHEN s_de >= s_es THEN 'de' ELSE 'es' END").as("pred_lang"),
+        col("s_en").cast("long").as("s_en"))
+
+  /** Content fingerprint: 64-bit hex prefix of md5 over the text — the
+    * cross-engine-stable document digest used for exact dedup and lineage.
+    */
+  def fingerprint(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(col("doc_id"), substring(md5(col(textCol)), 1, 16).as("fp"))
+
+  /** `html_untag` (reference lib/proc.c:3460): strip tags via regex. */
+  def htmlUntag(c: Column): Column = regexp_replace(c, "<[^>]*>", "")
+}

@@ -93,6 +93,87 @@ object Engine {
     topK(perShard, k)
   }
 
+  /** Weighted disjunction over explicit terms: score(doc) = Σ tf·w(term) —
+    * the OR-with-score-add primitive behind prefix / fuzzy / similar search
+    * (each expands to a term set first, like the reference's lexicon
+    * expansions, reference lib/ii.c:5856 token_info_build EX_* modes).
+    */
+  def orTermsScores(
+      reader: IndexReader,
+      termWeights: Map[String, Double]
+  ): Dataset[ScoredDoc] = {
+    val spark = reader.spark
+    import spark.implicits._
+    if (termWeights.isEmpty) return spark.emptyDataset[ScoredDoc]
+    val withPos = reader.manifest.withPositions
+    val twB = spark.sparkContext.broadcast(termWeights)
+    reader.segmentsFor(termWeights.keys.toSeq)
+      .groupByKey(_.shard)
+      .flatMapGroups { (_, rows) =>
+        val acc = new java.util.HashMap[Long, java.lang.Double]()
+        // deterministic float accumulation: term order, then docId order
+        rows.toSeq.sortBy(r => (r.term, r.salt)).foreach { r =>
+          val w = twB.value(r.term)
+          graft.codec.PostingCodec.decode(r.blocks.map(_.toBlock), withPos)
+            .foreach { p =>
+              val s = p.tf * w
+              val prev = acc.get(p.docId)
+              acc.put(p.docId, if (prev == null) s else prev + s)
+            }
+        }
+        val it = acc.entrySet().iterator()
+        new Iterator[ScoredDoc] {
+          def hasNext = it.hasNext
+          def next() = { val e = it.next(); ScoredDoc(e.getKey, e.getValue) }
+        }
+      }
+  }
+
+  /** Prefix search (reference PAT descendant walk, lib/pat.c:1091): expand
+    * the prefix against the lexicon, OR the expanded terms, scores add tf.
+    */
+  def prefixSearch(reader: IndexReader, prefix: String, maxExpansion: Int = 1000): Dataset[ScoredDoc] = {
+    val terms = reader.termsWithPrefix(prefix, maxExpansion)
+    orTermsScores(reader, terms.map(_ -> 1.0).toMap)
+  }
+
+  /** Fuzzy search (reference grn_pat_fuzzy_search, lib/pat.c:1441 +
+    * proc_fuzzy_search.c): lexicon terms within `maxDistance` Levenshtein
+    * edits of the query term (distributed filter over the lexicon), OR'd.
+    */
+  def fuzzySearch(
+      reader: IndexReader,
+      term: String,
+      maxDistance: Int = 1,
+      prefixLength: Int = 0,
+      maxExpansion: Int = 100
+  ): Dataset[ScoredDoc] = {
+    import reader.spark.implicits._
+    val pre = term.take(prefixLength)
+    val expanded = reader.lexicon
+      .filter(levenshtein(col("term"), lit(term)) <= maxDistance)
+      .filter(col("term").startsWith(pre))
+      .select("term").as[String]
+      .orderBy("term").take(maxExpansion).toSeq
+    orTermsScores(reader, expanded.map(_ -> 1.0).toMap)
+  }
+
+  /** Similar-document search (GRN_OP_SIMILAR, reference
+    * grn_ii_similar_search lib/ii.c:6217-6356): tokenize the input, keep the
+    * M rarest terms (df asc, term asc tie-break), OR them with
+    * score(doc) = Σ tf·ln(N/df) — tf·idf over the rare-term profile.
+    */
+  def similarSearch(reader: IndexReader, text: String, m: Int = 5): Dataset[ScoredDoc] = {
+    val terms = Searcher.queryTokens(reader, text).map(_.term).distinct
+    val stats = reader.termStats(terms)
+    val n = reader.manifest.numDocs
+    val rarest = terms.flatMap(t => stats.get(t).map(s => (t, s._1)))
+      .sortBy { case (t, df) => (df, t) }
+      .take(m)
+    orTermsScores(reader,
+      rarest.map { case (t, df) => t -> math.log(n.toDouble / df) }.toMap)
+  }
+
   /** Global top-k via the typed k-heap aggregator. */
   def topK(scored: Dataset[ScoredDoc], k: Int): Dataset[ScoredDoc] = {
     val spark = scored.sparkSession
