@@ -42,7 +42,10 @@ object Corpus {
     math.min(r, vocabSize - 1)
   }
 
-  private def ident(rank: Int): String = {
+  /** Deterministic identifier for a vocabulary rank — public so benchmarks
+    * can derive guaranteed-present query terms of known rarity.
+    */
+  def ident(rank: Int): String = {
     // deterministic identifier per rank; low ranks are short & common
     val h = splitmix64(rank.toLong * 0x9e3779b97f4a7c15L + 12345L)
     val len = 2 + (rank % 9)

@@ -42,7 +42,6 @@ final case class IndexManifest(
     withPositions: Boolean,
     nShards: Int,
     nSalts: Int,
-    shardSize: Long,
     contentShaXor: Long,
     hotTerms: Array[String],
     stagesDone: Seq[String]
@@ -57,7 +56,7 @@ object IndexManifest {
     } + "\""
     s"""{"numDocs":${m.numDocs},"avgDoclen":${m.avgDoclen},"totalTokens":${m.totalTokens},
        |"tokenizerName":${js(m.tokenizerName)},"withPositions":${m.withPositions},
-       |"nShards":${m.nShards},"nSalts":${m.nSalts},"shardSize":${m.shardSize},
+       |"nShards":${m.nShards},"nSalts":${m.nSalts},
        |"contentShaXor":${m.contentShaXor},
        |"hotTerms":[${m.hotTerms.map(js).mkString(",")}],
        |"stagesDone":[${m.stagesDone.map(js).mkString(",")}]}""".stripMargin
@@ -88,7 +87,6 @@ object IndexManifest {
       withPositions = s.contains("\"withPositions\":true"),
       nShards = num("nShards").toInt,
       nSalts = num("nSalts").toInt,
-      shardSize = num("shardSize").toLong,
       contentShaXor = num("contentShaXor").toLong,
       hotTerms = arr("hotTerms"),
       stagesDone = arr("stagesDone").toSeq
@@ -127,24 +125,30 @@ object IndexBuilder {
 
     def stageDone(name: String): Boolean = Files.exists(base.resolve(s"_stage_$name.done"))
     def markDone(name: String): Unit = Files.writeString(base.resolve(s"_stage_$name.done"), "ok")
+    var tLast = System.nanoTime()
+    def lap(what: String): Unit = {
+      val t = System.nanoTime()
+      System.err.println(f"[build] $what: ${(t - tLast) / 1e9}%.2fs")
+      tLast = t
+    }
 
     val tokenizerName = cfg.tokenizerName
 
     // ---- stage 1: docs (sha256 invariant, shard assignment) -------------
     // No tokenization here — doclen is derived from the postings pass
-    // (sum of tf per doc), so content is analyzed exactly once.
+    // (sum of tf per doc), so content is analyzed exactly once. Sharding is
+    // docId mod nShards: needs no corpus count (single pass over the input)
+    // and round-robins docs across shards, so shard sizes stay balanced
+    // whatever the docId distribution.
     if (!stageDone("docs")) {
       val shaUdf = udf { (content: String) => Sha256.hex(content) }
-      val nDocs = docsIn.count()
-      val shardSize = math.max(1L, (nDocs + cfg.nShards - 1) / cfg.nShards)
       docsIn
         .withColumn("sha256", shaUdf(col("content")))
-        .withColumn("shard", (col("docId") / lit(shardSize)).cast("int"))
+        .withColumn("shard", pmod(col("docId"), lit(cfg.nShards)).cast("int"))
         .write.mode(SaveMode.Overwrite).parquet(s"$dir/docs")
-      Files.writeString(base.resolve("_shard_size"), shardSize.toString)
       markDone("docs")
+      lap("stage docs")
     }
-    val shardSize = Files.readString(base.resolve("_shard_size")).trim.toLong
     val docs = spark.read.parquet(s"$dir/docs")
 
     // ---- stage 2+3: postings shuffle + encode, norms --------------------
@@ -180,7 +184,7 @@ object IndexBuilder {
       // norms sidecar: doclen = sum of tf over the doc's terms — per-shard
       // varint blob co-read with the shard's postings at query time
       postings
-        .withColumn("shard", (col("docId") / lit(shardSize)).cast("int"))
+        .withColumn("shard", pmod(col("docId"), lit(cfg.nShards)).cast("int"))
         .groupBy("shard", "docId")
         .agg(sum("tf").cast("int").as("doclen"))
         .as[(Int, Long, Int)]
@@ -192,6 +196,7 @@ object IndexBuilder {
         .toDF("shard", "norms")
         .write.mode(SaveMode.Overwrite).parquet(s"$dir/norms")
       markDone("norms")
+      lap("stage norms")
 
       // pre-pass: estimate per-term df from a sample to pick hot terms
       val estDf = postings.sample(withReplacement = false, cfg.sampleFraction, cfg.seed)
@@ -200,6 +205,7 @@ object IndexBuilder {
       val hotTerms: Array[String] =
         estDf.filter(col("estDf") >= cfg.hotTermDf).select("term").as[String].collect().sorted
       Files.writeString(base.resolve("_hot_terms"), hotTerms.mkString("\n"))
+      lap("stage hot-term sample")
       val hotB = spark.sparkContext.broadcast(hotTerms.toSet)
 
       val nSalts = cfg.nSalts
@@ -208,32 +214,38 @@ object IndexBuilder {
         else 0
       }
 
-      // phase 2: the shuffle — (shard, term, salt) key, sorted by docId within
+      // phase 2: the shuffle — term-major RANGE partitioning on
+      // (term, shard, salt), sorted by docId within each key. Range (not
+      // hash) so the written segments are term-clustered — the serving
+      // layout where a query's `term IN (...)` prunes to a few row groups —
+      // and so a hot term's postings still split across partitions at the
+      // (shard, salt) boundaries sampled by the range partitioner: skew is
+      // bounded by salt fan-out even before AQE kicks in.
       val keyed = postings
-        .withColumn("shard", (col("docId") / lit(shardSize)).cast("int"))
+        .withColumn("shard", pmod(col("docId"), lit(cfg.nShards)).cast("int"))
         .withColumn("salt", saltUdf(col("term"), col("docId")))
-        .repartition(cfg.buildPartitions, col("shard"), col("term"), col("salt"))
-        .sortWithinPartitions("shard", "term", "salt", "docId")
+        .repartitionByRange(cfg.buildPartitions, col("term"), col("shard"), col("salt"))
+        .sortWithinPartitions("term", "shard", "salt", "docId")
 
       // phase 3: streaming run-length encoder; one pass, segment rows +
       // per-partition lineage metrics collected via accumulator (tiny: one
       // row per partition; deduped by partitionId against task retries)
       val metricsAcc = spark.sparkContext.collectionAccumulator[(Int, Long, Long, Long, Long)]("buildMetrics")
       val segRows = keyed
-        .select("shard", "term", "salt", "docId", "tf", "positions")
-        .as[(Int, String, Int, Long, Int, Array[Int])]
+        .select("term", "shard", "salt", "docId", "tf", "positions")
+        .as[(String, Int, Int, Long, Int, Array[Int])]
         .mapPartitions { it =>
           val partId = org.apache.spark.TaskContext.getPartitionId()
           val t0 = System.nanoTime()
           var nTerms = 0L; var nPostings = 0L; var nBytes = 0L
           val out = new scala.collection.mutable.ArrayBuffer[SegmentRow]()
-          var curKey: (Int, String, Int) = null
+          var curKey: (String, Int, Int) = null
           var pending = new scala.collection.mutable.ArrayBuffer[Posting]()
           def flush(): Unit = {
             if (curKey != null && pending.nonEmpty) {
               val (blocks, df, cf) = PostingCodec.encode(pending.iterator, withPos)
               val rows = blocks.map(b => BlockRow(b.firstDoc, b.lastDoc, b.n, b.maxTf, b.data))
-              out += SegmentRow(curKey._1, curKey._2, curKey._3, df, cf, rows)
+              out += SegmentRow(curKey._2, curKey._1, curKey._3, df, cf, rows)
               nTerms += 1; nPostings += df
               nBytes += rows.map(_.data.length.toLong).sum
               pending = new scala.collection.mutable.ArrayBuffer[Posting]()
@@ -243,8 +255,8 @@ object IndexBuilder {
             private var finished = false
             private def fill(): Unit = {
               while (out.isEmpty && it.hasNext) {
-                val (shard, term, salt, docId, tf, positions) = it.next()
-                val key = (shard, term, salt)
+                val (term, shard, salt, docId, tf, positions) = it.next()
+                val key = (term, shard, salt)
                 if (curKey == null) curKey = key
                 else if (key != curKey) { flush(); curKey = key }
                 pending += Posting(docId, tf, positions)
@@ -271,6 +283,7 @@ object IndexBuilder {
       spark.createDataset(metricRows)
         .toDF("partitionId", "terms", "postings", "bytes", "elapsedMs")
         .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/metrics")
+      lap("stage segments encode+write")
       postings.unpersist()
       markDone("segments")
     }
@@ -282,6 +295,7 @@ object IndexBuilder {
         .agg(sum("df").as("df"), sum("cf").as("cf"))
         .write.mode(SaveMode.Overwrite).parquet(s"$dir/lexicon")
       markDone("lexicon")
+      lap("stage lexicon")
     }
 
     // ---- stage 6: manifest ----------------------------------------------
@@ -310,11 +324,11 @@ object IndexBuilder {
       withPositions = cfg.withPositions,
       nShards = cfg.nShards,
       nSalts = cfg.nSalts,
-      shardSize = shardSize,
       contentShaXor = stats.getLong(1),
       hotTerms = hotTerms,
       stagesDone = Seq("docs", "segments", "norms", "lexicon")
     )
+    lap("stage manifest stats")
     Files.writeString(base.resolve("manifest.json"), IndexManifest.toJson(manifest))
     manifest
   }

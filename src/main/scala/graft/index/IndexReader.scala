@@ -10,33 +10,64 @@ final class IndexReader(val spark: SparkSession, val dir: String) extends Serial
   val manifest: IndexManifest =
     IndexManifest.fromJson(Files.readString(Paths.get(dir, "manifest.json")))
 
-  def segments: Dataset[SegmentRow] = {
+  /** Cached relation handle — file listing + schema resolve once per
+    * session, so repeated queries only pay the pruned scan itself.
+    */
+  lazy val segments: Dataset[SegmentRow] = {
     import spark.implicits._
     spark.read.parquet(s"$dir/segments").as[SegmentRow]
   }
 
-  /** Segment rows for the given terms only — `isin` predicate is pushed down
-    * to the parquet scan (row-group pruning on the term column).
+  /** Segment rows for the given terms only. The segments table is written
+    * term-major (range-partitioned + sorted by term), so the `isin`
+    * predicate pushes down to the parquet scan and row-group min/max stats
+    * prune everything but the files/row-groups actually holding the query's
+    * terms — the scan cost is O(matching postings), not O(index).
     */
   def segmentsFor(terms: Seq[String]): Dataset[SegmentRow] = {
     import spark.implicits._
     segments.filter(col("term").isin(terms.distinct: _*))
   }
 
-  def docs: DataFrame = spark.read.parquet(s"$dir/docs")
+  lazy val docs: DataFrame = spark.read.parquet(s"$dir/docs")
 
   /** Per-shard doclen sidecar rows: (shard, varint blob). */
-  def norms: Dataset[(Int, Array[Byte])] = {
+  lazy val norms: Dataset[(Int, Array[Byte])] = {
     import spark.implicits._
     spark.read.parquet(s"$dir/norms").as[(Int, Array[Byte])]
   }
 
-  def lexicon: DataFrame = spark.read.parquet(s"$dir/lexicon")
+  /** Broadcast per-shard norms blobs (decoded lazily per executor task).
+    * Size = one varint per doc (~2-4 B): fine to ship whole for sandbox
+    * scales; at 10^12 docs the per-shard blob is instead co-read with the
+    * shard's segment rows (the [[graft.search.Engine.bm25TopK]] cogroup
+    * path, kept for that regime).
+    */
+  lazy val normsBroadcast: org.apache.spark.broadcast.Broadcast[Map[Int, Array[Byte]]] = {
+    import spark.implicits._
+    spark.sparkContext.broadcast(norms.collect().toMap)
+  }
 
-  def metrics: DataFrame = spark.read.parquet(s"$dir/metrics")
+  lazy val lexicon: DataFrame = spark.read.parquet(s"$dir/lexicon")
 
-  /** Global (df, cf) for query terms — small collect, broadcast by caller. */
-  def termStats(terms: Seq[String]): Map[String, (Long, Long)] = {
+  lazy val metrics: DataFrame = spark.read.parquet(s"$dir/metrics")
+
+  /** Driver-cached lexicon stats: term -> (df, cf). The lexicon of a code
+    * corpus is orders of magnitude smaller than the postings (zipf); for
+    * corpora where it isn't, swap for the pruned-scan [[termStatsScan]].
+    */
+  private lazy val lexiconMap: Map[String, (Long, Long)] =
+    lexicon.collect()
+      .map(r => r.getString(r.fieldIndex("term")) ->
+        (r.getLong(r.fieldIndex("df")), r.getLong(r.fieldIndex("cf"))))
+      .toMap
+
+  /** Global (df, cf) for query terms. */
+  def termStats(terms: Seq[String]): Map[String, (Long, Long)] =
+    terms.distinct.flatMap(t => lexiconMap.get(t).map(t -> _)).toMap
+
+  /** Pruned-scan variant of [[termStats]] for lexicons too big to hold. */
+  def termStatsScan(terms: Seq[String]): Map[String, (Long, Long)] = {
     lexicon.filter(col("term").isin(terms.distinct: _*))
       .collect()
       .map(r => r.getString(r.fieldIndex("term")) ->

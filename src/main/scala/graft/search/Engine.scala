@@ -67,18 +67,17 @@ object Engine {
     val idfs: Map[String, Double] =
       terms.map(t => t -> bm25.idf(n, stats.get(t).map(_._1).getOrElse(0L))).toMap
 
-    val segsByShard = reader.segmentsFor(terms).groupByKey(_.shard)
-    val normsByShard = reader.norms.groupByKey(_._1)
-
-    val perShard = segsByShard.cogroup(normsByShard) { (_, segIt, normIt) =>
-      val segRows = segIt.toSeq
-      if (segRows.isEmpty) Iterator.empty
-      else {
-        val lookup = {
-          val ns = normIt.toSeq
-          require(ns.nonEmpty, "missing norms row for shard")
-          Norms.decode(ns.head._2)
-        }
+    // Norms ship once per session as a broadcast (tiny: varints per doc);
+    // the query itself is then a single term-pruned scan + one small
+    // shuffle of segment rows grouped by shard. (A cogroup-with-norms
+    // variant would avoid the broadcast for corpora whose norms exceed
+    // driver memory — at 10^12 docs norms would be co-partitioned with
+    // segments instead.)
+    val normsB = reader.normsBroadcast
+    val perShard = reader.segmentsFor(terms).groupByKey(_.shard)
+      .flatMapGroups { (shard, segIt) =>
+        val segRows = segIt.toSeq
+        val lookup = Norms.decode(normsB.value(shard))
         val cursors = segRows.groupBy(_.term).toSeq
           .map { case (t, rows) =>
             TermCursor.fromRows(rows, withPos, termIdx(t), idfs(t), bm25)
@@ -89,8 +88,68 @@ object Engine {
           else Bm25Shard.exhaustive(cursors, lookup.apply, avgdl, bm25, k)
         top.iterator
       }
-    }
     topK(perShard, k)
+  }
+
+  /** Batched top-k BM25: evaluates a whole query workload in ONE Spark job —
+    * a single term-pruned segments scan serves every query, each shard
+    * evaluates all queries locally, and a final tiny shuffle (≤ queries ×
+    * shards × k candidate rows) merges per-query top-k. This is the
+    * throughput-serving mode: per-query cost amortizes the job overhead
+    * that dominates single-query latency in a cluster scheduler.
+    * Returns (query_id, doc_id, score).
+    */
+  def bm25TopKBatch(
+      reader: IndexReader,
+      queries: Seq[(Long, String)],
+      k: Int,
+      useWand: Boolean = true,
+      bm25: Bm25 = Bm25()
+  ): DataFrame = {
+    val spark = reader.spark
+    import spark.implicits._
+    val qTerms: Seq[(Long, Seq[String])] =
+      queries.map { case (qid, text) =>
+        qid -> Searcher.queryTokens(reader, text).map(_.term).distinct
+      }
+    val allTerms = qTerms.flatMap(_._2).distinct
+    if (allTerms.isEmpty)
+      return spark.emptyDataset[(Long, Long, Double)].toDF("query_id", "doc_id", "score")
+    val stats = reader.termStats(allTerms)
+    val n = reader.manifest.numDocs
+    val avgdl = reader.manifest.avgDoclen
+    val withPos = reader.manifest.withPositions
+    // per-query (term -> (termIdx, idf)) plans, one broadcast for the batch
+    val plans: Seq[(Long, Map[String, (Int, Double)])] = qTerms.map { case (qid, ts) =>
+      qid -> ts.zipWithIndex.map { case (t, i) =>
+        t -> (i, bm25.idf(n, stats.get(t).map(_._1).getOrElse(0L)))
+      }.toMap
+    }
+    val plansB = spark.sparkContext.broadcast(plans)
+    val normsB = reader.normsBroadcast
+    val kLocal = k
+    val perShard = reader.segmentsFor(allTerms).groupByKey(_.shard)
+      .flatMapGroups { (shard, segIt) =>
+        val byTerm: Map[String, Seq[SegmentRow]] = segIt.toSeq.groupBy(_.term)
+        val lookup = Norms.decode(normsB.value(shard))
+        plansB.value.iterator.flatMap { case (qid, plan) =>
+          val cursors = plan.toSeq.collect {
+            case (t, (idx, idf)) if byTerm.contains(t) =>
+              TermCursor.fromRows(byTerm(t), withPos, idx, idf, bm25)
+          }.sortBy(_.termIdx)
+          if (cursors.isEmpty) Iterator.empty
+          else {
+            val top =
+              if (useWand) Bm25Shard.wand(cursors, lookup.apply, avgdl, bm25, kLocal)
+              else Bm25Shard.exhaustive(cursors, lookup.apply, avgdl, bm25, kLocal)
+            top.iterator.map(s => (qid, s.docId, s.score))
+          }
+        }
+      }
+    perShard.groupByKey(_._1).flatMapGroups { (qid, it) =>
+      it.toSeq.sortWith((a, b) => a._3 > b._3 || (a._3 == b._3 && a._2 < b._2))
+        .take(kLocal).iterator
+    }.toDF("query_id", "doc_id", "score")
   }
 
   /** Weighted disjunction over explicit terms: score(doc) = Σ tf·w(term) —

@@ -1,0 +1,88 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class OpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog", "g1"),
+    (1L, "the quick brown fox jumps over the lazy cat", "g1"), // near-dup of 0
+    (2L, "completely different words about spark engines here", "g1"),
+    (3L, "the quick brown fox jumps over the lazy dog", "g2"), // exact dup of 0
+    (4L, "der hund und die katze und das haus und der garten", "g2")
+  ).toDF("doc_id", "text", "source")
+
+  test("exact dedup stats and groups") {
+    val st = Dedup.exactStats(docs).collect()(0)
+    assert(st.getLong(0) == 5 && st.getLong(1) == 4)
+    // groups only count same-text rows; doc 0 and 3 share a digest
+    val g = Dedup.exactGroups(docs).collect()
+    assert(g.length == 1 && g(0).getLong(1) == 2 && g(0).getLong(2) == 0L)
+  }
+
+  test("minhash LSH finds near-dup pair, not unrelated pair") {
+    val pairs = Dedup.lshCandidatePairs(
+      Dedup.lshBands(Dedup.minhashSignatures(docs, shingleK = 2), bands = 16))
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 3L))) // identical text always collides
+    assert(pairs.contains((0L, 1L)) || pairs.contains((1L, 3L))) // near-dup
+    assert(!pairs.contains((2L, 4L))) // disjoint docs
+  }
+
+  test("simhash: identical texts equal, near-dups close, disjoint far") {
+    val sh = Dedup.simhash(docs).as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(sh(0L) == sh(3L))
+    assert(ham(sh(0L), sh(1L)) < ham(sh(0L), sh(4L)))
+  }
+
+  test("ngram jaccard pairs: exact dup = 1000, near-dup high, cross-group excluded") {
+    val j = Dedup.ngramJaccardPairs(docs, "source")
+      .as[(Long, Long, Long)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    assert(!j.contains((0L, 3L))) // different groups never pair
+    assert(j((0L, 1L)) >= 500)    // 7-gram overlap of 9-word near-dups
+  }
+
+  test("brute-force cosine top-k is exact and ordered") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(-1.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val top = Similarity.cosineTopK(emb, 0L, 2).as[(Long, Long)].collect()
+    assert(top.map(_._1).toSeq == Seq(1L, 2L))
+    assert(top(0)._2 > 990) // cos ~0.994
+  }
+
+  test("LSH ANN recall: bucket of query holds its true nearest neighbor") {
+    // clustered vectors: two tight clusters far apart
+    val emb = (0 until 40).map { i =>
+      val base = if (i % 2 == 0) Array(1.0f, 0.0f, 0.0f, 0.0f) else Array(0.0f, 1.0f, 0.0f, 0.0f)
+      val eps = 0.01f * (i / 2)
+      (i.toLong, base.zipWithIndex.map { case (v, d) => v + (if (d == 2) eps else 0f) })
+    }.toDF("vec_id", "embedding")
+    val ann = Similarity.lshTopK(emb, 0L, 5).as[(Long, Long)].collect()
+    val exact = Similarity.cosineTopK(emb, 0L, 5).as[(Long, Long)].collect()
+    // same-cluster ids are even; ANN must return only same-cluster ids
+    assert(ann.nonEmpty && ann.forall(_._1 % 2 == 0))
+    // recall@5 >= 3/5 for this easy separation
+    assert(ann.map(_._1).toSet.intersect(exact.map(_._1).toSet).size >= 3)
+  }
+
+  test("text analysis: quality, token counts, langid, fingerprint") {
+    val q = TextAnalysis.quality(docs).filter($"doc_id" === 0L).collect()(0)
+    assert(q.getLong(1) == 9) // n_words
+    assert(q.getLong(4) == 222) // 'the' twice / 9 words = 222 (x1000 floor)
+    val tc = TextAnalysis.tokenCounts(docs).filter($"doc_id" === 0L).collect()(0)
+    assert(tc.getLong(1) == 9 && tc.getLong(2) == 9)
+    val li2 = TextAnalysis.langId(docs).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(li2(0L) == "en" && li2(4L) == "de")
+    val fp = TextAnalysis.fingerprint(docs).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fp(0L) == fp(3L) && fp(0L) != fp(1L) && fp(0L).length == 16)
+  }
+}
