@@ -206,6 +206,61 @@ object SparkEntry {
     "ft_lexicon" -> ((s, d) => DocIndex.reader(s, d).lexicon
       .select(col("term"), col("df"), col("cf")).orderBy("term")),
 
+    // ---- the select command surface (query DSL + drilldown + paging) ----
+    // query-syntax boolean: spark AND NOT dup, OR'd with phrase "fast key";
+    // sorted -_score,_id with offset paging (reference proc_select.c:530)
+    "sel_query_page" -> ((s, d) => {
+      val res = graft.command.Select.run(DocIndex.reader(s, d),
+        graft.command.SelectParams(
+          query = Some("""spark -dup OR "fast key""""),
+          sortby = Seq("-_score", "_id"),
+          offset = 5, limit = 15,
+          outputColumns = Seq("_id", "_score")))
+      res.hits.select(col("_id").as("doc_id"),
+        col("_score").cast("long").as("score"))
+    }),
+
+    // query + filter (Catalyst column predicate) + scorer expression
+    "sel_filter_scorer" -> ((s, d) => {
+      val res = graft.command.Select.run(DocIndex.reader(s, d),
+        graft.command.SelectParams(
+          query = Some("spark"),
+          filter = Some(col("lang") === "en"),
+          scorer = Some("_score * 10 + n_chars"),
+          sortby = Seq("_id"), limit = 1000000,
+          outputColumns = Seq("_id", "_score")))
+      res.hits.select(col("_id").as("doc_id"),
+        col("_score").cast("long").as("score"))
+    }),
+
+    // drilldown with calc types over the filtered set
+    // (reference lib/proc/proc_select.c:437-528)
+    "sel_drilldown" -> ((s, d) => {
+      val res = graft.command.Select.run(DocIndex.reader(s, d),
+        graft.command.SelectParams(
+          query = Some("spark"),
+          drilldowns = Seq(graft.command.DrilldownSpec(
+            keys = Seq("lang"),
+            calcTypes = Seq("COUNT", "SUM", "MAX"),
+            calcTarget = Some("n_chars"),
+            sortby = Seq("-_nsubrecs"), limit = 100))))
+      res.drilldowns("lang")
+        .select(col("lang"), col("_nsubrecs"), col("_sum").cast("long").as("sum_chars"),
+          col("_max").cast("long").as("max_chars"))
+        .orderBy("lang")
+    }),
+
+    // column predicate inside query syntax: source:src3 + match
+    "sel_colpred" -> ((s, d) => {
+      val res = graft.command.Select.run(DocIndex.reader(s, d),
+        graft.command.SelectParams(
+          query = Some("spark source:src3"),
+          sortby = Seq("_id"), limit = 1000000,
+          outputColumns = Seq("_id", "_score")))
+      res.hits.select(col("_id").as("doc_id"),
+        col("_score").cast("long").as("score"))
+    }),
+
     // ---- training-data pipeline ops over documents/embeddings ----
     "dd_exact" -> ((s, d) => Dedup.exactStats(t(s, d, "documents"))),
 
@@ -342,7 +397,8 @@ object SparkEntry {
         | FROM t)
         |SELECT doc_id FROM p
         |WHERE len(pa) > 0 AND len(pb) > 0
-        |  AND len(list_filter(pa, x -> len(list_filter(pb, y -> abs(x - y) <= 3)) > 0)) > 0
+        |  AND len(list_filter(pa, x ->
+        |    len(list_filter(pb, y -> y >= 2 AND abs(x - y + 1) <= 3)) > 0)) > 0
         |ORDER BY doc_id""".stripMargin,
 
     "ft_prefix" ->
@@ -405,6 +461,40 @@ object SparkEntry {
       s"""WITH $W
          |SELECT w AS term, count(DISTINCT doc_id) AS df, count(*) AS cf
          |FROM words GROUP BY w ORDER BY term""".stripMargin,
+
+    "sel_query_page" ->
+      s"""WITH a AS ${tfOf("spark")}, b AS ${tfOf("dup")},
+         |t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |ph AS (SELECT doc_id,
+         |  len([i for i in range(1, len(w)) if w[i] = 'fast' AND w[i+1] = 'key']) AS sc
+         | FROM t),
+         |s1 AS (SELECT a.doc_id, a.tf AS sc FROM a JOIN b USING (doc_id)
+         |       WHERE a.tf > 0 AND b.tf = 0),
+         |s2 AS (SELECT doc_id, sc FROM ph WHERE sc > 0),
+         |u AS (SELECT coalesce(s1.doc_id, s2.doc_id) AS doc_id,
+         |       coalesce(s1.sc, 0) + coalesce(s2.sc, 0) AS score
+         |      FROM s1 FULL OUTER JOIN s2 ON s1.doc_id = s2.doc_id)
+         |SELECT doc_id, score FROM u
+         |ORDER BY score DESC, doc_id LIMIT 15 OFFSET 5""".stripMargin,
+
+    "sel_filter_scorer" ->
+      s"""WITH a AS ${tfOf("spark")}
+         |SELECT d.doc_id, (a.tf + 1) * 10 + d.n_chars AS score
+         |FROM a JOIN documents d USING (doc_id)
+         |WHERE a.tf > 0 AND d.lang = 'en' ORDER BY doc_id""".stripMargin,
+
+    "sel_drilldown" ->
+      s"""WITH a AS ${tfOf("spark")}
+         |SELECT d.lang, count(*) AS _nsubrecs, sum(d.n_chars) AS sum_chars,
+         | max(d.n_chars) AS max_chars
+         |FROM a JOIN documents d USING (doc_id) WHERE a.tf > 0
+         |GROUP BY d.lang ORDER BY lang""".stripMargin,
+
+    "sel_colpred" ->
+      s"""WITH a AS ${tfOf("spark")}
+         |SELECT d.doc_id, a.tf + 1 AS score
+         |FROM a JOIN documents d USING (doc_id)
+         |WHERE a.tf > 0 AND d.source = 'src3' ORDER BY doc_id""".stripMargin,
 
     "dd_exact" ->
       "SELECT count(*) AS total, count(DISTINCT md5(text)) AS uniq FROM documents",

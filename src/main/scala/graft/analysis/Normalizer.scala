@@ -132,6 +132,31 @@ object Normalizer {
     )
   }
 
+  /** Raw mode = lexicon without a normalizer, n-gram flavor: the reference's
+    * grn_string_open without a normalizer yields the original text with NO
+    * char types and NO blank removal (reference lib/string.c), so the n-gram
+    * tokenizer's run-grouping and blank-splitting are inert — every char
+    * (including spaces, original case) is gram-able.
+    */
+  def raw(s: String): Normalized = {
+    val n = s.length
+    val cps = new Array[Int](n)
+    val offsets = new Array[Int](n)
+    var out = 0; var i = 0; var cpIdx = 0
+    while (i < n) {
+      val cp = s.codePointAt(i)
+      cps(out) = cp; offsets(out) = cpIdx; out += 1
+      i += Character.charCount(cp)
+      cpIdx += 1
+    }
+    new Normalized(
+      java.util.Arrays.copyOf(cps, out),
+      Array.fill[Byte](out)(CharType.Others),
+      new Array[Boolean](out),
+      java.util.Arrays.copyOf(offsets, out)
+    )
+  }
+
   /** Identity "normalizer" (no normalizer configured): types still computed so
     * the n-gram tokenizer can group runs, but no case folding / NFKC.
     */

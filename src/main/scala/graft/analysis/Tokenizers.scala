@@ -196,7 +196,40 @@ object Tokenizers {
   lazy val TokenBigramIgnoreBlankSplitSymbolAlphaDigit = new NgramTokenizer(2, false, false, false, true, auto)
   lazy val TokenDelimit = new DelimitTokenizer(auto)
 
-  def byName(name: String): GTokenizer = name match {
+  def byName(name: String): GTokenizer = {
+    // "Base+Stem" chain naming: filters append to the base tokenizer
+    if (name.contains('+')) {
+      val parts = name.split('+')
+      val base = byName(parts.head)
+      val filters: Seq[Vector[Token] => Vector[Token]] = parts.tail.toSeq.map {
+        case "Stem" => TokenFilters.stem _
+        case f => throw new IllegalArgumentException(s"unknown token filter: $f")
+      }
+      new FilteredTokenizer(base, filters)
+    } else byNameBase(name)
+  }
+
+  /** `Name:none` = the tokenizer of a lexicon WITHOUT a normalizer: n-grams
+    * see the raw string (no char types, no case folding, no blank removal —
+    * reference grn_string_open without normalizer); delimiters still split
+    * on the literal delimiter char.
+    */
+  private val rawCache = scala.collection.mutable.Map[String, GTokenizer]()
+
+  private def byNameBase(name: String): GTokenizer =
+    if (name.endsWith(":none")) synchronized {
+      rawCache.getOrElseUpdate(name, {
+        byNameNormalized(name.dropRight(5)) match {
+          case ng: NgramTokenizer =>
+            new NgramTokenizer(ng.unit, ng.uniAlpha, ng.uniDigit, ng.uniSymbol,
+              ng.ignoreBlank, Normalizer.raw)
+          case _: DelimitTokenizer => new DelimitTokenizer(Normalizer.none)
+          case other => other
+        }
+      })
+    } else byNameNormalized(name)
+
+  private def byNameNormalized(name: String): GTokenizer = name match {
     case "TokenBigram" => TokenBigram
     case "TokenUnigram" => TokenUnigram
     case "TokenTrigram" => TokenTrigram

@@ -18,7 +18,7 @@ object DocIndex {
 
   def indexDir(sfDir: String): String = {
     val tag = sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
-    s"${sys.props("java.io.tmpdir")}/graft-docindex-v1/$tag"
+    s"${sys.props("java.io.tmpdir")}/graft-docindex-v2/$tag"
   }
 
   def reader(spark: SparkSession, sfDir: String): IndexReader = synchronized {
@@ -27,7 +27,7 @@ object DocIndex {
       if (!Files.exists(Paths.get(dir, "manifest.json"))) {
         val docs = spark.read.parquet(s"$sfDir/documents.parquet")
           .select(col("doc_id").as("docId"), col("text").as("content"),
-            col("lang"), col("source"))
+            col("lang"), col("source"), col("n_chars"))
         IndexBuilder.build(spark, docs, dir,
           IndexConfig(tokenizerName = "TokenDelimit", withPositions = true,
             nShards = 8, buildPartitions = 16, nSalts = 4,

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import java.nio.file.{Files, Paths}
 
 /** Read-side handle over a built index directory. */
-final class IndexReader(val spark: SparkSession, val dir: String) extends Serializable {
+class IndexReader(val spark: SparkSession, val dir: String) extends Serializable {
 
   val manifest: IndexManifest =
     IndexManifest.fromJson(Files.readString(Paths.get(dir, "manifest.json")))

@@ -144,14 +144,23 @@ object Searcher {
               }
               cnt
             case NearMatch(maxInterval) =>
-              val posLists = new Array[Array[Int]](1 + others.length)
-              posLists(0) = driver(i).positions
+              // one cursor per QUERY TOKEN, positions adjusted by the
+              // token's query offset (reference token_info pos semantics:
+              // ti->pos = p->pos - offset, so aligned tokens compare equal;
+              // negatives are skipped by the initial skip-to-0)
+              val buf = scala.collection.mutable.ArrayBuffer[Array[Int]]()
+              driverOffsets.foreach { off =>
+                buf += driver(i).positions.map(_ - off).filter(_ >= 0)
+              }
               var q = 0
               while (q < others.length) {
-                posLists(q + 1) = others(q)._2(idx(q)).positions
+                val ps = others(q)._2(idx(q)).positions
+                others(q)._1.foreach { off =>
+                  buf += ps.map(_ - off).filter(_ >= 0)
+                }
                 q += 1
               }
-              nearCount(posLists, maxInterval)
+              nearCount(buf.toArray, maxInterval)
           }
         if (noccur > 0) out += ((docId, noccur))
       }
@@ -160,13 +169,16 @@ object Searcher {
     out.result().iterator
   }
 
-  /** Count NEAR windows: one per advance of the minimum cursor where the
-    * current [min,max] span is <= maxInterval (mirrors lib/ii.c:6900-6940).
+  /** Count NEAR windows over offset-adjusted position lists — faithful to
+    * the reference's min-heap loop (lib/ii.c:6901-6940): when the [min,max]
+    * span fits, count one occurrence and advance the min cursor to
+    * max+1; otherwise advance the min cursor to max-maxInterval; stop when
+    * a cursor exhausts.
     */
   def nearCount(lists: Array[Array[Int]], maxInterval: Int): Int = {
     if (lists.exists(_.isEmpty)) return 0
     val idx = new Array[Int](lists.length)
-    var count = 0
+    var noccur = 0
     var done = false
     while (!done) {
       var minV = Int.MaxValue; var maxV = Int.MinValue; var minI = -1
@@ -177,10 +189,14 @@ object Searcher {
         if (v > maxV) maxV = v
         i += 1
       }
-      if (maxV - minV <= maxInterval) count += 1
-      idx(minI) += 1
-      if (idx(minI) >= lists(minI).length) done = true
+      val target =
+        if (maxV - minV <= maxInterval) { noccur += 1; maxV + 1 }
+        else maxV - maxInterval
+      var j = idx(minI)
+      val lst = lists(minI)
+      while (j < lst.length && lst(j) < target) j += 1
+      if (j >= lst.length) done = true else idx(minI) = j
     }
-    count
+    noccur
   }
 }

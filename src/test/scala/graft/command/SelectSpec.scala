@@ -1,0 +1,88 @@
+package graft.command
+
+import graft.SparkTestBase
+import graft.index.{IndexBuilder, IndexConfig, IndexReader}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Select-command semantics over a hand-computed micro corpus (TokenDelimit
+  * so tf is countable by eye).
+  */
+class SelectSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  private lazy val reader: IndexReader = {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "apple banana apple", "f", 10),
+      (1L, "banana cherry", "f", 20),
+      (2L, "apple cherry date", "g", 30),
+      (3L, "date egg fig", "g", 40),
+      (4L, "apple apple apple banana", "f", 50)
+    ).toDF("docId", "content", "grp", "val")
+    val dir = java.nio.file.Files.createTempDirectory("graft_sel_").toString
+    IndexBuilder.build(spark, docs, dir, IndexConfig(
+      tokenizerName = "TokenDelimit", nShards = 2, buildPartitions = 2,
+      hotTermDf = 100000L, nSalts = 2, sampleFraction = 1.0))
+    new IndexReader(spark, dir)
+  }
+
+  private def hits(p: SelectParams): Seq[(Long, Double)] =
+    Select.run(reader, p).hits
+      .select(col("_id"), col("_score"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+  test("query match scores = tf, default sort by _id") {
+    assert(hits(SelectParams(query = Some("apple"),
+      outputColumns = Seq("_id", "_score"))) ==
+      Seq((0L, 2.0), (2L, 1.0), (4L, 3.0)))
+  }
+
+  test("boolean query: apple -banana") {
+    assert(hits(SelectParams(query = Some("apple -banana"),
+      outputColumns = Seq("_id", "_score"))) == Seq((2L, 1.0)))
+  }
+
+  test("OR adds scores on overlap") {
+    assert(hits(SelectParams(query = Some("apple OR cherry"),
+      outputColumns = Seq("_id", "_score"))) ==
+      Seq((0L, 2.0), (1L, 1.0), (2L, 2.0), (4L, 3.0)))
+  }
+
+  test("column predicate in query + filter + scorer") {
+    // apple AND grp:f => docs 0,4 with score tf+1; scorer doubles it
+    assert(hits(SelectParams(query = Some("apple grp:f"),
+      scorer = Some("_score * 2"),
+      outputColumns = Seq("_id", "_score"))) == Seq((0L, 6.0), (4L, 8.0)))
+    // filter param is an AND unit contributing +1
+    assert(hits(SelectParams(query = Some("apple"),
+      filter = Some(col("val") >= 30),
+      outputColumns = Seq("_id", "_score"))) ==
+      Seq((2L, 2.0), (4L, 4.0)))
+  }
+
+  test("sortby -_score with offset/limit paging") {
+    val r = hits(SelectParams(query = Some("apple"),
+      sortby = Seq("-_score", "_id"), offset = 1, limit = 1,
+      outputColumns = Seq("_id", "_score")))
+    assert(r == Seq((0L, 2.0))) // ranking: 4(3.0), 0(2.0), 2(1.0)
+  }
+
+  test("nHits counts pre-paging; drilldown aggregates the full hit set") {
+    val res = Select.run(reader, SelectParams(query = Some("apple"),
+      limit = 1,
+      drilldowns = Seq(DrilldownSpec(keys = Seq("grp"),
+        calcTypes = Seq("COUNT", "SUM"), calcTarget = Some("val"),
+        sortby = Seq("-_nsubrecs")))))
+    assert(res.nHits == 3)
+    val dd = res.drilldowns("grp").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(dd == Seq(("f", 2L, 60L), ("g", 1L, 30L)))
+  }
+
+  test("prefix search via trailing star") {
+    // terms starting with 'd': date (docs 2,3)
+    assert(hits(SelectParams(query = Some("d*"),
+      outputColumns = Seq("_id", "_score"))) == Seq((2L, 1.0), (3L, 1.0)))
+  }
+}

