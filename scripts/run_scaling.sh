@@ -5,7 +5,10 @@
 # efficiency = (throughput_4N / throughput_N) / 4.
 set -e
 cd /root/repo
-N=${SPARK_GRAFT_BUILD_N:-40000}
+# 320k files ≈ 77M tokens: large enough that tokenize/shuffle/encode
+# dominate the fixed per-job overhead and the N-vs-4N comparison measures
+# compute scaling, not scheduler constants.
+N=${SPARK_GRAFT_BUILD_N:-320000}
 OUT=target/scaling
 mkdir -p $OUT
 # Two runs per leg, keep the faster: the sandbox VM's hosting noise is

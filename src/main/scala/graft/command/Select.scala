@@ -41,7 +41,8 @@ final case class SelectParams(
     offset: Int = 0,
     limit: Int = 10,
     outputColumns: Seq[String] = Seq("*"),
-    drilldowns: Seq[DrilldownSpec] = Nil
+    drilldowns: Seq[DrilldownSpec] = Nil,
+    matchEscalationThreshold: Long = -1L
 )
 
 final case class SelectResult(
@@ -74,12 +75,14 @@ object Select {
     val docs = reader.docs
     val scored: DataFrame = (p.query, p.filter) match {
       case (Some(q), None) =>
-        QueryExec.run(reader, q, p.matchColumns.headOption).toDF("docId", "_score")
+        QueryExec.run(reader, q, p.matchColumns.headOption,
+          p.matchEscalationThreshold).toDF("docId", "_score")
       case (None, Some(f)) =>
         docs.filter(f).select(col("docId"), lit(1.0).as("_score"))
       case (Some(q), Some(f)) =>
         // filter applies as an AND scan unit: intersect, scores add 1
-        QueryExec.run(reader, q, p.matchColumns.headOption).toDF("docId", "_score")
+        QueryExec.run(reader, q, p.matchColumns.headOption,
+            p.matchEscalationThreshold).toDF("docId", "_score")
           .join(docs.filter(f).select(col("docId")), "docId")
           .withColumn("_score", col("_score") + 1.0)
       case (None, None) =>

@@ -17,16 +17,25 @@ object QueryExec {
   import QueryParser._
 
   def run(reader: IndexReader, q: String,
-      matchColumn: Option[String] = None): Dataset[ScoredDoc] = {
+      matchColumn: Option[String] = None,
+      escalationThreshold: Long = -1L): Dataset[ScoredDoc] = {
     val parsed = QueryParser.parse(q)
-    eval(reader, parsed.root, matchColumn)
+    val esc = parsed.escalationThreshold.getOrElse(escalationThreshold)
+    eval(reader, parsed.root, matchColumn, esc, escalating = true)
   }
 
   def eval(reader: IndexReader, node: Node,
-      matchColumn: Option[String] = None): Dataset[ScoredDoc] = {
+      matchColumn: Option[String] = None,
+      esc: Long = -1L,
+      escalating: Boolean = false): Dataset[ScoredDoc] = {
     val spark = reader.spark
     import spark.implicits._
     node match {
+      // escalation fires only for OR-merged scan units (reference
+      // grn_ii_sel guards on op == GRN_OP_OR) — the first clause and both
+      // sides of an OR; never the right side of AND/AND_NOT/ADJUST
+      case Match(text, _) if escalating && esc >= 0 =>
+        Engine.matchScoresEscalating(reader, text, esc)
       case Match(text, _) => Engine.matchScores(reader, text)
       case Prefix(p) => Engine.prefixSearch(reader, p)
       case Near(text, maxInterval) =>
@@ -62,14 +71,18 @@ object QueryExec {
         d.filter(pred).select(col("docId").as("docId"), lit(1.0).as("score"))
           .as[ScoredDoc]
       case And(l, r) =>
-        Engine.SetOps.and(eval(reader, l, matchColumn), eval(reader, r, matchColumn))
+        Engine.SetOps.and(eval(reader, l, matchColumn, esc, escalating),
+          eval(reader, r, matchColumn, esc, escalating = false))
       case Or(l, r) =>
-        Engine.SetOps.or(eval(reader, l, matchColumn), eval(reader, r, matchColumn))
+        Engine.SetOps.or(eval(reader, l, matchColumn, esc, escalating),
+          eval(reader, r, matchColumn, esc, escalating))
       case AndNot(l, r) =>
-        Engine.SetOps.andNot(eval(reader, l, matchColumn), eval(reader, r, matchColumn))
+        Engine.SetOps.andNot(eval(reader, l, matchColumn, esc, escalating),
+          eval(reader, r, matchColumn, esc, escalating = false))
       case Adjust(l, r, w) =>
-        val rs = eval(reader, r, matchColumn).map(s => ScoredDoc(s.docId, s.score * w))
-        Engine.SetOps.adjust(eval(reader, l, matchColumn), rs)
+        val rs = eval(reader, r, matchColumn, esc, escalating = false)
+          .map(s => ScoredDoc(s.docId, s.score * w))
+        Engine.SetOps.adjust(eval(reader, l, matchColumn, esc, escalating), rs)
     }
   }
 }

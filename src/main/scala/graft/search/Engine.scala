@@ -91,6 +91,39 @@ object Engine {
     topK(perShard, k)
   }
 
+  /** Match with escalation (reference grn_ii_sel, lib/ii.c:7212-7233):
+    * after EXACT, if the hit count is <= threshold, retry UNSPLIT (the
+    * whole normalized query as one prefix-expanded key) and then PARTIAL
+    * (per-token prefix expansion, AND-folded), each time ADDing into the
+    * result set (op OR semantics). The reference escalates by default at
+    * threshold 0; here escalation is opt-in (threshold >= 0) because each
+    * stage costs a count job — the `*E` pragma / select param enables it.
+    * PARTIAL divergence: the reference keeps phrase alignment across the
+    * expanded cursor heaps; we fold expanded token sets conjunctively with
+    * presence scores.
+    */
+  def matchScoresEscalating(
+      reader: IndexReader,
+      text: String,
+      threshold: Long,
+      weight: Double = 1.0
+  ): Dataset[ScoredDoc] = {
+    val exact = matchScores(reader, text, PhraseMatch, weight)
+    if (threshold < 0) return exact
+    if (exact.count() > threshold) return exact
+    val tokenizer = graft.analysis.Tokenizers.byName(reader.manifest.tokenizerName)
+    val wholeKey = tokenizer.normalizer(text).text
+    val withUnsplit = SetOps.or(exact, prefixSearch(reader, wholeKey))
+    if (withUnsplit.count() > threshold) return withUnsplit
+    val toks = Searcher.queryTokens(reader, text).map(_.term).distinct
+    val partial = toks.map { t =>
+      val spark = reader.spark
+      import spark.implicits._
+      prefixSearch(reader, t).map(s => ScoredDoc(s.docId, 1.0))
+    }.reduceOption((a, b) => SetOps.and(a, b))
+    partial.map(p => SetOps.or(withUnsplit, p)).getOrElse(withUnsplit)
+  }
+
   /** Batched top-k BM25: evaluates a whole query workload in ONE Spark job —
     * a single term-pruned segments scan serves every query, each shard
     * evaluates all queries locally, and a final tiny shuffle (≤ queries ×

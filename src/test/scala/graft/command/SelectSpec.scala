@@ -80,6 +80,26 @@ class SelectSpec extends AnyFunSuite {
     assert(dd == Seq(("f", 2L, 60L), ("g", 1L, 30L)))
   }
 
+  test("match escalation: 0-hit exact escalates to prefix expansion") {
+    // "appl" is not a token; exact yields 0; UNSPLIT prefix-expands the
+    // whole key against the lexicon -> apple docs (reference grn_ii_sel
+    // escalation, lib/ii.c:7212)
+    assert(hits(SelectParams(query = Some("appl"),
+      outputColumns = Seq("_id", "_score"))).isEmpty)
+    val esc = hits(SelectParams(query = Some("appl"),
+      matchEscalationThreshold = 0L,
+      outputColumns = Seq("_id", "_score")))
+    assert(esc.map(_._1) == Seq(0L, 2L, 4L))
+    // *E pragma enables it per-query
+    val viaPragma = hits(SelectParams(query = Some("*E0 appl"),
+      outputColumns = Seq("_id", "_score")))
+    assert(viaPragma.map(_._1) == Seq(0L, 2L, 4L))
+    // AND right side never escalates
+    assert(hits(SelectParams(query = Some("banana +appl"),
+      matchEscalationThreshold = 0L,
+      outputColumns = Seq("_id", "_score"))).isEmpty)
+  }
+
   test("prefix search via trailing star") {
     // terms starting with 'd': date (docs 2,3)
     assert(hits(SelectParams(query = Some("d*"),
