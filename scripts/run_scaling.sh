@@ -16,12 +16,12 @@ mkdir -p $OUT
 # un-throttled capability at each parallelism level.
 for CPUS in 8 32; do
   for REP in 1 2; do
-    rm -rf /tmp/graft-bench-build-$CPUS
+    rm -rf /tmp/graft-bench-build-$CPUS /dev/shm/graft-bench-build-$CPUS /dev/shm/graft-spark-local
     echo "== local[$CPUS], N=$N files, rep $REP =="
     SPARK_DRIVER_MEM=${SPARK_DRIVER_MEM:-48g} \
       SPARK_GRAFT_SCALING_MODE=1 SPARK_GRAFT_BUILD_N=$N SPARK_GRAFT_CPUS=$CPUS \
       SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
-      sbt -batch "runMain graft.Bench" 2>/dev/null | grep -o '{"metric".*}' \
+      ./scripts/bench_java.sh 2>/dev/null | grep -o '{"metric".*}' \
       > $OUT/bench_cpus${CPUS}_r$REP.json
     cat $OUT/bench_cpus${CPUS}_r$REP.json
   done

@@ -30,10 +30,12 @@ final class Normalized(
     val cps: Array[Int],
     val types: Array[Byte],
     val blanks: Array[Boolean],
-    val offsets: Array[Int]
+    val offsets: Array[Int],
+    val length: Int
 ) {
-  def length: Int = cps.length
-  def text: String = new String(cps, 0, cps.length)
+  def this(cps: Array[Int], types: Array[Byte], blanks: Array[Boolean], offsets: Array[Int]) =
+    this(cps, types, blanks, offsets, cps.length)
+  def text: String = new String(cps, 0, length)
   def slice(from: Int, until: Int): String = new String(cps, from, until - from)
 }
 
@@ -72,49 +74,71 @@ object Normalizer {
     if (n == s) null else n
   }
 
-  def auto(s: String): Normalized = {
+  /** Reusable normalization buffers — every emitted slot is written
+    * explicitly, so arrays need no zeroing between uses. One Scratch per
+    * thread of use (e.g. per DocCombiner); the Normalized returned by
+    * [[autoScratch]] is a VIEW over these arrays, valid until the next call
+    * with the same Scratch.
+    */
+  final class Scratch {
+    var cps = new Array[Int](256)
+    var types = new Array[Byte](256)
+    var blanks = new Array[Boolean](256)
+    var offsets = new Array[Int](256)
+    def ensure(needed: Int): Unit = {
+      if (needed > cps.length) {
+        val cap = math.max(cps.length * 2, needed)
+        cps = java.util.Arrays.copyOf(cps, cap)
+        types = java.util.Arrays.copyOf(types, cap)
+        blanks = java.util.Arrays.copyOf(blanks, cap)
+        offsets = java.util.Arrays.copyOf(offsets, cap)
+      }
+    }
+  }
+
+  def auto(s: String): Normalized = autoScratch(s, new Scratch)
+
+  /** Identity-comparable function value for [[auto]] — lets tokenizers
+    * recognize the standard normalizer and switch to the scratch path.
+    */
+  object AutoFn extends (String => Normalized) {
+    def apply(s: String): Normalized = auto(s)
+  }
+
+  /** [[auto]] into caller-owned buffers: no per-call array zero-fill, no
+    * trim copies — the memory-traffic discipline the build kernel needs to
+    * scale with cores (allocation bandwidth is the contended resource at
+    * high parallelism).
+    */
+  def autoScratch(s: String, scr: Scratch): Normalized = {
     val n = s.length
-    val cps = new Array[Int](n + 8)
-    val types = new Array[Byte](n + 8)
-    val blanks = new Array[Boolean](n + 8)
-    val offsets = new Array[Int](n + 8)
+    scr.ensure(n + 8)
     var out = 0
     var i = 0 // char (UTF-16) index
     var cpIdx = 0 // codepoint index in original
 
-    var bufCps = cps; var bufTypes = types; var bufBlanks = blanks; var bufOffs = offsets
-    def ensure(extra: Int): Unit = {
-      if (out + extra > bufCps.length) {
-        val cap = math.max(bufCps.length * 2, out + extra)
-        bufCps = java.util.Arrays.copyOf(bufCps, cap)
-        bufTypes = java.util.Arrays.copyOf(bufTypes, cap)
-        bufBlanks = java.util.Arrays.copyOf(bufBlanks, cap)
-        bufOffs = java.util.Arrays.copyOf(bufOffs, cap)
-      }
-    }
-
     while (i < n) {
       val cp = s.codePointAt(i)
       if (isBlank(cp)) {
-        if (out > 0) bufBlanks(out - 1) = true
+        if (out > 0) scr.blanks(out - 1) = true
       } else {
         val mapped = nfkcOne(cp)
         if (mapped == null) {
           val lc = Character.toLowerCase(cp)
-          ensure(1)
-          bufCps(out) = lc; bufTypes(out) = classify(lc)
-          bufBlanks(out) = false; bufOffs(out) = cpIdx
+          scr.ensure(out + 1)
+          scr.cps(out) = lc; scr.types(out) = classify(lc)
+          scr.blanks(out) = false; scr.offsets(out) = cpIdx
           out += 1
         } else {
           var j = 0
           while (j < mapped.length) {
             val mcp = mapped.codePointAt(j)
-            if (isBlank(mcp)) { if (out > 0) bufBlanks(out - 1) = true }
+            if (isBlank(mcp)) { if (out > 0) scr.blanks(out - 1) = true }
             else {
               val lc = Character.toLowerCase(mcp)
-              ensure(1)
-              bufCps(out) = lc; bufTypes(out) = classify(lc)
-              bufBlanks(out) = false; bufOffs(out) = cpIdx
+              scr.ensure(out + 1)
+              scr.cps(out) = lc; scr.types(out) = classify(lc)
+              scr.blanks(out) = false; scr.offsets(out) = cpIdx
               out += 1
             }
             j += Character.charCount(mcp)
@@ -124,12 +148,7 @@ object Normalizer {
       i += Character.charCount(cp)
       cpIdx += 1
     }
-    new Normalized(
-      java.util.Arrays.copyOf(bufCps, out),
-      java.util.Arrays.copyOf(bufTypes, out),
-      java.util.Arrays.copyOf(bufBlanks, out),
-      java.util.Arrays.copyOf(bufOffs, out)
-    )
+    new Normalized(scr.cps, scr.types, scr.blanks, scr.offsets, out)
   }
 
   /** Raw mode = lexicon without a normalizer, n-gram flavor: the reference's

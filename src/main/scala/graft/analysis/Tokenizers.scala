@@ -32,11 +32,35 @@ private object TokenStatus {
   val Last = 8
 }
 
+/** Allocation-free receiver for Add-mode (index-build) tokenization: span
+  * tokenizers call [[acceptSpan]] with codepoint bounds into the Normalized
+  * they were given; term-rewriting chains (stemming) call [[acceptTerm]].
+  */
+trait AddSink {
+  def acceptSpan(start: Int, endEx: Int, pos: Int): Unit
+  def acceptTerm(term: String, pos: Int): Unit
+}
+
 trait GTokenizer extends Serializable {
   def normalizer: String => Normalized
   def tokenize(s: String, mode: TokenizeMode): Vector[Token] =
     tokenizeNormalized(normalizer(s), mode)
   def tokenizeNormalized(n: Normalized, mode: TokenizeMode): Vector[Token]
+
+  /** Add-mode tokenize without per-token allocation — the index-build hot
+    * path. Default falls back to the Token path (used by filter chains whose
+    * terms are rewritten strings, not spans).
+    */
+  def tokenizeAddNormalized(nz: Normalized, sink: AddSink): Unit =
+    tokenizeNormalized(nz, TokenizeMode.Add).foreach(t => sink.acceptTerm(t.term, t.pos))
+
+  /** Normalize via caller-owned scratch buffers when the tokenizer uses the
+    * standard auto normalizer (zero per-doc array churn); falls back to the
+    * allocating normalizer otherwise.
+    */
+  def normalizeWith(s: String, scr: Normalizer.Scratch): Normalized =
+    if (normalizer eq Normalizer.AutoFn) Normalizer.autoScratch(s, scr)
+    else normalizer(s)
 }
 
 /** Character n-gram tokenizer with uni-run grouping — a re-expression of
@@ -68,8 +92,24 @@ final class NgramTokenizer(
   import TokenStatus._
 
   def tokenizeNormalized(nz: Normalized, mode: TokenizeMode): Vector[Token] = {
-    val e = nz.length
     val out = Vector.newBuilder[Token]
+    val e = nz.length
+    emitTokens(nz, mode) { (p, r, posCtr, forcePrefix) =>
+      out += Token(nz.slice(p, r), posCtr,
+        forcePrefix && mode == TokenizeMode.Get,
+        nz.offsets(p), if (r - 1 < e) nz.offsets(r - 1) + 1 else nz.offsets(e - 1) + 1)
+    }
+    out.result()
+  }
+
+  override def tokenizeAddNormalized(nz: Normalized, sink: AddSink): Unit =
+    emitTokens(nz, TokenizeMode.Add)((p, r, pos, _) => sink.acceptSpan(p, r, pos))
+
+  /** Core cursor loop shared by the Token and the allocation-free paths;
+    * `f(start, endEx, pos, forcePrefix)` per emitted token.
+    */
+  private def emitTokens(nz: Normalized, mode: TokenizeMode)(f: (Int, Int, Int, Boolean) => Unit): Unit = {
+    val e = nz.length
     var nextIdx = 0
     var posCtr = -1 // token_cursor->pos starts at -1
     var overlap = false
@@ -140,16 +180,11 @@ final class NgramTokenizer(
             if (mode == TokenizeMode.Get) emit = false // skip, pos consumed
           } else if ((status & ReachEnd) != 0) forcePrefix = true
         }
-        if (emit) {
-          out += Token(nz.slice(p, r), posCtr,
-            forcePrefix && mode == TokenizeMode.Get,
-            nz.offsets(p), if (r - 1 < e) nz.offsets(r - 1) + 1 else nz.offsets(e - 1) + 1)
-        }
+        if (emit) f(p, r, posCtr, forcePrefix)
         if ((status & Last) != 0) done = true
         else if (mode == TokenizeMode.Get && (status & ReachEnd) != 0) done = true
       }
     }
-    out.result()
   }
 }
 
@@ -159,8 +194,19 @@ final class NgramTokenizer(
   */
 final class DelimitTokenizer(val normalizer: String => Normalized) extends GTokenizer {
   def tokenizeNormalized(nz: Normalized, mode: TokenizeMode): Vector[Token] = {
-    val e = nz.length
     val out = Vector.newBuilder[Token]
+    emitTokens(nz) { (i, end, pos) =>
+      out += Token(nz.slice(i, end), pos, forcePrefix = false,
+        nz.offsets(i), nz.offsets(end - 1) + 1)
+    }
+    out.result()
+  }
+
+  override def tokenizeAddNormalized(nz: Normalized, sink: AddSink): Unit =
+    emitTokens(nz)((i, end, pos) => sink.acceptSpan(i, end, pos))
+
+  private def emitTokens(nz: Normalized)(f: (Int, Int, Int) => Unit): Unit = {
+    val e = nz.length
     var i = 0
     var pos = 0
     while (i < e) {
@@ -171,18 +217,16 @@ final class DelimitTokenizer(val normalizer: String => Normalized) extends GToke
         else j += 1
       }
       val end = if (stop) j else e
-      out += Token(nz.slice(i, end), pos, forcePrefix = false,
-        nz.offsets(i), nz.offsets(end - 1) + 1)
+      f(i, end, pos)
       pos += 1
       i = end
     }
-    out.result()
   }
 }
 
 /** Registry mirroring reference lib/tokenizers.c:798-843. */
 object Tokenizers {
-  private def auto = (s: String) => Normalizer.auto(s)
+  private def auto: String => Normalized = Normalizer.AutoFn
 
   lazy val TokenBigram = new NgramTokenizer(2, true, true, true, false, auto)
   lazy val TokenUnigram = new NgramTokenizer(1, true, true, true, false, auto)

@@ -124,7 +124,9 @@ object IndexBuilder {
     Files.createDirectories(base)
 
     def stageDone(name: String): Boolean = Files.exists(base.resolve(s"_stage_$name.done"))
-    def markDone(name: String): Unit = Files.writeString(base.resolve(s"_stage_$name.done"), "ok")
+    def markDone(name: String, payload: String = "ok"): Unit =
+      Files.writeString(base.resolve(s"_stage_$name.done"), payload)
+    def stagePayload(name: String): String = Files.readString(base.resolve(s"_stage_$name.done"))
     var tLast = System.nanoTime()
     def lap(what: String): Unit = {
       val t = System.nanoTime()
@@ -140,72 +142,86 @@ object IndexBuilder {
     // docId mod nShards: needs no corpus count (single pass over the input)
     // and round-robins docs across shards, so shard sizes stay balanced
     // whatever the docId distribution.
+    // numDocs and the sha digest are accumulated during this same pass (and
+    // recorded in the stage marker for resume) — the manifest step never
+    // re-reads the docs table.
     if (!stageDone("docs")) {
       val shaUdf = udf { (content: String) => Sha256.hex(content) }
+      // Observation = exactly-once aggregates piggybacked on the write job
+      // (immune to task retries, unlike accumulator-in-UDF counting)
+      val obs = org.apache.spark.sql.Observation("docStats")
       docsIn
         .withColumn("sha256", shaUdf(col("content")))
         .withColumn("shard", pmod(col("docId"), lit(cfg.nShards)).cast("int"))
+        .observe(obs,
+          count(lit(1)).as("n"),
+          sum(conv(substring(col("sha256"), 1, 8), 16, 10).cast("long")).as("shaSum"))
         .write.mode(SaveMode.Overwrite).parquet(s"$dir/docs")
-      markDone("docs")
+      val m = obs.get
+      markDone("docs", s"${m("n")} ${m("shaSum")}")
       lap("stage docs")
     }
+    val Array(numDocs, shaSum) = stagePayload("docs").split(" ").map(_.toLong)
     val docs = spark.read.parquet(s"$dir/docs")
 
-    // ---- stage 2+3: postings shuffle + encode, norms --------------------
-    if (!stageDone("segments")) {
+    // ---- stages 2-4: lexicon, norms, segments — all fed by one tokenize --
+    if (!stageDone("segments") || !stageDone("lexicon") || !stageDone("norms")) {
       val tokName = tokenizerName
       val withPos = cfg.withPositions
       // phase 1: tokenize + per-document combine (map-side: one posting row
-      // per (term, doc) — no (term, doc, pos) explosion through the shuffle)
+      // per (term, doc) — no (term, doc, pos) explosion through the shuffle).
+      // DocCombiner is the fused zero-allocation kernel, reused across the
+      // partition's docs — keeps this stage compute-bound so it scales with
+      // cores, not memory bandwidth.
       val postings: DataFrame = docs.select("docId", "content").as[(Long, String)]
-        .flatMap { case (docId, content) =>
-          val toks = Tokenizers.byName(tokName).tokenize(content, TokenizeMode.Add)
-          val acc = new java.util.HashMap[String, scala.collection.mutable.ArrayBuffer[Int]]()
-          toks.foreach { t =>
-            var buf = acc.get(t.term)
-            if (buf == null) { buf = new scala.collection.mutable.ArrayBuffer[Int](4); acc.put(t.term, buf) }
-            buf += t.pos
+        .mapPartitions { iter =>
+          val tok = Tokenizers.byName(tokName)
+          val comb = new DocCombiner(withPos)
+          iter.flatMap { case (docId, content) =>
+            DocCombiner.docPostings(tok, comb, docId, content)
           }
-          val out = new Array[(String, Long, Int, Array[Int])](acc.size)
-          var i = 0
-          val it = acc.entrySet().iterator()
-          while (it.hasNext) {
-            val e = it.next()
-            out(i) = (e.getKey, docId, e.getValue.length, if (withPos) e.getValue.toArray else Array.emptyIntArray)
-            i += 1
-          }
-          out
         }
         .toDF("term", "docId", "tf", "positions")
-        // tokenize once, feed three consumers (hot-term sample, norms agg,
+        // tokenize once, feed three consumers (lexicon agg, norms agg,
         // segment shuffle) from the materialized postings
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
 
+      // lexicon: EXACT global (df, cf) per term in one partial-agg shuffle
+      // (map-side combine ships one row per distinct term per partition —
+      // zipf makes that tiny next to the postings). Hot terms for salting
+      // fall out of the same result: no sampling pre-pass, no separate
+      // post-hoc lexicon job.
+      if (!stageDone("lexicon")) {
+        postings.groupBy("term")
+          .agg(count(lit(1)).as("df"), sum("tf").as("cf"))
+          .write.mode(SaveMode.Overwrite).parquet(s"$dir/lexicon")
+        markDone("lexicon")
+        lap("stage lexicon")
+      }
+      val lex = spark.read.parquet(s"$dir/lexicon")
+      val hotTerms: Array[String] =
+        lex.filter(col("df") >= cfg.hotTermDf).select("term").as[String].collect().sorted
+      Files.writeString(base.resolve("_hot_terms"), hotTerms.mkString("\n"))
+      lap("hot terms from lexicon")
+
       // norms sidecar: doclen = sum of tf over the doc's terms — per-shard
       // varint blob co-read with the shard's postings at query time
-      postings
-        .withColumn("shard", pmod(col("docId"), lit(cfg.nShards)).cast("int"))
-        .groupBy("shard", "docId")
-        .agg(sum("tf").cast("int").as("doclen"))
-        .as[(Int, Long, Int)]
-        .groupByKey(_._1)
-        .mapGroups { (shard, it) =>
-          val arr = it.map(t => (t._2, t._3)).toArray.sortBy(_._1)
-          (shard, graft.codec.Norms.encode(arr.iterator))
-        }
-        .toDF("shard", "norms")
-        .write.mode(SaveMode.Overwrite).parquet(s"$dir/norms")
-      markDone("norms")
-      lap("stage norms")
-
-      // pre-pass: estimate per-term df from a sample to pick hot terms
-      val estDf = postings.sample(withReplacement = false, cfg.sampleFraction, cfg.seed)
-        .groupBy("term").count()
-        .withColumn("estDf", (col("count") / lit(cfg.sampleFraction)).cast("long"))
-      val hotTerms: Array[String] =
-        estDf.filter(col("estDf") >= cfg.hotTermDf).select("term").as[String].collect().sorted
-      Files.writeString(base.resolve("_hot_terms"), hotTerms.mkString("\n"))
-      lap("stage hot-term sample")
+      if (!stageDone("norms")) {
+        postings
+          .withColumn("shard", pmod(col("docId"), lit(cfg.nShards)).cast("int"))
+          .groupBy("shard", "docId")
+          .agg(sum("tf").cast("int").as("doclen"))
+          .as[(Int, Long, Int)]
+          .groupByKey(_._1)
+          .mapGroups { (shard, it) =>
+            val arr = it.map(t => (t._2, t._3)).toArray.sortBy(_._1)
+            (shard, graft.codec.Norms.encode(arr.iterator))
+          }
+          .toDF("shard", "norms")
+          .write.mode(SaveMode.Overwrite).parquet(s"$dir/norms")
+        markDone("norms")
+        lap("stage norms")
+      }
       val hotB = spark.sparkContext.broadcast(hotTerms.toSet)
 
       val nSalts = cfg.nSalts
@@ -288,34 +304,17 @@ object IndexBuilder {
       markDone("segments")
     }
 
-    // ---- stage 5: lexicon (term dictionary with global df/cf) -----------
-    if (!stageDone("lexicon")) {
-      spark.read.parquet(s"$dir/segments")
-        .groupBy("term")
-        .agg(sum("df").as("df"), sum("cf").as("cf"))
-        .write.mode(SaveMode.Overwrite).parquet(s"$dir/lexicon")
-      markDone("lexicon")
-      lap("stage lexicon")
-    }
-
-    // ---- stage 6: manifest ----------------------------------------------
-    val stats = docs.agg(
-      count(lit(1)).as("n"),
-      // content sha256 invariant digest: order-independent sum of 8-hex-char
-      // prefixes — cheap to recompute after any stage
-      sum(conv(substring(col("sha256"), 1, 8), 16, 10).cast("long")).as("shaSum")
-    ).collect()(0)
-    val tokStats = spark.read.parquet(s"$dir/norms").as[(Int, Array[Byte])]
-      .map { case (_, blob) =>
-        val lk = graft.codec.Norms.decode(blob)
-        (lk.size.toLong, lk.lens.map(_.toLong).sum)
-      }.toDF("nd", "toks").agg(sum("toks")).collect()(0)
+    // ---- manifest ---------------------------------------------------------
+    // All stats were captured during the build passes: numDocs + sha digest
+    // from the docs-stage Observation (stage marker), totalTokens = Σcf over
+    // the lexicon (tiny df/cf table; one cheap agg) — no re-read of docs,
+    // norms, or segments.
+    val tokStats = spark.read.parquet(s"$dir/lexicon").agg(sum("cf")).collect()(0)
     val totalTokens = if (tokStats.isNullAt(0)) 0L else tokStats.getLong(0)
     val hotTerms: Array[String] = {
       val p = base.resolve("_hot_terms")
       if (Files.exists(p)) Files.readString(p).split("\n").filter(_.nonEmpty) else Array.empty
     }
-    val numDocs = stats.getLong(0)
     val manifest = IndexManifest(
       numDocs = numDocs,
       avgDoclen = if (numDocs == 0) 0.0 else totalTokens.toDouble / numDocs,
@@ -324,9 +323,9 @@ object IndexBuilder {
       withPositions = cfg.withPositions,
       nShards = cfg.nShards,
       nSalts = cfg.nSalts,
-      contentShaXor = stats.getLong(1),
+      contentShaXor = shaSum,
       hotTerms = hotTerms,
-      stagesDone = Seq("docs", "segments", "norms", "lexicon")
+      stagesDone = Seq("docs", "lexicon", "norms", "segments")
     )
     lap("stage manifest stats")
     Files.writeString(base.resolve("manifest.json"), IndexManifest.toJson(manifest))

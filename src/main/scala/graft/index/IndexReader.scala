@@ -29,6 +29,22 @@ class IndexReader(val spark: SparkSession, val dir: String) extends Serializable
     segments.filter(col("term").isin(terms.distinct: _*))
   }
 
+  /** Serving mode: pin the segments relation in executor memory — the Spark
+    * analogue of Groonga's always-mmap'd index files (reference lib/io.c).
+    * Repeated queries then scan the in-memory columnar cache instead of
+    * re-reading parquet; on a cluster the cache is partitioned across
+    * executors. Call once before a query workload; returns this.
+    */
+  def cacheForServing(): this.type = {
+    segments.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    segments.count(): Unit // materialize
+    normsBroadcast // ship norms once
+    lexiconWarm()
+    this
+  }
+
+  private def lexiconWarm(): Unit = { lexiconMap.size: Unit }
+
   lazy val docs: DataFrame = spark.read.parquet(s"$dir/docs")
 
   /** Per-shard doclen sidecar rows: (shard, varint blob). */

@@ -99,18 +99,22 @@ object TermCursor {
     * Salted (hot) sub-lists interleave docIds, so they are merged and
     * re-blocked — block skip metadata stays exact.
     */
-  def fromRows(rows: Seq[SegmentRow], withPos: Boolean, termIdx: Int, idfWeight: Double, bm25: Bm25): TermCursor = {
-    val blocks: Array[PostingBlock] =
-      if (rows.size == 1) rows.head.blocks.map(_.toBlock).toArray
-      else {
-        val merged = rows.iterator
-          .flatMap(r => PostingCodec.decode(r.blocks.map(_.toBlock), withPos))
-          .toArray.sortBy(_.docId)
-        val (bs, _, _) = PostingCodec.encode(merged.iterator, withPos)
-        bs.toArray
-      }
-    new TermCursor(blocks, withPos, termIdx, idfWeight, bm25)
-  }
+  def fromRows(rows: Seq[SegmentRow], withPos: Boolean, termIdx: Int, idfWeight: Double, bm25: Bm25): TermCursor =
+    new TermCursor(mergedBlocks(rows, withPos), withPos, termIdx, idfWeight, bm25)
+
+  /** Merge a term's (possibly salted) segment rows into one rid-ascending
+    * block list. Hoist this per (shard, term) when serving a query batch —
+    * the decode+sort+re-encode of a hot term is paid once, not per query.
+    */
+  def mergedBlocks(rows: Seq[SegmentRow], withPos: Boolean): Array[PostingBlock] =
+    if (rows.size == 1) rows.head.blocks.map(_.toBlock).toArray
+    else {
+      val merged = rows.iterator
+        .flatMap(r => PostingCodec.decode(r.blocks.map(_.toBlock), withPos))
+        .toArray.sortBy(_.docId)
+      val (bs, _, _) = PostingCodec.encode(merged.iterator, withPos)
+      bs.toArray
+    }
 }
 
 /** Disjunctive top-k BM25 over one shard: exhaustive term-at-a-time (the

@@ -163,12 +163,16 @@ object Engine {
     val kLocal = k
     val perShard = reader.segmentsFor(allTerms).groupByKey(_.shard)
       .flatMapGroups { (shard, segIt) =>
-        val byTerm: Map[String, Seq[SegmentRow]] = segIt.toSeq.groupBy(_.term)
+        // merge salted sub-lists ONCE per (shard, term) — shared by every
+        // query in the batch (hot terms are exactly the ones many queries hit)
+        val byTerm: Map[String, Array[graft.codec.PostingBlock]] =
+          segIt.toSeq.groupBy(_.term)
+            .map { case (t, rows) => t -> TermCursor.mergedBlocks(rows, withPos) }
         val lookup = Norms.decode(normsB.value(shard))
         plansB.value.iterator.flatMap { case (qid, plan) =>
           val cursors = plan.toSeq.collect {
             case (t, (idx, idf)) if byTerm.contains(t) =>
-              TermCursor.fromRows(byTerm(t), withPos, idx, idf, bm25)
+              new TermCursor(byTerm(t), withPos, idx, idf, bm25)
           }.sortBy(_.termIdx)
           if (cursors.isEmpty) Iterator.empty
           else {
