@@ -179,6 +179,18 @@ object SparkEntry {
     "ft_prefix" -> ((s, d) =>
       scored(Engine.prefixSearch(DocIndex.reader(s, d), "b"))),
 
+    // index-assisted regexp: literal runs prefilter through the raw-bigram
+    // index, candidates verify with rlike (reference lib/ii.c:6502)
+    "ft_regexp" -> ((s, d) =>
+      scored(graft.search.RegexSearch.regexpSearch(
+          DocIndex.reader(s, d), Some(DocIndex.regexReader(s, d)), "sp.rk"))
+        .select("doc_id")),
+
+    // suffix search = reversed-term lexicon expansion + OR
+    // (reference lib/pat.c:1150 KEY_WITH_SIS)
+    "ft_suffix" -> ((s, d) =>
+      scored(Engine.suffixSearch(DocIndex.reader(s, d), "ing"))),
+
     // fuzzy search = Levenshtein lexicon expansion + OR
     // (reference lib/pat.c:1441)
     "ft_fuzzy" -> ((s, d) =>
@@ -248,6 +260,20 @@ object SparkEntry {
         .select(col("lang"), col("_nsubrecs"), col("_sum").cast("long").as("sum_chars"),
           col("_max").cast("long").as("max_chars"))
         .orderBy("lang")
+    }),
+
+    // multi-section match_columns: bare terms match BOTH the text and the
+    // source sections, source weighted *5, scores merged (reference
+    // lib/expr.c:6126-6193 weighted sections + res_add OR)
+    "sel_match_columns" -> ((s, d) => {
+      val res = graft.command.Select.run(DocIndex.sectionedReader(s, d),
+        graft.command.SelectParams(
+          query = Some("src3 OR spark"),
+          matchColumns = Seq("text", "source * 5"),
+          sortby = Seq("_id"), limit = 1000000,
+          outputColumns = Seq("_id", "_score")))
+      res.hits.select(col("_id").as("doc_id"),
+        col("_score").cast("long").as("score"))
     }),
 
     // column predicate inside query syntax: source:src3 + match
@@ -407,6 +433,15 @@ object SparkEntry {
         |WHERE len(list_filter(string_split(text, ' '), x -> x LIKE 'b%')) > 0
         |ORDER BY doc_id""".stripMargin,
 
+    "ft_regexp" ->
+      "SELECT doc_id FROM documents WHERE regexp_matches(text, 'sp.rk') ORDER BY doc_id",
+
+    "ft_suffix" ->
+      """SELECT doc_id, len(list_filter(string_split(text, ' '), x -> x LIKE '%ing')) AS score
+        |FROM documents
+        |WHERE len(list_filter(string_split(text, ' '), x -> x LIKE '%ing')) > 0
+        |ORDER BY doc_id""".stripMargin,
+
     "ft_fuzzy" ->
       s"""WITH $W,
          |vocab AS (SELECT DISTINCT w FROM words WHERE levenshtein(w, 'part') <= 1)
@@ -489,6 +524,18 @@ object SparkEntry {
          | max(d.n_chars) AS max_chars
          |FROM a JOIN documents d USING (doc_id) WHERE a.tf > 0
          |GROUP BY d.lang ORDER BY lang""".stripMargin,
+
+    "sel_match_columns" ->
+      s"""WITH a AS (SELECT doc_id,
+         |  len(list_filter(string_split(text, ' '), x -> x = 'src3'))
+         |    + 5 * (CASE WHEN source = 'src3' THEN 1 ELSE 0 END) AS sc
+         | FROM documents),
+         |b AS (SELECT doc_id,
+         |  len(list_filter(string_split(text, ' '), x -> x = 'spark'))
+         |    + 5 * (CASE WHEN source = 'spark' THEN 1 ELSE 0 END) AS sc
+         | FROM documents)
+         |SELECT a.doc_id, a.sc + b.sc AS score FROM a JOIN b USING (doc_id)
+         |WHERE a.sc > 0 OR b.sc > 0 ORDER BY doc_id""".stripMargin,
 
     "sel_colpred" ->
       s"""WITH a AS ${tfOf("spark")}

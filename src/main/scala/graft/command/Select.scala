@@ -66,23 +66,35 @@ object Select {
     if (k.startsWith("-")) desc(colOf(k.drop(1))) else asc(colOf(k.stripPrefix("+")))
   }
 
-  def run(reader: IndexReader, p: SelectParams): SelectResult = {
-    val spark = reader.spark
-    import spark.implicits._
+  def run(reader: IndexReader, p: SelectParams): SelectResult =
+    runWith(reader.liveDocs,
+      q => QueryExec.run(reader, q, p.matchColumns.headOption,
+        p.matchEscalationThreshold).toDF("docId", "_score"),
+      p)
 
+  /** Sectioned variant: bare query terms match every section of
+    * `p.matchColumns` (entries may carry weights, `"title * 10"`), scores
+    * weighted then merged — the full `--match_columns` semantics.
+    */
+  def run(sidx: graft.index.SectionedReader, p: SelectParams): SelectResult = {
+    val spec = graft.index.MatchColumnsSpec.parse(p.matchColumns.mkString(" || "))
+    runWith(sidx.primary.liveDocs,
+      q => QueryExec.runSectioned(sidx, q, spec,
+        p.matchEscalationThreshold).toDF("docId", "_score"),
+      p)
+  }
+
+  private def runWith(docs: DataFrame, queryEval: String => DataFrame, p: SelectParams): SelectResult = {
     // 1. result set: query (via index) AND filter (via Catalyst), like the
     // AND-combined condition of grn_select step 2 (proc_select.c:726-739)
-    val docs = reader.docs
     val scored: DataFrame = (p.query, p.filter) match {
       case (Some(q), None) =>
-        QueryExec.run(reader, q, p.matchColumns.headOption,
-          p.matchEscalationThreshold).toDF("docId", "_score")
+        queryEval(q)
       case (None, Some(f)) =>
         docs.filter(f).select(col("docId"), lit(1.0).as("_score"))
       case (Some(q), Some(f)) =>
         // filter applies as an AND scan unit: intersect, scores add 1
-        QueryExec.run(reader, q, p.matchColumns.headOption,
-            p.matchEscalationThreshold).toDF("docId", "_score")
+        queryEval(q)
           .join(docs.filter(f).select(col("docId")), "docId")
           .withColumn("_score", col("_score") + 1.0)
       case (None, None) =>

@@ -18,7 +18,7 @@ object DocIndex {
 
   def indexDir(sfDir: String): String = {
     val tag = sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
-    s"${sys.props("java.io.tmpdir")}/graft-docindex-v2/$tag"
+    s"${sys.props("java.io.tmpdir")}/graft-docindex-v3/$tag"
   }
 
   def reader(spark: SparkSession, sfDir: String): IndexReader = synchronized {
@@ -34,6 +34,51 @@ object DocIndex {
             hotTermDf = 1000000L))
       }
       new IndexReader(spark, dir)
+    })
+  }
+
+  private val rxCache = scala.collection.mutable.Map[String, IndexReader]()
+
+  /** Raw overlapping-bigram index over documents.text — the TokenRegexp
+    * analogue backing index-assisted regexp search (every 2-char substring
+    * is a term; reference lib/tokenizers.c:470 TokenRegexp).
+    */
+  def regexReader(spark: SparkSession, sfDir: String): IndexReader = synchronized {
+    rxCache.getOrElseUpdate(sfDir, {
+      val tag = sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
+      val dir = s"${sys.props("java.io.tmpdir")}/graft-docindex-rx-v1/$tag"
+      if (!Files.exists(Paths.get(dir, "manifest.json"))) {
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(col("doc_id").as("docId"), col("text").as("content"))
+        IndexBuilder.build(spark, docs, dir,
+          IndexConfig(tokenizerName = "TokenBigram:none", withPositions = true,
+            nShards = 8, buildPartitions = 16, nSalts = 4,
+            hotTermDf = 1000000L))
+      }
+      new IndexReader(spark, dir)
+    })
+  }
+
+  private val secCache = scala.collection.mutable.Map[String, SectionedReader]()
+
+  /** Sectioned variant: text + source each indexed as a section
+    * (match_columns multi-column queries).
+    */
+  def sectionedReader(spark: SparkSession, sfDir: String): SectionedReader = synchronized {
+    secCache.getOrElseUpdate(sfDir, {
+      val tag = sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
+      val dir = s"${sys.props("java.io.tmpdir")}/graft-docindex-sec-v1/$tag"
+      if (!Files.exists(Paths.get(dir, "_sections"))) {
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(col("doc_id").as("docId"), col("text"),
+            col("lang"), col("source"), col("n_chars"))
+        SectionedIndex.build(spark, docs, dir,
+          IndexConfig(tokenizerName = "TokenDelimit", withPositions = true,
+            nShards = 8, buildPartitions = 16, nSalts = 4,
+            hotTermDf = 1000000L),
+          sections = Seq("text", "source"))
+      }
+      SectionedIndex.open(spark, dir)
     })
   }
 }

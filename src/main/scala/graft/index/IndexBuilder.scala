@@ -194,6 +194,10 @@ object IndexBuilder {
       if (!stageDone("lexicon")) {
         postings.groupBy("term")
           .agg(count(lit(1)).as("df"), sum("tf").as("cf"))
+          // rev = reversed term: suffix search becomes a prefix predicate on
+          // rev (the reference's KEY_WITH_SIS reversed-key trick,
+          // lib/pat.c:1150, as a sargable column)
+          .withColumn("rev", reverse(col("term")))
           .write.mode(SaveMode.Overwrite).parquet(s"$dir/lexicon")
         markDone("lexicon")
         lap("stage lexicon")

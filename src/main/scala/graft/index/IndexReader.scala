@@ -47,6 +47,11 @@ class IndexReader(val spark: SparkSession, val dir: String) extends Serializable
 
   lazy val docs: DataFrame = spark.read.parquet(s"$dir/docs")
 
+  /** Docs minus tombstones — what scan-based query paths see. */
+  def liveDocs: DataFrame =
+    if (deletedIds.isEmpty) docs
+    else docs.join(Deletes.deletedIdsDf(spark, dir), Seq("docId"), "left_anti")
+
   /** Per-shard doclen sidecar rows: (shard, varint blob). */
   lazy val norms: Dataset[(Int, Array[Byte])] = {
     import spark.implicits._
@@ -65,6 +70,42 @@ class IndexReader(val spark: SparkSession, val dir: String) extends Serializable
   }
 
   lazy val lexicon: DataFrame = spark.read.parquet(s"$dir/lexicon")
+
+  // ---- tombstones (Deletes.delete) --------------------------------------
+  @volatile private var deletedCache: Option[scala.collection.immutable.Set[Long]] = None
+
+  /** Tombstoned docIds (empty set when none). Cached per reader; call
+    * [[invalidateDeletes]] after Deletes.delete on the same reader.
+    */
+  def deletedIds: Set[Long] = {
+    deletedCache match {
+      case Some(s) => s
+      case None =>
+        val s: Set[Long] =
+          if (java.nio.file.Files.exists(Paths.get(dir, "deletes"))) {
+            import spark.implicits._
+            spark.read.parquet(s"$dir/deletes").select("docId").as[Long]
+              .collect().toSet
+          } else Set.empty[Long]
+        deletedCache = Some(s)
+        s
+    }
+  }
+
+  def invalidateDeletes(): Unit = { deletedCache = None; deletedBCache = None }
+
+  @volatile private var deletedBCache: Option[org.apache.spark.broadcast.Broadcast[Set[Long]]] = None
+
+  /** Broadcast tombstone set for executor-side filtering. */
+  def deletedBroadcast: org.apache.spark.broadcast.Broadcast[Set[Long]] = {
+    deletedBCache match {
+      case Some(b) => b
+      case None =>
+        val b = spark.sparkContext.broadcast(deletedIds)
+        deletedBCache = Some(b)
+        b
+    }
+  }
 
   lazy val metrics: DataFrame = spark.read.parquet(s"$dir/metrics")
 
@@ -98,6 +139,19 @@ class IndexReader(val spark: SparkSession, val dir: String) extends Serializable
     import spark.implicits._
     lexicon.filter(col("term").startsWith(prefix))
       .select("term").as[String].orderBy("term").take(limit).toSeq
+  }
+
+  /** Lexicon terms ending with `suffix` — prefix predicate on the stored
+    * reversed-term column (reference KEY_WITH_SIS suffix search,
+    * lib/pat.c:1150). Falls back to endsWith for indexes built before the
+    * rev column existed.
+    */
+  def termsWithSuffix(suffix: String, limit: Int = 1000): Seq[String] = {
+    import spark.implicits._
+    val pred =
+      if (lexicon.columns.contains("rev")) col("rev").startsWith(suffix.reverse)
+      else col("term").endsWith(suffix)
+    lexicon.filter(pred).select("term").as[String].orderBy("term").take(limit).toSeq
   }
 
   /** Re-verify the per-row content digest invariant against the manifest

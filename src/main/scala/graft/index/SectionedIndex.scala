@@ -1,0 +1,94 @@
+package graft.index
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import java.nio.file.{Files, Paths}
+
+/** One weighted match target: `title * 10` of a
+  * `--match_columns "title * 10 || body"` spec (reference
+  * lib/proc/proc_select.c:686-698; weights applied lib/expr.c:6126-6193).
+  */
+final case class SectionWeight(column: String, weight: Double)
+
+object MatchColumnsSpec {
+  /** Parse `"a * 10 || b * 2 || c"` → sections with weights (default 1). */
+  def parse(s: String): Seq[SectionWeight] =
+    s.split("\\|\\|").toSeq.map(_.trim).filter(_.nonEmpty).map { part =>
+      part.split("\\*").map(_.trim) match {
+        case Array(c) => SectionWeight(c, 1.0)
+        case Array(c, w) => SectionWeight(c, w.toDouble)
+        case _ => throw new IllegalArgumentException(s"bad match_columns entry: $part")
+      }
+    }
+}
+
+/** Multi-section index — Groonga's `WITH_SECTION` (one inverted index over
+  * several source columns, postings carrying a section id — reference
+  * lib/grn_ii.h:39, groonga.h:322) re-expressed COLUMN-STORE-FIRST: each
+  * source column gets its own complete sub-index (its own postings, norms,
+  * lexicon), and a multi-column match is a weighted score-merge union across
+  * the per-column results (scores add, reference res_add lib/ii.c:6029 with
+  * get_weight lib/ii.c:6189).
+  *
+  * Why not one index with a sid stream: on a cluster, per-column sub-indexes
+  * build in independent jobs, prune independently (a `title`-only query
+  * never touches `body` postings — the column-pruning argument at 100 TB),
+  * and keep the posting codec single-purpose. Semantics are equivalent:
+  * phrases/NEAR never span sections in the reference either (positions are
+  * per (doc, section)).
+  */
+object SectionedIndex {
+
+  /** Build one sub-index per section column under `dir/sec_<col>`. The
+    * FIRST section's docs table keeps every metadata column of `docsIn`
+    * (it is the canonical docs table for select/filter/output); other
+    * sections store only (docId, content).
+    */
+  def build(
+      spark: SparkSession,
+      docsIn: DataFrame,
+      dir: String,
+      cfg: IndexConfig,
+      sections: Seq[String]
+  ): Map[String, IndexManifest] = {
+    require(sections.nonEmpty, "need at least one section column")
+    val out = sections.zipWithIndex.map { case (c, i) =>
+      val input =
+        if (i == 0) {
+          val others = docsIn.columns.filterNot(_ == "content").map(col)
+          docsIn.select(others.toSeq :+ col(c).as("content"): _*)
+        } else docsIn.select(col("docId"), col(c).as("content"))
+      c -> IndexBuilder.build(spark, input, s"$dir/sec_$c", cfg)
+    }.toMap
+    Files.createDirectories(Paths.get(dir))
+    Files.writeString(Paths.get(dir, "_sections"), sections.mkString("\n"))
+    out
+  }
+
+  def open(spark: SparkSession, dir: String): SectionedReader =
+    new SectionedReader(spark, dir)
+}
+
+/** Read handle over a sectioned index directory. */
+final class SectionedReader(val spark: SparkSession, val dir: String) extends Serializable {
+
+  val sectionNames: Seq[String] =
+    Files.readString(Paths.get(dir, "_sections")).split("\n").toSeq.filter(_.nonEmpty)
+
+  val readers: Map[String, IndexReader] =
+    sectionNames.map(c => c -> new IndexReader(spark, s"$dir/sec_$c")).toMap
+
+  /** The first section carries the canonical docs table (full metadata). */
+  def primary: IndexReader = readers(sectionNames.head)
+
+  def docs: DataFrame = primary.docs
+
+  /** Resolve a match_columns spec against this index's sections. */
+  def targets(spec: Seq[SectionWeight]): Seq[(IndexReader, Double)] =
+    spec.map { sw =>
+      val r = readers.getOrElse(sw.column,
+        throw new IllegalArgumentException(
+          s"no index section for column ${sw.column} (have: ${sectionNames.mkString(",")})"))
+      (r, sw.weight)
+    }
+}

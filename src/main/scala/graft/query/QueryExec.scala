@@ -1,57 +1,94 @@
 package graft.query
 
-import graft.index.IndexReader
-import graft.search.{Engine, NearMatch, PhraseMatch, ScoredDoc}
-import org.apache.spark.sql.{Dataset, DataFrame}
+import graft.index.{IndexReader, SectionedReader, SectionWeight}
+import graft.search.{Engine, MatchKind, NearMatch, PhraseMatch, ScoredDoc}
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Evaluate a parsed query AST to a scored result set, mirroring
   * grn_table_select's scan-unit evaluation (reference lib/expr.c:6283):
-  * match clauses resolve through the inverted index, column predicates
-  * filter the docs table (contributing score 1 per matched record, like a
-  * non-match scan unit), and boolean structure folds left-to-right through
-  * the set algebra (scores add on AND/OR collisions, reference
-  * lib/db.c:4195 + res_add lib/ii.c:6029).
+  * match clauses resolve through the inverted index (all match_columns
+  * sections, weighted, score-merged — reference lib/expr.c:6126-6193),
+  * column predicates filter the docs table (contributing score 1 per matched
+  * record, like a non-match scan unit), and boolean structure folds
+  * left-to-right through the set algebra (scores add on AND/OR collisions,
+  * reference lib/db.c:4195 + res_add lib/ii.c:6029).
   */
 object QueryExec {
   import QueryParser._
+
+  /** Match context: the docs table + the weighted match targets.
+    * Single-section queries have one target; `match_columns "a*10 || b"`
+    * queries have several, and a Match clause evaluates against each then
+    * OR-merges (scores add) — the reference's per-section weighted match.
+    */
+  final case class Ctx(
+      docs: DataFrame,
+      sections: Seq[(IndexReader, Double)],
+      byCol: Map[String, IndexReader]
+  )
+
+  object Ctx {
+    def single(reader: IndexReader, matchColumn: Option[String]): Ctx =
+      Ctx(reader.liveDocs, Seq(reader -> 1.0),
+        matchColumn.map(_ -> reader).toMap)
+
+    def sectioned(sidx: SectionedReader, spec: Seq[SectionWeight]): Ctx =
+      Ctx(sidx.primary.liveDocs, sidx.targets(spec),
+        sidx.sectionNames.map(c => c -> sidx.readers(c)).toMap)
+  }
 
   def run(reader: IndexReader, q: String,
       matchColumn: Option[String] = None,
       escalationThreshold: Long = -1L): Dataset[ScoredDoc] = {
     val parsed = QueryParser.parse(q)
     val esc = parsed.escalationThreshold.getOrElse(escalationThreshold)
-    eval(reader, parsed.root, matchColumn, esc, escalating = true)
+    eval(Ctx.single(reader, matchColumn), parsed.root, esc, escalating = true)
   }
 
-  def eval(reader: IndexReader, node: Node,
-      matchColumn: Option[String] = None,
-      esc: Long = -1L,
-      escalating: Boolean = false): Dataset[ScoredDoc] = {
-    val spark = reader.spark
+  def runSectioned(sidx: SectionedReader, q: String, spec: Seq[SectionWeight],
+      escalationThreshold: Long = -1L): Dataset[ScoredDoc] = {
+    val parsed = QueryParser.parse(q)
+    val esc = parsed.escalationThreshold.getOrElse(escalationThreshold)
+    eval(Ctx.sectioned(sidx, spec), parsed.root, esc, escalating = true)
+  }
+
+  /** Weighted score-merge across the ctx's sections (OR, scores add). */
+  private def acrossSections(ctx: Ctx)(f: (IndexReader, Double) => Dataset[ScoredDoc]): Dataset[ScoredDoc] =
+    ctx.sections.map { case (r, w) => f(r, w) }.reduce(Engine.SetOps.or)
+
+  def eval(ctx: Ctx, node: Node, esc: Long, escalating: Boolean): Dataset[ScoredDoc] = {
+    val spark = ctx.docs.sparkSession
     import spark.implicits._
     node match {
       // escalation fires only for OR-merged scan units (reference
       // grn_ii_sel guards on op == GRN_OP_OR) — the first clause and both
       // sides of an OR; never the right side of AND/AND_NOT/ADJUST
       case Match(text, _) if escalating && esc >= 0 =>
-        Engine.matchScoresEscalating(reader, text, esc)
-      case Match(text, _) => Engine.matchScores(reader, text)
-      case Prefix(p) => Engine.prefixSearch(reader, p)
+        acrossSections(ctx)((r, w) => Engine.matchScoresEscalating(r, text, esc, w))
+      case Match(text, _) =>
+        acrossSections(ctx)((r, w) => Engine.matchScores(r, text, PhraseMatch, w))
+      case Prefix(p) =>
+        acrossSections(ctx)((r, w) =>
+          Engine.prefixSearch(r, p).map(s => ScoredDoc(s.docId, s.score * w)))
       case Near(text, maxInterval) =>
-        Engine.matchScores(reader, text, kind = NearMatch(maxInterval))
+        acrossSections(ctx)((r, w) =>
+          Engine.matchScores(r, text, kind = NearMatch(maxInterval), weight = w))
       case Similar(text, threshold) =>
         // threshold <= 0 = "use default" (reference
         // DEFAULT_SIMILARITY_THRESHOLD 0); our default profile width is 5
-        Engine.similarSearch(reader, text, m = if (threshold > 0) threshold else 5)
-      // `col:@word` on the indexed match column routes through the index
+        acrossSections(ctx)((r, w) =>
+          Engine.similarSearch(r, text, m = if (threshold > 0) threshold else 5)
+            .map(s => ScoredDoc(s.docId, s.score * w)))
+      // `col:@word` on an indexed column routes through that column's index
       // (the selector-proc index-resolution of reference lib/expr.c:6018)
-      case ColPred(colName, "@", value) if matchColumn.contains(colName) =>
-        Engine.matchScores(reader, value)
-      case ColPred(colName, "^", value) if matchColumn.contains(colName) =>
-        Engine.prefixSearch(reader, value)
+      case ColPred(colName, "@", value) if ctx.byCol.contains(colName) =>
+        Engine.matchScores(ctx.byCol(colName), value)
+      case ColPred(colName, "^", value) if ctx.byCol.contains(colName) =>
+        Engine.prefixSearch(ctx.byCol(colName), value)
+      case ColPred(colName, "$", value) if ctx.byCol.contains(colName) =>
+        Engine.suffixSearch(ctx.byCol(colName), value)
       case ColPred(colName, op, value) =>
-        val d = reader.docs
         val c = col(colName)
         val pred = op match {
           case "" => c === value
@@ -68,21 +105,28 @@ object QueryExec {
           case "~" => c.rlike(value)
           case other => throw new IllegalArgumentException(s"unknown op $other")
         }
-        d.filter(pred).select(col("docId").as("docId"), lit(1.0).as("score"))
+        ctx.docs.filter(pred).select(col("docId").as("docId"), lit(1.0).as("score"))
           .as[ScoredDoc]
       case And(l, r) =>
-        Engine.SetOps.and(eval(reader, l, matchColumn, esc, escalating),
-          eval(reader, r, matchColumn, esc, escalating = false))
+        Engine.SetOps.and(eval(ctx, l, esc, escalating),
+          eval(ctx, r, esc, escalating = false))
       case Or(l, r) =>
-        Engine.SetOps.or(eval(reader, l, matchColumn, esc, escalating),
-          eval(reader, r, matchColumn, esc, escalating))
+        Engine.SetOps.or(eval(ctx, l, esc, escalating),
+          eval(ctx, r, esc, escalating))
       case AndNot(l, r) =>
-        Engine.SetOps.andNot(eval(reader, l, matchColumn, esc, escalating),
-          eval(reader, r, matchColumn, esc, escalating = false))
+        Engine.SetOps.andNot(eval(ctx, l, esc, escalating),
+          eval(ctx, r, esc, escalating = false))
       case Adjust(l, r, w) =>
-        val rs = eval(reader, r, matchColumn, esc, escalating = false)
+        val rs = eval(ctx, r, esc, escalating = false)
           .map(s => ScoredDoc(s.docId, s.score * w))
-        Engine.SetOps.adjust(eval(reader, l, matchColumn, esc, escalating), rs)
+        Engine.SetOps.adjust(eval(ctx, l, esc, escalating), rs)
     }
   }
+
+  /** Back-compat single-reader eval (used by tests). */
+  def eval(reader: IndexReader, node: Node,
+      matchColumn: Option[String] = None,
+      esc: Long = -1L,
+      escalating: Boolean = false): Dataset[ScoredDoc] =
+    eval(Ctx.single(reader, matchColumn), node, esc, escalating)
 }

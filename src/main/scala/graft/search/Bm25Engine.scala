@@ -141,16 +141,19 @@ object Bm25Shard {
       docLen: Long => Int,
       avgdl: Double,
       bm25: Bm25,
-      k: Int
+      k: Int,
+      deleted: Long => Boolean = _ => false
   ): Seq[ScoredDoc] = {
     // accumulate in termIdx order (cursors arrive sorted by termIdx)
     val acc = new java.util.HashMap[Long, java.lang.Double]()
     cursors.sortBy(_.termIdx).foreach { c =>
       while (!c.exhausted) {
         val d = c.curDoc
-        val s = c.idfWeight * bm25.tfNorm(c.curTf, docLen(d), avgdl)
-        val prev = acc.get(d)
-        acc.put(d, if (prev == null) s else prev + s)
+        if (!deleted(d)) {
+          val s = c.idfWeight * bm25.tfNorm(c.curTf, docLen(d), avgdl)
+          val prev = acc.get(d)
+          acc.put(d, if (prev == null) s else prev + s)
+        }
         c.next()
       }
     }
@@ -165,7 +168,8 @@ object Bm25Shard {
       docLen: Long => Int,
       avgdl: Double,
       bm25: Bm25,
-      k: Int
+      k: Int,
+      deleted: Long => Boolean = _ => false
   ): Seq[ScoredDoc] = {
     val heap = new scala.collection.mutable.PriorityQueue[ScoredDoc]()(weakestFirst)
     var threshold = Double.NegativeInfinity
@@ -199,7 +203,11 @@ object Bm25Shard {
         var cbUb = 0.0
         var j = 0
         while (j <= pivot) { cbUb += live(j).curBlockUb; j += 1 }
-        if (heap.size < k || cbUb >= threshold) {
+        if (deleted(pivotDoc)) {
+          var j2 = 0
+          while (j2 < live.length && live(j2).curDoc == pivotDoc) { live(j2).next(); j2 += 1 }
+          live = live.filterNot(_.exhausted)
+        } else if (heap.size < k || cbUb >= threshold) {
           // evaluate: gather contributions, sum in termIdx order
           java.util.Arrays.fill(matched, false)
           j = 0

@@ -34,10 +34,11 @@ object Engine {
     if (qtoks.isEmpty) return spark.emptyDataset[ScoredDoc]
     val withPos = reader.manifest.withPositions
     val terms = qtoks.map(_.term)
+    val delB = reader.deletedBroadcast
     reader.segmentsFor(terms)
       .groupByKey(_.shard)
       .flatMapGroups { (_, rows) =>
-        Searcher.evalShardMatch(qtoks, rows.toSeq, withPos, kind)
+        Searcher.evalShardMatch(qtoks, rows.toSeq, withPos, kind, delB.value)
           .map { case (d, n) => ScoredDoc(d, n * weight) }
       }
   }
@@ -74,6 +75,7 @@ object Engine {
     // driver memory — at 10^12 docs norms would be co-partitioned with
     // segments instead.)
     val normsB = reader.normsBroadcast
+    val delB = reader.deletedBroadcast
     val perShard = reader.segmentsFor(terms).groupByKey(_.shard)
       .flatMapGroups { (shard, segIt) =>
         val segRows = segIt.toSeq
@@ -84,8 +86,8 @@ object Engine {
           }
           .sortBy(_.termIdx)
         val top =
-          if (useWand) Bm25Shard.wand(cursors, lookup.apply, avgdl, bm25, k)
-          else Bm25Shard.exhaustive(cursors, lookup.apply, avgdl, bm25, k)
+          if (useWand) Bm25Shard.wand(cursors, lookup.apply, avgdl, bm25, k, delB.value)
+          else Bm25Shard.exhaustive(cursors, lookup.apply, avgdl, bm25, k, delB.value)
         top.iterator
       }
     topK(perShard, k)
@@ -160,6 +162,7 @@ object Engine {
     }
     val plansB = spark.sparkContext.broadcast(plans)
     val normsB = reader.normsBroadcast
+    val delB = reader.deletedBroadcast
     val kLocal = k
     val perShard = reader.segmentsFor(allTerms).groupByKey(_.shard)
       .flatMapGroups { (shard, segIt) =>
@@ -177,8 +180,8 @@ object Engine {
           if (cursors.isEmpty) Iterator.empty
           else {
             val top =
-              if (useWand) Bm25Shard.wand(cursors, lookup.apply, avgdl, bm25, kLocal)
-              else Bm25Shard.exhaustive(cursors, lookup.apply, avgdl, bm25, kLocal)
+              if (useWand) Bm25Shard.wand(cursors, lookup.apply, avgdl, bm25, kLocal, delB.value)
+              else Bm25Shard.exhaustive(cursors, lookup.apply, avgdl, bm25, kLocal, delB.value)
             top.iterator.map(s => (qid, s.docId, s.score))
           }
         }
@@ -203,18 +206,22 @@ object Engine {
     if (termWeights.isEmpty) return spark.emptyDataset[ScoredDoc]
     val withPos = reader.manifest.withPositions
     val twB = spark.sparkContext.broadcast(termWeights)
+    val delB = reader.deletedBroadcast
     reader.segmentsFor(termWeights.keys.toSeq)
       .groupByKey(_.shard)
       .flatMapGroups { (_, rows) =>
+        val del = delB.value
         val acc = new java.util.HashMap[Long, java.lang.Double]()
         // deterministic float accumulation: term order, then docId order
         rows.toSeq.sortBy(r => (r.term, r.salt)).foreach { r =>
           val w = twB.value(r.term)
           graft.codec.PostingCodec.decode(r.blocks.map(_.toBlock), withPos)
             .foreach { p =>
-              val s = p.tf * w
-              val prev = acc.get(p.docId)
-              acc.put(p.docId, if (prev == null) s else prev + s)
+              if (!del.contains(p.docId)) {
+                val s = p.tf * w
+                val prev = acc.get(p.docId)
+                acc.put(p.docId, if (prev == null) s else prev + s)
+              }
             }
         }
         val it = acc.entrySet().iterator()
@@ -230,6 +237,14 @@ object Engine {
     */
   def prefixSearch(reader: IndexReader, prefix: String, maxExpansion: Int = 1000): Dataset[ScoredDoc] = {
     val terms = reader.termsWithPrefix(prefix, maxExpansion)
+    orTermsScores(reader, terms.map(_ -> 1.0).toMap)
+  }
+
+  /** Suffix search (reference PAT KEY_WITH_SIS suffix walk, lib/pat.c:1150):
+    * expand against the reversed-term lexicon column, OR the terms.
+    */
+  def suffixSearch(reader: IndexReader, suffix: String, maxExpansion: Int = 1000): Dataset[ScoredDoc] = {
+    val terms = reader.termsWithSuffix(suffix, maxExpansion)
     orTermsScores(reader, terms.map(_ -> 1.0).toMap)
   }
 

@@ -82,7 +82,8 @@ object Searcher {
       qtoks: Seq[QTok],
       segRows: Seq[SegmentRow],
       withPos: Boolean,
-      kind: MatchKind
+      kind: MatchKind,
+      deleted: Long => Boolean = _ => false
   ): Iterator[(Long, Int)] = {
     val byTerm: Map[String, Array[Posting]] =
       segRows.groupBy(_.term).map { case (t, rs) => t -> mergeSalts(rs, withPos) }
@@ -103,7 +104,7 @@ object Searcher {
     var i = 0
     while (i < driver.length) {
       val docId = driver(i).docId
-      var ok = true
+      var ok = !deleted(docId)
       var j = 0
       while (ok && j < others.length) {
         idx(j) = advance(others(j)._2, idx(j), docId)

@@ -49,10 +49,13 @@ object ScalingBench {
     val queryTerms: Seq[String] =
       Seq("if", "return", "while") ++ Seq(5, 40, 300).map(Corpus.ident) ++
         Seq(2000, 3000, 4000, 4500).map(Corpus.ident)
-    val batch = (0 until 64).map { i =>
+    // 256 queries: enough work per batch job that 32 slots have something
+    // to chew on (64-query batches finish in ~1s and measure overhead)
+    val batch = (0 until 256).map { i =>
       val a = queryTerms(i % queryTerms.size)
       val b = queryTerms((i * 7 + 3) % queryTerms.size)
-      (i.toLong, if (a == b) a else s"$a $b")
+      val c = Corpus.ident(800 + (i * 13) % 3000)
+      (i.toLong, if (a == b) s"$a $c" else s"$a $b $c")
     }
 
     for (rep <- 1 to reps; cpus <- levels) {
