@@ -68,8 +68,7 @@ object Bench {
       IndexBuilder.build(spark, docs, buildDir,
         IndexConfig(tokenizerName = "TokenBigram", withPositions = true,
           nShards = 64, buildPartitions = 64,
-          hotTermDf = math.max(1000L, buildN / 8), nSalts = 8,
-          sampleFraction = 0.02))
+          hotTermDf = math.max(1000L, buildN / 8), nSalts = 8))
     }
     val filesPerSec = buildN / buildSec
 

@@ -4,7 +4,6 @@ import graft.index.IndexReader
 import graft.query.QueryExec
 import graft.search.ScoredDoc
 import org.apache.spark.sql.{Column, DataFrame, Dataset}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** One drilldown (facet) over the hit set — reference
@@ -113,12 +112,9 @@ object Select {
     // 3. sort + offset/limit: TakeOrdered over offset+limit, then drop the
     // offset rows (partial sort, reference grn_table_sort lib/db.c:11176)
     val order = sortCols(if (p.sortby.nonEmpty) p.sortby else Seq("_id"))
-    val limited = scoredHits.orderBy(order: _*).limit(p.offset + p.limit)
     val paged =
-      if (p.offset == 0) limited
-      else limited
-        .withColumn("__rn", row_number().over(Window.orderBy(order: _*)))
-        .filter(col("__rn") > p.offset).drop("__rn")
+      if (p.offset == 0) scoredHits.orderBy(order: _*).limit(p.limit)
+      else scoredHits.orderBy(order: _*).offset(p.offset).limit(p.limit)
 
     // 4. output columns (pseudo-cols _id/_score supported)
     val out =

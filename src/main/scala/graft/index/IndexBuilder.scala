@@ -17,10 +17,9 @@ import java.nio.file.{Files, Paths, Path}
   * @param buildPartitions shuffle partitions of the (shard,term,salt) encode
   * @param hotTermDf     df threshold above which a term's postings are salted
   *                      across `nSalts` sub-lists during the build shuffle
-  *                      (defuses reducer skew on `if`/`return`-class terms)
+  *                      (defuses reducer skew on `if`/`return`-class terms);
+  *                      hot terms come EXACTLY from the lexicon stage
   * @param nSalts        salt fan-out for hot terms
-  * @param sampleFraction posting sample used to estimate per-term df for
-  *                      hot-term detection (pre-pass, SURVEY.md §2.10)
   */
 final case class IndexConfig(
     tokenizerName: String = "TokenBigram",
@@ -29,7 +28,6 @@ final case class IndexConfig(
     buildPartitions: Int = 32,
     hotTermDf: Long = 50000L,
     nSalts: Int = 8,
-    sampleFraction: Double = 0.05,
     seed: Long = 42L
 )
 
@@ -164,16 +162,21 @@ object IndexBuilder {
     val Array(numDocs, shaSum) = stagePayload("docs").split(" ").map(_.toLong)
     val docs = spark.read.parquet(s"$dir/docs")
 
-    // ---- stages 2-4: lexicon, norms, segments — all fed by one tokenize --
+    // ---- stages 2-4: lexicon, norms, segments ---------------------------
+    // Each stage is ONE pipelined pass over the docs parquet through the
+    // fused zero-allocation tokenize kernel. No cross-stage persist: on this
+    // hardware class the DataFrame cache materialization (columnar re-encode
+    // of ~50M posting rows) is memory-bandwidth-bound and does NOT scale
+    // with cores, while the tokenize kernel is compute-dense and does —
+    // re-tokenizing per consumer is both faster and scales better. (At
+    // 10^12 docs the same argument holds: a full-corpus cache would not fit
+    // regardless; per-stage streaming passes are the only shape that works.)
     if (!stageDone("segments") || !stageDone("lexicon") || !stageDone("norms")) {
       val tokName = tokenizerName
       val withPos = cfg.withPositions
-      // phase 1: tokenize + per-document combine (map-side: one posting row
-      // per (term, doc) — no (term, doc, pos) explosion through the shuffle).
-      // DocCombiner is the fused zero-allocation kernel, reused across the
-      // partition's docs — keeps this stage compute-bound so it scales with
-      // cores, not memory bandwidth.
-      val postings: DataFrame = docs.select("docId", "content").as[(Long, String)]
+
+      // one tokenize+combine pass: (term, docId, tf, positions)
+      def postings: DataFrame = docs.select("docId", "content").as[(Long, String)]
         .mapPartitions { iter =>
           val tok = Tokenizers.byName(tokName)
           val comb = new DocCombiner(withPos)
@@ -182,9 +185,6 @@ object IndexBuilder {
           }
         }
         .toDF("term", "docId", "tf", "positions")
-        // tokenize once, feed three consumers (lexicon agg, norms agg,
-        // segment shuffle) from the materialized postings
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
 
       // lexicon: EXACT global (df, cf) per term in one partial-agg shuffle
       // (map-side combine ships one row per distinct term per partition —
@@ -208,14 +208,26 @@ object IndexBuilder {
       Files.writeString(base.resolve("_hot_terms"), hotTerms.mkString("\n"))
       lap("hot terms from lexicon")
 
-      // norms sidecar: doclen = sum of tf over the doc's terms — per-shard
-      // varint blob co-read with the shard's postings at query time
+      // norms sidecar: doclen per doc, computed by a dedicated counting pass
+      // (tokenize only — no combine, no posting rows, no shuffle of
+      // postings; ~one int row per doc reaches the tiny by-shard shuffle)
       if (!stageDone("norms")) {
-        postings
-          .withColumn("shard", pmod(col("docId"), lit(cfg.nShards)).cast("int"))
-          .groupBy("shard", "docId")
-          .agg(sum("tf").cast("int").as("doclen"))
-          .as[(Int, Long, Int)]
+        val nShardsL = cfg.nShards
+        docs.select("docId", "content").as[(Long, String)]
+          .mapPartitions { iter =>
+            val tok = Tokenizers.byName(tokName)
+            val scratch = new graft.analysis.Normalizer.Scratch
+            val counter = new graft.analysis.AddSink {
+              var n = 0
+              def acceptSpan(s: Int, e: Int, p: Int): Unit = n += 1
+              def acceptTerm(t: String, p: Int): Unit = n += 1
+            }
+            iter.map { case (docId, content) =>
+              counter.n = 0
+              tok.tokenizeAddNormalized(tok.normalizeWith(content, scratch), counter)
+              ((docId % nShardsL).toInt, docId, counter.n)
+            }
+          }
           .groupByKey(_._1)
           .mapGroups { (shard, it) =>
             val arr = it.map(t => (t._2, t._3)).toArray.sortBy(_._1)
@@ -234,17 +246,22 @@ object IndexBuilder {
         else 0
       }
 
-      // phase 2: the shuffle — term-major RANGE partitioning on
-      // (term, shard, salt), sorted by docId within each key. Range (not
-      // hash) so the written segments are term-clustered — the serving
-      // layout where a query's `term IN (...)` prunes to a few row groups —
-      // and so a hot term's postings still split across partitions at the
-      // (shard, salt) boundaries sampled by the range partitioner: skew is
-      // bounded by salt fan-out even before AQE kicks in.
+      // phase 2: the shuffle — HASH partitioning on (term, shard, salt),
+      // sorted by (term, shard, salt, docId) within each partition. Hash
+      // (not range) because a range partitioner needs a full sampling pass
+      // over the postings — a whole extra evaluation of the corpus at
+      // 10^12-doc scale. All rows of one (term, shard, salt) key still land
+      // in one partition (complete posting sub-lists), hot terms still
+      // spread across `nSalts` reducers, and the within-partition sort keeps
+      // every output file term-clustered so parquet row-group min/max stats
+      // prune query terms. What hash gives up vs range is only cross-FILE
+      // term locality — row-group pruning and the serving-mode in-memory
+      // cache make that immaterial, while the saved pass is a full corpus
+      // scan.
       val keyed = postings
         .withColumn("shard", pmod(col("docId"), lit(cfg.nShards)).cast("int"))
         .withColumn("salt", saltUdf(col("term"), col("docId")))
-        .repartitionByRange(cfg.buildPartitions, col("term"), col("shard"), col("salt"))
+        .repartition(cfg.buildPartitions, col("term"), col("shard"), col("salt"))
         .sortWithinPartitions("term", "shard", "salt", "docId")
 
       // phase 3: streaming run-length encoder; one pass, segment rows +
@@ -304,7 +321,6 @@ object IndexBuilder {
         .toDF("partitionId", "terms", "postings", "bytes", "elapsedMs")
         .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/metrics")
       lap("stage segments encode+write")
-      postings.unpersist()
       markDone("segments")
     }
 

@@ -1,0 +1,85 @@
+package graft.search
+
+import graft.analysis.Tokenizers
+import graft.index.IndexReader
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** GRN_OP_TERM_EXTRACT — extract lexicon terms occurring in a given text
+  * (reference grn_ii_term_extract lib/ii.c:6358-6500, driven by
+  * grn_pat_lcp_search lib/pat.c:1180): walk the normalized text; at each
+  * position take the LONGEST lexicon term that prefixes the remaining text,
+  * emit it, and advance past it (greedy LCP segmentation); otherwise advance
+  * one character.
+  *
+  * Driver-side extraction uses a hash set per candidate length (the PAT-trie
+  * role); the distributed variant broadcasts the same structure and maps a
+  * whole column — lexicons are MBs even for 10^12-doc corpora (zipf), so a
+  * broadcast dictionary is the 100 TB-correct shape (same pattern as a
+  * broadcast join of a dimension table).
+  */
+object TermExtract {
+
+  /** Compiled extraction dictionary (broadcastable). */
+  final class Dict(terms: Iterable[String]) extends Serializable {
+    private val set = new java.util.HashSet[String]()
+    private var maxLenV = 0
+    terms.foreach { t =>
+      if (t.nonEmpty) { set.add(t); if (t.length > maxLenV) maxLenV = t.length }
+    }
+    def maxLen: Int = maxLenV
+    def contains(s: String): Boolean = set.contains(s)
+
+    /** Greedy longest-match extraction over `text` (already normalized the
+      * same way the lexicon terms were). Returns (term, charOffset) pairs.
+      */
+    def extract(text: String): Seq[(String, Int)] = {
+      val out = scala.collection.mutable.ArrayBuffer[(String, Int)]()
+      var i = 0
+      val n = text.length
+      while (i < n) {
+        var l = math.min(maxLenV, n - i)
+        var hit: String = null
+        while (hit == null && l >= 1) {
+          val cand = text.substring(i, i + l)
+          if (set.contains(cand)) hit = cand
+          l -= 1
+        }
+        if (hit != null) { out += ((hit, i)); i += hit.length }
+        else i += 1
+      }
+      out.toSeq
+    }
+  }
+
+  def dictOf(reader: IndexReader): Dict = {
+    import reader.spark.implicits._
+    new Dict(reader.lexicon.select("term").as[String].collect())
+  }
+
+  /** Extract lexicon terms from one text (normalized with the index's
+    * analysis chain first, like the reference normalizes the query).
+    */
+  def termExtract(reader: IndexReader, text: String): Seq[(String, Int)] = {
+    val norm = Tokenizers.byName(reader.manifest.tokenizerName).normalizer(text).text
+    dictOf(reader).extract(norm)
+  }
+
+  /** Distributed column variant: one row per extracted (id, term, offset). */
+  def termExtractColumn(reader: IndexReader, df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = reader.spark
+    import spark.implicits._
+    val dictB = spark.sparkContext.broadcast(dictOf(reader))
+    val tokName = reader.manifest.tokenizerName
+    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val dict = dictB.value
+        val norm = Tokenizers.byName(tokName).normalizer
+        it.flatMap { case (id, text) =>
+          dict.extract(norm(text).text).map { case (t, off) => (id, t, off) }
+        }
+      }
+      .toDF(idCol, "term", "offset")
+  }
+}

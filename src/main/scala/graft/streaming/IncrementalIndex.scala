@@ -121,9 +121,10 @@ object IncrementalIndex {
       .toDF("shard", "norms")
       .write.mode(SaveMode.Overwrite).parquet(s"$outDir/norms")
 
-    // lexicon: re-aggregate
+    // lexicon: re-aggregate (rev column kept for suffix search)
     spark.read.parquet(s"$outDir/segments")
       .groupBy("term").agg(sum("df").as("df"), sum("cf").as("cf"))
+      .withColumn("rev", reverse(col("term")))
       .write.mode(SaveMode.Overwrite).parquet(s"$outDir/lexicon")
 
     // metrics lineage: union of input metrics tagged by source dir

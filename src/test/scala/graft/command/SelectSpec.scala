@@ -23,7 +23,7 @@ class SelectSpec extends AnyFunSuite {
     val dir = java.nio.file.Files.createTempDirectory("graft_sel_").toString
     IndexBuilder.build(spark, docs, dir, IndexConfig(
       tokenizerName = "TokenDelimit", nShards = 2, buildPartitions = 2,
-      hotTermDf = 100000L, nSalts = 2, sampleFraction = 1.0))
+      hotTermDf = 100000L, nSalts = 2))
     new IndexReader(spark, dir)
   }
 

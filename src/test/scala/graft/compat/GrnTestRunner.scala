@@ -256,7 +256,7 @@ object GrnTestRunner {
           tokenizerName = tok,
           withPositions = ix.forall(_.withPosition),
           nShards = 2, buildPartitions = 2, hotTermDf = 1000000L,
-          nSalts = 1, sampleFraction = 1.0))
+          nSalts = 1))
         new IndexReader(spark, dir) {
           override lazy val docs: DataFrame = spark.read.parquet(s"$dir/docs")
             .withColumnRenamed("content", srcCol)
@@ -289,7 +289,7 @@ object GrnTestRunner {
         val fakeDir = java.nio.file.Files.createTempDirectory("graft_compat_").toString
         IndexBuilder.build(spark, docs.withColumn("content", lit("")), fakeDir,
           IndexConfig(tokenizerName = "TokenDelimit", nShards = 1,
-            buildPartitions = 1, nSalts = 1, sampleFraction = 1.0))
+            buildPartitions = 1, nSalts = 1))
         val r = new IndexReader(spark, fakeDir) {
           override lazy val docs: DataFrame = spark.read.parquet(s"$fakeDir/docs")
         }

@@ -21,7 +21,7 @@ class IndexSearchSpec extends AnyFunSuite {
     import spark.implicits._
     val withIds = IndexBuilder.assignDocIds(spark, files.toDF(), Seq("repo", "path", "commit"))
     IndexBuilder.build(spark, withIds, d,
-      IndexConfig(nShards = 4, buildPartitions = 4, hotTermDf = 50, nSalts = 3, sampleFraction = 1.0))
+      IndexConfig(nShards = 4, buildPartitions = 4, hotTermDf = 50, nSalts = 3))
     d
   }
   private lazy val reader = new IndexReader(spark, dir)
@@ -178,7 +178,7 @@ class IndexSearchSpec extends AnyFunSuite {
       .withColumn("repo", lit("")).withColumn("path", lit(""))
       .withColumn("commit", lit("")).withColumn("lang", lit(""))
     IndexBuilder.build(spark, empty, dir,
-      IndexConfig(nShards = 4, buildPartitions = 4, hotTermDf = 50, nSalts = 3, sampleFraction = 1.0))
+      IndexConfig(nShards = 4, buildPartitions = 4, hotTermDf = 50, nSalts = 3))
     val after = java.nio.file.Files.readString(java.nio.file.Paths.get(dir, "manifest.json"))
     assert(reader.manifest.numDocs == nDocs)
     assert(before == after)

@@ -1,0 +1,50 @@
+package graft.search
+
+import graft.SparkTestBase
+import graft.index.{IndexBuilder, IndexConfig, IndexReader}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** GRN_OP_TERM_EXTRACT: greedy longest-match lexicon extraction. */
+class TermExtractSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  private lazy val reader = {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_tx_").toString
+    val rows = Seq(
+      (0L, "spark sql engine"),
+      (1L, "sparkle fast engine"),
+      (2L, "streaming data")
+    )
+    IndexBuilder.build(spark, rows.toDF("docId", "content"), d,
+      IndexConfig(tokenizerName = "TokenDelimit", nShards = 2,
+        buildPartitions = 2, hotTermDf = 1000, nSalts = 2))
+    new IndexReader(spark, d)
+  }
+
+  // NOTE: NormalizerAuto removes blanks (reference GRN_STRING_REMOVE_BLANK),
+  // so extraction offsets are positions in the blank-removed normalized text.
+  test("longest match wins and extraction advances past it") {
+    // lexicon has both "spark" and "sparkle" — longest-match picks sparkle
+    val got = TermExtract.termExtract(reader, "sparkle spark!")
+    assert(got == Seq(("sparkle", 0), ("spark", 7)))
+  }
+
+  test("input is normalized with the index's chain before extraction") {
+    val got = TermExtract.termExtract(reader, "SPARK Engine")
+    assert(got == Seq(("spark", 0), ("engine", 5)))
+  }
+
+  test("non-lexicon spans are skipped") {
+    val got = TermExtract.termExtract(reader, "xyz data qqq")
+    assert(got.map(_._1) == Seq("data"))
+  }
+
+  test("distributed column variant matches driver-side extraction") {
+    import spark.implicits._
+    val df = Seq((10L, "fast streaming spark"), (11L, "nothing here")).toDF("id", "txt")
+    val got = TermExtract.termExtractColumn(reader, df, "id", "txt")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(got == Set((10L, "fast", 0), (10L, "streaming", 4), (10L, "spark", 13)))
+  }
+}

@@ -13,7 +13,7 @@ class IncrementalIndexSpec extends AnyFunSuite {
   private lazy val spark = SparkTestBase.spark
 
   private val cfg = IndexConfig(tokenizerName = "TokenBigram", nShards = 4,
-    buildPartitions = 4, hotTermDf = 1000000L, nSalts = 2, sampleFraction = 1.0)
+    buildPartitions = 4, hotTermDf = 1000000L, nSalts = 2)
 
   private def mkDocs(from: Long, until: Long) = {
     import spark.implicits._
