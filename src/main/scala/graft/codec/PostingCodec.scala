@@ -42,10 +42,12 @@ object Varint {
   * the skip pointer (dgap role), `maxTf` the block-max metadata that block-max
   * WAND pruning reads without decoding the block.
   *
-  * Payload layout (all varint):
+  * Payload layout (self-describing; all varint after the flag byte):
+  *   flags (bit0 = positions present, bit1 = weights present — the
+  *   `n_elements` stream-selection role of reference lib/grn_ii.h:39-41),
   *   n, docId deltas (first relative to firstDoc, so 0),
-  *   (tf-1) per posting, then per posting `tf` position deltas when
-  *   `withPositions`.
+  *   (tf-1) per posting, weights per posting when bit1, then per posting
+  *   `tf` position deltas when bit0.
   */
 final case class PostingBlock(
     firstDoc: Long,
@@ -57,22 +59,30 @@ final case class PostingBlock(
 
 object PostingCodec {
   val BlockSize = 128
+  private val FlagPositions = 1
+  private val FlagWeights = 2
 
   /** Encode rid-ascending postings into blocks. Input MUST be sorted by docId
     * ascending and duplicate-free (the build pipeline guarantees this via
     * sortWithinPartitions). Returns (blocks, df, cf).
     */
-  def encode(sorted: Iterator[Posting], withPositions: Boolean): (Vector[PostingBlock], Long, Long) = {
+  def encode(
+      sorted: Iterator[Posting],
+      withPositions: Boolean,
+      withWeights: Boolean = false
+  ): (Vector[PostingBlock], Long, Long) = {
     val blocks = Vector.newBuilder[PostingBlock]
     var df = 0L
     var cf = 0L
     val pending = new scala.collection.mutable.ArrayBuffer[Posting](BlockSize)
+    val flags = (if (withPositions) FlagPositions else 0) | (if (withWeights) FlagWeights else 0)
 
     def flush(): Unit = {
       if (pending.isEmpty) return
       val first = pending.head.docId
       val last = pending.last.docId
       val buf = new java.io.ByteArrayOutputStream(pending.length * 4)
+      buf.write(flags)
       Varint.write(buf, pending.length.toLong)
       var prev = first
       var i = 0
@@ -88,6 +98,13 @@ object PostingCodec {
         if (tf > maxTf) maxTf = tf
         Varint.write(buf, (tf - 1).toLong)
         i += 1
+      }
+      if (withWeights) {
+        i = 0
+        while (i < pending.length) {
+          Varint.write(buf, pending(i).weight.toLong)
+          i += 1
+        }
       }
       if (withPositions) {
         i = 0
@@ -121,8 +138,15 @@ object PostingCodec {
     (blocks.result(), df, cf)
   }
 
-  def decodeBlock(b: PostingBlock, withPositions: Boolean): Array[Posting] = {
-    val r = new Varint.Reader(b.data)
+  /** Decode one block; the payload's flag byte selects the streams, so no
+    * external layout knowledge is needed. `wantPositions=false` skips
+    * materializing position arrays even when stored.
+    */
+  def decodeBlock(b: PostingBlock, wantPositions: Boolean = true): Array[Posting] = {
+    val flags = b.data(0) & 0xff
+    val hasPos = (flags & FlagPositions) != 0
+    val hasW = (flags & FlagWeights) != 0
+    val r = new Varint.Reader(b.data, 1)
     val n = r.readInt()
     val docIds = new Array[Long](n)
     var prev = b.firstDoc
@@ -131,23 +155,27 @@ object PostingCodec {
     val tfs = new Array[Int](n)
     i = 0
     while (i < n) { tfs(i) = r.readInt() + 1; i += 1 }
+    val ws = if (hasW) { val a = new Array[Int](n); i = 0; while (i < n) { a(i) = r.readInt(); i += 1 }; a } else null
     val out = new Array[Posting](n)
     i = 0
     while (i < n) {
       val positions =
-        if (withPositions) {
+        if (hasPos && wantPositions) {
           val ps = new Array[Int](tfs(i))
           var acc = 0
           var j = 0
           while (j < tfs(i)) { acc += r.readInt(); ps(j) = acc; j += 1 }
           ps
-        } else Array.emptyIntArray
-      out(i) = Posting(docIds(i), tfs(i), positions)
+        } else {
+          if (hasPos) { var j = 0; while (j < tfs(i)) { r.read(); j += 1 } } // skip
+          Array.emptyIntArray
+        }
+      out(i) = Posting(docIds(i), tfs(i), positions, if (hasW) ws(i) else 0)
       i += 1
     }
     out
   }
 
-  def decode(blocks: Seq[PostingBlock], withPositions: Boolean): Iterator[Posting] =
-    blocks.iterator.flatMap(b => decodeBlock(b, withPositions))
+  def decode(blocks: Seq[PostingBlock], wantPositions: Boolean = true): Iterator[Posting] =
+    blocks.iterator.flatMap(b => decodeBlock(b, wantPositions))
 }

@@ -41,7 +41,16 @@ final case class SelectParams(
     limit: Int = 10,
     outputColumns: Seq[String] = Seq("*"),
     drilldowns: Seq[DrilldownSpec] = Nil,
-    matchEscalationThreshold: Long = -1L
+    /** `--adjuster 'col @ "value" * factor + ...'`: additive score boost for
+      * result-set members matching each clause (reference
+      * proc_select.c:125-196, OP_ADJUST with the factor as weight).
+      */
+    adjuster: Option[String] = None,
+    /** Reference default 0 (GRN_DEFAULT_MATCH_ESCALATION_THRESHOLD):
+      * escalate EXACT→UNSPLIT→PARTIAL only when a match comes back empty;
+      * -1 disables escalation entirely.
+      */
+    matchEscalationThreshold: Long = 0L
 )
 
 final case class SelectResult(
@@ -62,14 +71,44 @@ object Select {
   }
 
   private def sortCols(keys: Seq[String]): Seq[Column] = keys.map { k =>
-    if (k.startsWith("-")) desc(colOf(k.drop(1))) else asc(colOf(k.stripPrefix("+")))
+    val (neg, body) =
+      if (k.startsWith("-")) (true, k.drop(1)) else (false, k.stripPrefix("+"))
+    // expression sort keys (e.g. `geo_distance(location, "...")`) evaluate
+    // through Catalyst, like the reference's expression sort keys
+    // (grn_table_sort_key_from_str, lib/db.c:12354)
+    val c = if (body.contains('(')) expr(body) else col(colOf(body))
+    if (neg) c.desc else c.asc
   }
 
   def run(reader: IndexReader, p: SelectParams): SelectResult =
     runWith(reader.liveDocs,
       q => QueryExec.run(reader, q, p.matchColumns.headOption,
         p.matchEscalationThreshold).toDF("docId", "_score"),
-      p)
+      p,
+      adjust = p.adjuster.map(spec => applyAdjuster(reader, spec, _)))
+
+  /** Parse and apply an adjuster spec against `scored` (docId, _score):
+    * each `col @ "value" * factor` clause contributes factor*tf for member
+    * docs; clauses combine additively (reference OP_ADJUST accumulation).
+    */
+  private val adjusterClause =
+    """\s*([\w.]+)\s*@\s*"([^"]*)"(?:\s*\*\s*(\d+(?:\.\d+)?))?\s*""".r
+
+  private def applyAdjuster(reader: IndexReader, spec: String, scored: DataFrame): DataFrame = {
+    // split on + outside quotes
+    val parts = spec.split("""\+(?=(?:[^"]*"[^"]*")*[^"]*$)""").toSeq
+    val boosts = parts.map {
+      case adjusterClause(_, value, factor) =>
+        graft.search.Engine.matchScores(reader, value,
+          weight = Option(factor).map(_.toDouble).getOrElse(1.0))
+      case other => throw new IllegalArgumentException(s"bad adjuster clause: $other")
+    }
+    val boost = boosts.reduce(graft.search.Engine.SetOps.or)
+      .toDF("docId", "_boost")
+    scored.join(boost, Seq("docId"), "left_outer")
+      .select(col("docId"),
+        (col("_score") + coalesce(col("_boost"), lit(0.0))).as("_score"))
+  }
 
   /** Sectioned variant: bare query terms match every section of
     * `p.matchColumns` (entries may carry weights, `"title * 10"`), scores
@@ -80,10 +119,19 @@ object Select {
     runWith(sidx.primary.liveDocs,
       q => QueryExec.runSectioned(sidx, q, spec,
         p.matchEscalationThreshold).toDF("docId", "_score"),
-      p)
+      p,
+      adjust = p.adjuster.map { sp => (scored: DataFrame) =>
+        // adjuster clauses name their target column → that section's index
+        applyAdjuster(sidx.primary, sp, scored)
+      })
   }
 
-  private def runWith(docs: DataFrame, queryEval: String => DataFrame, p: SelectParams): SelectResult = {
+  private def runWith(
+      docs: DataFrame,
+      queryEval: String => DataFrame,
+      p: SelectParams,
+      adjust: Option[DataFrame => DataFrame] = None
+  ): SelectResult = {
     // 1. result set: query (via index) AND filter (via Catalyst), like the
     // AND-combined condition of grn_select step 2 (proc_select.c:726-739)
     val scored: DataFrame = (p.query, p.filter) match {
@@ -100,7 +148,10 @@ object Select {
         docs.select(col("docId"), lit(1.0).as("_score"))
     }
 
-    val hitsAll = scored.join(docs, "docId")
+    // 1b. adjuster (reference grn_select step 4, before the scorer)
+    val adjusted = adjust.map(f => f(scored)).getOrElse(scored)
+
+    val hitsAll = adjusted.join(docs, "docId")
     val nHits = hitsAll.count()
 
     // 2. scorer expression (`--scorer "_score = expr"`)
@@ -112,14 +163,24 @@ object Select {
     // 3. sort + offset/limit: TakeOrdered over offset+limit, then drop the
     // offset rows (partial sort, reference grn_table_sort lib/db.c:11176)
     val order = sortCols(if (p.sortby.nonEmpty) p.sortby else Seq("_id"))
+    // negative offset/limit count from the end (reference
+    // grn_normalize_offset_and_limit: offset += size; limit += size + 1)
+    val offset = math.max(0L,
+      if (p.offset < 0) nHits + p.offset else p.offset.toLong).toInt
+    val limit = math.max(0L, math.min(Int.MaxValue.toLong,
+      if (p.limit < 0) nHits + p.limit + 1 else p.limit.toLong)).toInt
     val paged =
-      if (p.offset == 0) scoredHits.orderBy(order: _*).limit(p.limit)
-      else scoredHits.orderBy(order: _*).offset(p.offset).limit(p.limit)
+      if (offset == 0) scoredHits.orderBy(order: _*).limit(limit)
+      else scoredHits.orderBy(order: _*).offset(offset).limit(limit)
 
-    // 4. output columns (pseudo-cols _id/_score supported)
+    // 4. output columns (pseudo-cols _id/_score; function-call entries are
+    // Catalyst expressions — the reference's output_columns script exprs,
+    // lib/output.c:2187)
     val out =
       if (p.outputColumns == Seq("*")) paged
-      else paged.select(p.outputColumns.map(c => col(colOf(c)).as(c)): _*)
+      else paged.select(p.outputColumns.map { c =>
+        (if (c.contains('(')) expr(c) else col(colOf(c))).as(c)
+      }: _*)
 
     // 5. drilldowns evaluate on the FILTERED set (pre-offset/limit)
     val dds = p.drilldowns.zipWithIndex.map { case (d, idx) =>
@@ -139,11 +200,12 @@ object Select {
       }
       val grouped = hitsAll.groupBy(d.keys.map(col): _*)
         .agg(aggs.head, aggs.tail.toSeq: _*)
-      val sorted = grouped.orderBy(
+      val sorted0 = grouped.orderBy(
         d.sortby.map(k =>
           if (k.startsWith("-")) desc(k.drop(1)) else asc(k.stripPrefix("+"))) ++
           d.keys.map(asc): _*) // key tie-break for determinism
-        .limit(d.offset + d.limit)
+      // negative drilldown limit = all groups (reference normalize semantics)
+      val sorted = if (d.limit < 0) sorted0 else sorted0.limit(d.offset + d.limit)
       label -> sorted
     }.toMap
 

@@ -9,21 +9,25 @@ final case class CodeFile(
     content: String
 )
 
-/** A single posting: one (document, term) pair with term frequency and the
-  * token-ordinal positions of each occurrence (Groonga `grn_posting`,
-  * reference include/groonga/groonga.h:590-597; sid omitted — single-section
-  * content index; positions empty when index built WITHOUT_POSITION).
+/** A single posting: one (document, term) pair with term frequency, the
+  * token-ordinal positions of each occurrence, and the summed posting
+  * weight (Groonga `grn_posting`, reference
+  * include/groonga/groonga.h:590-597; sid omitted — multi-column indexes
+  * are per-column sections, see SectionedIndex; positions empty when built
+  * WITHOUT_POSITION; weight 0 unless built WITH_WEIGHT from a weighted
+  * vector — reference `tscore` is the sum of matched posting weights,
+  * lib/ii.c:6984).
   */
-final case class Posting(docId: Long, tf: Int, positions: Array[Int]) {
-  override def toString = s"Posting($docId,$tf,${positions.mkString("[", ",", "]")})"
+final case class Posting(docId: Long, tf: Int, positions: Array[Int], weight: Int = 0) {
+  override def toString = s"Posting($docId,$tf,${positions.mkString("[", ",", "]")},w=$weight)"
   override def equals(o: Any): Boolean = o match {
     case p: Posting =>
-      p.docId == docId && p.tf == tf &&
+      p.docId == docId && p.tf == tf && p.weight == weight &&
         java.util.Arrays.equals(p.positions, positions)
     case _ => false
   }
   override def hashCode: Int =
-    (docId.## * 31 + tf) * 31 + java.util.Arrays.hashCode(positions)
+    ((docId.## * 31 + tf) * 31 + weight) * 31 + java.util.Arrays.hashCode(positions)
 }
 
 object Sha256 {

@@ -77,29 +77,37 @@ object TextFunctions {
     u(c)
   }
 
+  /** Plain-function highlight (UDF-registrable): tag all keyword
+    * occurrences (case-insensitive find, original text preserved).
+    */
+  def highlightHtmlOf(text: String, kw: Seq[String]): String = {
+    if (text == null) return null
+    val lower = text.toLowerCase
+    val spans = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+    kw.map(_.toLowerCase).filter(_.nonEmpty).foreach { k =>
+      var idx = lower.indexOf(k)
+      while (idx >= 0) { spans += ((idx, idx + k.length)); idx = lower.indexOf(k, idx + 1) }
+    }
+    val sb = new StringBuilder
+    var pos = 0
+    spans.sortBy(_._1).foreach { case (a, b) =>
+      if (a >= pos) {
+        sb.append(text.substring(pos, a))
+        sb.append("<span class=\"keyword\">").append(text.substring(a, b)).append("</span>")
+        pos = b
+      }
+    }
+    sb.append(text.substring(pos))
+    sb.toString
+  }
+
   /** `highlight_html(col)`: tag all keyword occurrences in the whole text. */
   def highlightHtml(c: Column, keywords: Seq[String]): Column = {
     val kw = keywords
     val u = udf { (text: String) =>
       if (text == null) null
       else {
-        val lower = text.toLowerCase
-        val spans = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
-        kw.map(_.toLowerCase).filter(_.nonEmpty).foreach { k =>
-          var idx = lower.indexOf(k)
-          while (idx >= 0) { spans += ((idx, idx + k.length)); idx = lower.indexOf(k, idx + 1) }
-        }
-        val sb = new StringBuilder
-        var pos = 0
-        spans.sortBy(_._1).foreach { case (a, b) =>
-          if (a >= pos) {
-            sb.append(text.substring(pos, a))
-            sb.append("<span class=\"keyword\">").append(text.substring(a, b)).append("</span>")
-            pos = b
-          }
-        }
-        sb.append(text.substring(pos))
-        sb.toString
+        highlightHtmlOf(text, kw)
       }
     }
     u(c)

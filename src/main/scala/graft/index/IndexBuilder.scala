@@ -24,6 +24,10 @@ import java.nio.file.{Files, Paths, Path}
 final case class IndexConfig(
     tokenizerName: String = "TokenBigram",
     withPositions: Boolean = true,
+    /** Store per-posting weights (reference WITH_WEIGHT, groonga.h:323) —
+      * used by [[IndexBuilder.buildFromPostings]] for weighted vectors.
+      */
+    withWeights: Boolean = false,
     nShards: Int = 32,
     buildPartitions: Int = 32,
     hotTermDf: Long = 50000L,
@@ -42,7 +46,8 @@ final case class IndexManifest(
     nSalts: Int,
     contentShaXor: Long,
     hotTerms: Array[String],
-    stagesDone: Seq[String]
+    stagesDone: Seq[String],
+    withWeights: Boolean = false
 )
 
 object IndexManifest {
@@ -54,6 +59,7 @@ object IndexManifest {
     } + "\""
     s"""{"numDocs":${m.numDocs},"avgDoclen":${m.avgDoclen},"totalTokens":${m.totalTokens},
        |"tokenizerName":${js(m.tokenizerName)},"withPositions":${m.withPositions},
+       |"withWeights":${m.withWeights},
        |"nShards":${m.nShards},"nSalts":${m.nSalts},
        |"contentShaXor":${m.contentShaXor},
        |"hotTerms":[${m.hotTerms.map(js).mkString(",")}],
@@ -87,7 +93,8 @@ object IndexManifest {
       nSalts = num("nSalts").toInt,
       contentShaXor = num("contentShaXor").toLong,
       hotTerms = arr("hotTerms"),
-      stagesDone = arr("stagesDone").toSeq
+      stagesDone = arr("stagesDone").toSeq,
+      withWeights = s.contains("\"withWeights\":true")
     )
   }
 }
@@ -144,7 +151,9 @@ object IndexBuilder {
     // recorded in the stage marker for resume) — the manifest step never
     // re-reads the docs table.
     if (!stageDone("docs")) {
-      val shaUdf = udf { (content: String) => Sha256.hex(content) }
+      // null content = empty document (the reference stores missing column
+      // values as empty; tokenizing null yields no postings)
+      val shaUdf = udf { (content: String) => Sha256.hex(if (content == null) "" else content) }
       // Observation = exactly-once aggregates piggybacked on the write job
       // (immune to task retries, unlike accumulator-in-UDF counting)
       val obs = org.apache.spark.sql.Observation("docStats")
@@ -181,7 +190,8 @@ object IndexBuilder {
           val tok = Tokenizers.byName(tokName)
           val comb = new DocCombiner(withPos)
           iter.flatMap { case (docId, content) =>
-            DocCombiner.docPostings(tok, comb, docId, content)
+            if (content == null) Array.empty[(String, Long, Int, Array[Int])]
+            else DocCombiner.docPostings(tok, comb, docId, content)
           }
         }
         .toDF("term", "docId", "tf", "positions")
@@ -224,7 +234,8 @@ object IndexBuilder {
             }
             iter.map { case (docId, content) =>
               counter.n = 0
-              tok.tokenizeAddNormalized(tok.normalizeWith(content, scratch), counter)
+              if (content != null)
+                tok.tokenizeAddNormalized(tok.normalizeWith(content, scratch), counter)
               ((docId % nShardsL).toInt, docId, counter.n)
             }
           }
@@ -238,88 +249,7 @@ object IndexBuilder {
         markDone("norms")
         lap("stage norms")
       }
-      val hotB = spark.sparkContext.broadcast(hotTerms.toSet)
-
-      val nSalts = cfg.nSalts
-      val saltUdf = udf { (term: String, docId: Long) =>
-        if (hotB.value.contains(term)) (java.lang.Long.remainderUnsigned(docId * 0x9e3779b97f4a7c15L, nSalts.toLong)).toInt
-        else 0
-      }
-
-      // phase 2: the shuffle — HASH partitioning on (term, shard, salt),
-      // sorted by (term, shard, salt, docId) within each partition. Hash
-      // (not range) because a range partitioner needs a full sampling pass
-      // over the postings — a whole extra evaluation of the corpus at
-      // 10^12-doc scale. All rows of one (term, shard, salt) key still land
-      // in one partition (complete posting sub-lists), hot terms still
-      // spread across `nSalts` reducers, and the within-partition sort keeps
-      // every output file term-clustered so parquet row-group min/max stats
-      // prune query terms. What hash gives up vs range is only cross-FILE
-      // term locality — row-group pruning and the serving-mode in-memory
-      // cache make that immaterial, while the saved pass is a full corpus
-      // scan.
-      val keyed = postings
-        .withColumn("shard", pmod(col("docId"), lit(cfg.nShards)).cast("int"))
-        .withColumn("salt", saltUdf(col("term"), col("docId")))
-        .repartition(cfg.buildPartitions, col("term"), col("shard"), col("salt"))
-        .sortWithinPartitions("term", "shard", "salt", "docId")
-
-      // phase 3: streaming run-length encoder; one pass, segment rows +
-      // per-partition lineage metrics collected via accumulator (tiny: one
-      // row per partition; deduped by partitionId against task retries)
-      val metricsAcc = spark.sparkContext.collectionAccumulator[(Int, Long, Long, Long, Long)]("buildMetrics")
-      val segRows = keyed
-        .select("term", "shard", "salt", "docId", "tf", "positions")
-        .as[(String, Int, Int, Long, Int, Array[Int])]
-        .mapPartitions { it =>
-          val partId = org.apache.spark.TaskContext.getPartitionId()
-          val t0 = System.nanoTime()
-          var nTerms = 0L; var nPostings = 0L; var nBytes = 0L
-          val out = new scala.collection.mutable.ArrayBuffer[SegmentRow]()
-          var curKey: (String, Int, Int) = null
-          var pending = new scala.collection.mutable.ArrayBuffer[Posting]()
-          def flush(): Unit = {
-            if (curKey != null && pending.nonEmpty) {
-              val (blocks, df, cf) = PostingCodec.encode(pending.iterator, withPos)
-              val rows = blocks.map(b => BlockRow(b.firstDoc, b.lastDoc, b.n, b.maxTf, b.data))
-              out += SegmentRow(curKey._2, curKey._1, curKey._3, df, cf, rows)
-              nTerms += 1; nPostings += df
-              nBytes += rows.map(_.data.length.toLong).sum
-              pending = new scala.collection.mutable.ArrayBuffer[Posting]()
-            }
-          }
-          new Iterator[SegmentRow] {
-            private var finished = false
-            private def fill(): Unit = {
-              while (out.isEmpty && it.hasNext) {
-                val (term, shard, salt, docId, tf, positions) = it.next()
-                val key = (term, shard, salt)
-                if (curKey == null) curKey = key
-                else if (key != curKey) { flush(); curKey = key }
-                pending += Posting(docId, tf, positions)
-              }
-              if (out.isEmpty && !it.hasNext && !finished) {
-                flush()
-                finished = true
-                metricsAcc.add((partId, nTerms, nPostings, nBytes,
-                  (System.nanoTime() - t0) / 1000000L))
-              }
-            }
-            def hasNext: Boolean = { fill(); out.nonEmpty }
-            def next(): SegmentRow = { fill(); out.remove(0) }
-          }
-        }
-      segRows.toDF()
-        .write.mode(SaveMode.Overwrite).parquet(s"$dir/segments")
-
-      // lineage metrics (driver-side tiny write; dedupe retried tasks)
-      import scala.jdk.CollectionConverters._
-      val metricRows = metricsAcc.value.asScala.toSeq
-        .groupBy(_._1).map(_._2.head).toSeq
-        .map { case (p, t, po, b, e) => (p, t, po, b, e) }
-      spark.createDataset(metricRows)
-        .toDF("partitionId", "terms", "postings", "bytes", "elapsedMs")
-        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/metrics")
+      encodeSegmentsStage(spark, postings.withColumn("weight", lit(0)), dir, cfg, hotTerms)
       lap("stage segments encode+write")
       markDone("segments")
     }
@@ -348,6 +278,182 @@ object IndexBuilder {
       stagesDone = Seq("docs", "lexicon", "norms", "segments")
     )
     lap("stage manifest stats")
+    Files.writeString(base.resolve("manifest.json"), IndexManifest.toJson(manifest))
+    manifest
+  }
+
+  /** The shuffle+encode stage shared by both build entry points.
+    * `postingsW` columns: (term, docId, tf, positions, weight).
+    *
+    * HASH partitioning on (term, shard, salt), sorted within partitions:
+    * hash (not range) because a range partitioner needs a full sampling
+    * pass over the postings — a whole extra evaluation of the corpus at
+    * 10^12-doc scale. All rows of one (term, shard, salt) key still land
+    * in one partition (complete posting sub-lists), hot terms still spread
+    * across `nSalts` reducers, and the within-partition sort keeps every
+    * output file term-clustered so parquet row-group min/max stats prune
+    * query terms. What hash gives up vs range is only cross-FILE term
+    * locality — row-group pruning and the serving-mode in-memory cache make
+    * that immaterial, while the saved pass is a full corpus scan.
+    */
+  private def encodeSegmentsStage(
+      spark: SparkSession,
+      postingsW: DataFrame,
+      dir: String,
+      cfg: IndexConfig,
+      hotTerms: Array[String]
+  ): Unit = {
+    import spark.implicits._
+    val withPos = cfg.withPositions
+    val withW = cfg.withWeights
+    val hotB = spark.sparkContext.broadcast(hotTerms.toSet)
+    val nSalts = cfg.nSalts
+    val saltUdf = udf { (term: String, docId: Long) =>
+      if (hotB.value.contains(term)) (java.lang.Long.remainderUnsigned(docId * 0x9e3779b97f4a7c15L, nSalts.toLong)).toInt
+      else 0
+    }
+    val keyed = postingsW
+      .withColumn("shard", pmod(col("docId"), lit(cfg.nShards)).cast("int"))
+      .withColumn("salt", saltUdf(col("term"), col("docId")))
+      .repartition(cfg.buildPartitions, col("term"), col("shard"), col("salt"))
+      .sortWithinPartitions("term", "shard", "salt", "docId")
+
+    // streaming run-length encoder; one pass, segment rows + per-partition
+    // lineage metrics via accumulator (tiny: one row per partition; deduped
+    // by partitionId against task retries)
+    val metricsAcc = spark.sparkContext.collectionAccumulator[(Int, Long, Long, Long, Long)]("buildMetrics")
+    val segRows = keyed
+      .select("term", "shard", "salt", "docId", "tf", "positions", "weight")
+      .as[(String, Int, Int, Long, Int, Array[Int], Int)]
+      .mapPartitions { it =>
+        val partId = org.apache.spark.TaskContext.getPartitionId()
+        val t0 = System.nanoTime()
+        var nTerms = 0L; var nPostings = 0L; var nBytes = 0L
+        val out = new scala.collection.mutable.ArrayBuffer[SegmentRow]()
+        var curKey: (String, Int, Int) = null
+        var pending = new scala.collection.mutable.ArrayBuffer[Posting]()
+        def flush(): Unit = {
+          if (curKey != null && pending.nonEmpty) {
+            val (blocks, df, cf) = PostingCodec.encode(pending.iterator, withPos, withW)
+            val rows = blocks.map(b => BlockRow(b.firstDoc, b.lastDoc, b.n, b.maxTf, b.data))
+            out += SegmentRow(curKey._2, curKey._1, curKey._3, df, cf, rows)
+            nTerms += 1; nPostings += df
+            nBytes += rows.map(_.data.length.toLong).sum
+            pending = new scala.collection.mutable.ArrayBuffer[Posting]()
+          }
+        }
+        new Iterator[SegmentRow] {
+          private var finished = false
+          private def fill(): Unit = {
+            while (out.isEmpty && it.hasNext) {
+              val (term, shard, salt, docId, tf, positions, weight) = it.next()
+              val key = (term, shard, salt)
+              if (curKey == null) curKey = key
+              else if (key != curKey) { flush(); curKey = key }
+              pending += Posting(docId, tf, positions, weight)
+            }
+            if (out.isEmpty && !it.hasNext && !finished) {
+              flush()
+              finished = true
+              metricsAcc.add((partId, nTerms, nPostings, nBytes,
+                (System.nanoTime() - t0) / 1000000L))
+            }
+          }
+          def hasNext: Boolean = { fill(); out.nonEmpty }
+          def next(): SegmentRow = { fill(); out.remove(0) }
+        }
+      }
+    segRows.toDF()
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/segments")
+
+    // lineage metrics (driver-side tiny write; dedupe retried tasks)
+    import scala.jdk.CollectionConverters._
+    val metricRows = metricsAcc.value.asScala.toSeq
+      .groupBy(_._1).map(_._2.head).toSeq
+      .map { case (p, t, po, b, e) => (p, t, po, b, e) }
+    spark.createDataset(metricRows)
+      .toDF("partitionId", "terms", "postings", "bytes", "elapsedMs")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/metrics")
+  }
+
+  /** Pre-tokenized build — the input mode for weighted vector columns
+    * (reference COLUMN_VECTOR|WITH_WEIGHT, groonga.h:323) and pre-tokenized
+    * content (the U+FFFE pre-tokenized delimiter, reference
+    * lib/tokenizers.c:101): the caller supplies the postings directly.
+    *
+    * @param docsMeta   docId + display/meta columns (the docs table)
+    * @param postingsIn (term, docId, tf, positions?, weight?) — missing
+    *                   positions/weight columns are filled with defaults
+    */
+  def buildFromPostings(
+      spark: SparkSession,
+      docsMeta: DataFrame,
+      postingsIn: DataFrame,
+      dir: String,
+      cfg: IndexConfig
+  ): IndexManifest = {
+    import spark.implicits._
+    val base = Paths.get(dir)
+    Files.createDirectories(base)
+    var postings = postingsIn
+    if (!postings.columns.contains("positions"))
+      postings = postings.withColumn("positions", array().cast("array<int>"))
+    if (!postings.columns.contains("weight"))
+      postings = postings.withColumn("weight", lit(0))
+
+    // docs: sha over the full row JSON (the content-digest invariant for
+    // tables whose "content" is structured rather than one text column)
+    val shaUdf = udf { (s: String) => Sha256.hex(s) }
+    val obs = org.apache.spark.sql.Observation(s"docStats_${System.identityHashCode(postingsIn)}")
+    docsMeta
+      .withColumn("sha256", shaUdf(to_json(struct(docsMeta.columns.map(col).toSeq: _*))))
+      .withColumn("shard", pmod(col("docId"), lit(cfg.nShards)).cast("int"))
+      .observe(obs,
+        count(lit(1)).as("n"),
+        sum(conv(substring(col("sha256"), 1, 8), 16, 10).cast("long")).as("shaSum"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/docs")
+    val m = obs.get
+    val numDocs = m("n").asInstanceOf[Long]
+    val shaSum = m("shaSum") match { case null => 0L; case v => v.asInstanceOf[Long] }
+
+    postings.groupBy("term")
+      .agg(count(lit(1)).as("df"), sum("tf").as("cf"))
+      .withColumn("rev", reverse(col("term")))
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/lexicon")
+    val lex = spark.read.parquet(s"$dir/lexicon")
+    val hotTerms: Array[String] =
+      lex.filter(col("df") >= cfg.hotTermDf).select("term").as[String].collect().sorted
+
+    // norms from the postings (doclen = Σ tf per doc)
+    postings
+      .withColumn("shard", pmod(col("docId"), lit(cfg.nShards)).cast("int"))
+      .groupBy("shard", "docId").agg(sum("tf").cast("int").as("doclen"))
+      .as[(Int, Long, Int)]
+      .groupByKey(_._1)
+      .mapGroups { (shard, it) =>
+        val arr = it.map(t => (t._2, t._3)).toArray.sortBy(_._1)
+        (shard, graft.codec.Norms.encode(arr.iterator))
+      }
+      .toDF("shard", "norms")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/norms")
+
+    encodeSegmentsStage(spark, postings, dir, cfg, hotTerms)
+
+    val tokStats = lex.agg(sum("cf")).collect()(0)
+    val totalTokens = if (tokStats.isNullAt(0)) 0L else tokStats.getLong(0)
+    val manifest = IndexManifest(
+      numDocs = numDocs,
+      avgDoclen = if (numDocs == 0) 0.0 else totalTokens.toDouble / numDocs,
+      totalTokens = totalTokens,
+      tokenizerName = cfg.tokenizerName,
+      withPositions = cfg.withPositions,
+      nShards = cfg.nShards,
+      nSalts = cfg.nSalts,
+      contentShaXor = shaSum,
+      hotTerms = hotTerms,
+      stagesDone = Seq("docs", "lexicon", "norms", "segments"),
+      withWeights = cfg.withWeights
+    )
     Files.writeString(base.resolve("manifest.json"), IndexManifest.toJson(manifest))
     manifest
   }

@@ -39,7 +39,7 @@ object Engine {
       .groupByKey(_.shard)
       .flatMapGroups { (_, rows) =>
         Searcher.evalShardMatch(qtoks, rows.toSeq, withPos, kind, delB.value)
-          .map { case (d, n) => ScoredDoc(d, n * weight) }
+          .map { case (d, n, ts) => ScoredDoc(d, (n + ts) * weight) }
       }
   }
 
@@ -98,11 +98,11 @@ object Engine {
     * whole normalized query as one prefix-expanded key) and then PARTIAL
     * (per-token prefix expansion, AND-folded), each time ADDing into the
     * result set (op OR semantics). The reference escalates by default at
-    * threshold 0; here escalation is opt-in (threshold >= 0) because each
-    * stage costs a count job — the `*E` pragma / select param enables it.
-    * PARTIAL divergence: the reference keeps phrase alignment across the
-    * expanded cursor heaps; we fold expanded token sets conjunctively with
-    * presence scores.
+    * threshold 0 (GRN_DEFAULT_MATCH_ESCALATION_THRESHOLD); the size probe
+    * is `limit(threshold+1).count()` so a stage's check never scans past
+    * threshold+1 hits. PARTIAL divergence: the reference keeps phrase
+    * alignment across the expanded cursor heaps; we fold expanded token
+    * sets conjunctively with presence scores.
     */
   def matchScoresEscalating(
       reader: IndexReader,
@@ -110,13 +110,16 @@ object Engine {
       threshold: Long,
       weight: Double = 1.0
   ): Dataset[ScoredDoc] = {
+    // bounded size probe: stop counting at threshold+1 (cheap when 0)
+    def moreThan(ds: Dataset[ScoredDoc], t: Long): Boolean =
+      ds.limit(math.min(t + 1, Int.MaxValue.toLong).toInt).count() > t
     val exact = matchScores(reader, text, PhraseMatch, weight)
     if (threshold < 0) return exact
-    if (exact.count() > threshold) return exact
+    if (moreThan(exact, threshold)) return exact
     val tokenizer = graft.analysis.Tokenizers.byName(reader.manifest.tokenizerName)
     val wholeKey = tokenizer.normalizer(text).text
     val withUnsplit = SetOps.or(exact, prefixSearch(reader, wholeKey))
-    if (withUnsplit.count() > threshold) return withUnsplit
+    if (moreThan(withUnsplit, threshold)) return withUnsplit
     val toks = Searcher.queryTokens(reader, text).map(_.term).distinct
     val partial = toks.map { t =>
       val spark = reader.spark

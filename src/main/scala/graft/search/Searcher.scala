@@ -76,7 +76,9 @@ object Searcher {
     * (reference lib/ii.c:6804-6973 token_info_skip), phrase check via
     * position alignment (one occurrence per full alignment), NEAR via a
     * min-heap position window (reference lib/ii.c:6900-6940 bt_push/bt_pop).
-    * Returns (docId, noccur) — caller applies score arithmetic.
+    * Returns (docId, noccur, tscore) — tscore is the summed weight of the
+    * matched postings (reference lib/ii.c:6984); caller applies
+    * `(noccur + tscore) * weight` score arithmetic.
     */
   def evalShardMatch(
       qtoks: Seq[QTok],
@@ -84,7 +86,7 @@ object Searcher {
       withPos: Boolean,
       kind: MatchKind,
       deleted: Long => Boolean = _ => false
-  ): Iterator[(Long, Int)] = {
+  ): Iterator[(Long, Int, Int)] = {
     val byTerm: Map[String, Array[Posting]] =
       segRows.groupBy(_.term).map { case (t, rs) => t -> mergeSalts(rs, withPos) }
     val uniq = qtoks.groupBy(_.term).toSeq // (term, offsets-with-dups)
@@ -98,7 +100,7 @@ object Searcher {
     val driver = lists.head._2
     val others = lists.tail.toArray
     val idx = new Array[Int](others.length)
-    val out = Vector.newBuilder[(Long, Int)]
+    val out = Vector.newBuilder[(Long, Int, Int)]
     val singleTerm = others.isEmpty && driverOffsets.size == 1
 
     var i = 0
@@ -163,7 +165,14 @@ object Searcher {
               }
               nearCount(buf.toArray, maxInterval)
           }
-        if (noccur > 0) out += ((docId, noccur))
+        if (noccur > 0) {
+          // tscore = summed posting weights of the matched entries
+          // (reference res_add tscore accumulation, lib/ii.c:6984)
+          var tscore = driver(i).weight
+          var q = 0
+          while (q < others.length) { tscore += others(q)._2(idx(q)).weight; q += 1 }
+          out += ((docId, noccur, tscore))
+        }
       }
       i += 1
     }

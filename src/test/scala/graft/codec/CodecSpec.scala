@@ -37,7 +37,7 @@ class CodecSpec extends AnyFunSuite {
       val (blocks, df, cf) = PostingCodec.encode(ps.iterator, withPositions = true)
       assert(df == ps.length)
       assert(cf == ps.map(_.tf.toLong).sum)
-      val decoded = PostingCodec.decode(blocks, withPositions = true).toVector
+      val decoded = PostingCodec.decode(blocks, wantPositions = true).toVector
       assert(decoded == ps)
     }
   }
@@ -48,7 +48,7 @@ class CodecSpec extends AnyFunSuite {
       val ps = randomPostings(rnd)
       val stripped = ps.map(p => p.copy(positions = Array.emptyIntArray))
       val (blocks, _, _) = PostingCodec.encode(ps.iterator, withPositions = false)
-      val decoded = PostingCodec.decode(blocks, withPositions = false).toVector
+      val decoded = PostingCodec.decode(blocks, wantPositions = false).toVector
       assert(decoded == stripped)
     }
   }
@@ -59,7 +59,7 @@ class CodecSpec extends AnyFunSuite {
       val ps = randomPostings(rnd)
       val (blocks, _, _) = PostingCodec.encode(ps.iterator, withPositions = true)
       blocks.foreach { b =>
-        val dec = PostingCodec.decodeBlock(b, withPositions = true)
+        val dec = PostingCodec.decodeBlock(b, wantPositions = true)
         assert(b.n == dec.length)
         assert(b.firstDoc == dec.head.docId)
         assert(b.lastDoc == dec.last.docId)

@@ -83,11 +83,12 @@ class SelectSpec extends AnyFunSuite {
   test("match escalation: 0-hit exact escalates to prefix expansion") {
     // "appl" is not a token; exact yields 0; UNSPLIT prefix-expands the
     // whole key against the lexicon -> apple docs (reference grn_ii_sel
-    // escalation, lib/ii.c:7212)
+    // escalation, lib/ii.c:7212). Threshold -1 disables; the DEFAULT is the
+    // reference's 0 (escalate only when empty).
     assert(hits(SelectParams(query = Some("appl"),
+      matchEscalationThreshold = -1L,
       outputColumns = Seq("_id", "_score"))).isEmpty)
     val esc = hits(SelectParams(query = Some("appl"),
-      matchEscalationThreshold = 0L,
       outputColumns = Seq("_id", "_score")))
     assert(esc.map(_._1) == Seq(0L, 2L, 4L))
     // *E pragma enables it per-query

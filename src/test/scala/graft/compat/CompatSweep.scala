@@ -1,0 +1,70 @@
+package graft.compat
+
+import graft.SparkTestBase
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+/** Sweep EVERY reference select fixture whose command set the runner
+  * supports, record pass / mismatch / unsupported per fixture, and write
+  * `target/compat_sweep.tsv`. Used to freeze the passing list asserted by
+  * CompatSpec and to report coverage honestly in COVERAGE.md.
+  *
+  * Run: sbt "Test/runMain graft.compat.CompatSweep [maxFixtures]"
+  */
+object CompatSweep {
+
+  def main(args: Array[String]): Unit = {
+    val max = if (args.nonEmpty) args(0).toInt else Int.MaxValue
+    val suite = Paths.get("/root/reference/test/command/suite")
+    val spark = SparkTestBase.spark
+
+    val supported = Set("table_create", "column_create", "load", "select")
+    val fixtures = Files.walk(suite.resolve("select")).iterator().asScala
+      .filter(p => p.toString.endsWith(".test"))
+      .filter { p =>
+        // command lines start with a lowercase identifier; everything else
+        // (load JSON rows, comments, directives) is not a command
+        val cmds = Files.readString(p).replace("\\\n", " ").split('\n')
+          .map(_.trim)
+          .filter(l => l.nonEmpty && l.head.isLetter)
+          .map(_.takeWhile(c => c.isLetter || c == '_')).toSet
+        cmds.nonEmpty && cmds.subsetOf(supported)
+      }
+      .map(p => suite.relativize(p).toString.stripSuffix(".test"))
+      .toSeq.sorted.take(max)
+
+    System.err.println(s"sweeping ${fixtures.size} fixtures")
+    val out = new StringBuilder
+    var pass = 0; var fail = 0; var err = 0
+    val t0 = System.nanoTime()
+    fixtures.zipWithIndex.foreach { case (fx, i) =>
+      val test = s"$suite/$fx.test"
+      val expected = s"$suite/$fx.expected"
+      val status =
+        try {
+          if (!Files.exists(Paths.get(expected))) ("error", "no .expected")
+          else {
+            val outcomes = GrnTestRunner.run(spark, test, expected)
+            if (outcomes.isEmpty) ("error", "no selects")
+            else outcomes.find(!_.ok) match {
+              case None => ("pass", s"${outcomes.size} selects")
+              case Some(bad) => ("fail", bad.detail.replace('\n', ' ').take(200))
+            }
+          }
+        } catch {
+          case e: Throwable => ("error", s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).replace('\n', ' ').take(200)}")
+        }
+      status._1 match {
+        case "pass" => pass += 1
+        case "fail" => fail += 1
+        case _ => err += 1
+      }
+      out.append(s"${status._1}\t$fx\t${status._2}\n")
+      if ((i + 1) % 50 == 0)
+        System.err.println(f"[${i + 1}/${fixtures.size}] pass=$pass fail=$fail err=$err (${(System.nanoTime() - t0) / 1e9}%.0fs)")
+    }
+    Files.createDirectories(Paths.get("target"))
+    Files.writeString(Paths.get("target/compat_sweep.tsv"), out.toString)
+    println(s"PASS=$pass FAIL=$fail ERROR=$err of ${fixtures.size}")
+  }
+}

@@ -28,14 +28,15 @@ object GrnTestRunner {
       tokenizer: Option[String],
       normalizer: Option[String],
       columns: mutable.LinkedHashMap[String, String] = mutable.LinkedHashMap(),
-      rows: mutable.ArrayBuffer[Map[String, JsonNode]] = mutable.ArrayBuffer())
+      rows: mutable.ArrayBuffer[Map[String, JsonNode]] = mutable.ArrayBuffer(),
+      vectorCols: mutable.Set[String] = mutable.Set())
 
   final case class IndexDef(lexicon: String, srcTable: String, srcCol: String, withPosition: Boolean)
 
   sealed trait Cmd
   final case class CTable(d: TableDef) extends Cmd
   final case class CColumn(table: String, name: String, flags: String, range: String, sources: Seq[String]) extends Cmd
-  final case class CLoad(table: String, json: String) extends Cmd
+  final case class CLoad(table: String, columns: Option[Seq[String]], json: String) extends Cmd
   final case class CSelect(args: Map[String, String], table: String) extends Cmd
 
   /** Split a command line into args, honoring single/double quotes. */
@@ -60,10 +61,27 @@ object GrnTestRunner {
     out.toSeq
   }
 
+  /** grntest include base (paths in `#@include` are relative to it). */
+  private val includeBase = java.nio.file.Paths.get("/root/reference/test/command")
+
+  /** Recursively expand `#@include <path>` directives (fixture DDL/load). */
+  def expandIncludes(text: String, depth: Int = 0): String = {
+    require(depth < 10, "include loop")
+    text.split('\n').map { line =>
+      val t = line.trim
+      if (t.startsWith("#@include ")) {
+        val p = includeBase.resolve(t.stripPrefix("#@include ").trim)
+        if (java.nio.file.Files.exists(p))
+          expandIncludes(java.nio.file.Files.readString(p), depth + 1)
+        else line
+      } else line
+    }.mkString("\n")
+  }
+
   /** Parse a .test file into commands. */
   def parseTest(text: String): Seq[Cmd] = {
     // join backslash continuations
-    val joined = text.replace("\\\n", " ")
+    val joined = expandIncludes(text).replace("\\\n", " ")
     val lines = joined.split('\n').iterator.buffered
     val cmds = mutable.ArrayBuffer[Cmd]()
     while (lines.hasNext) {
@@ -86,6 +104,8 @@ object GrnTestRunner {
               if (args.size > 5) args.drop(5) else Seq.empty)
           case "load" =>
             val table = args.sliding(2).collectFirst { case Seq("--table", v) => v }.get
+            val loadCols = args.sliding(2).collectFirst { case Seq("--columns", v) => v }
+              .map(_.split(",").map(_.trim).toSeq)
             val sb = new StringBuilder
             var depth = 0
             var started = false
@@ -97,7 +117,7 @@ object GrnTestRunner {
               }
               sb.append(l).append('\n')
             }
-            cmds += CLoad(table, sb.toString)
+            cmds += CLoad(table, loadCols, sb.toString)
           case "select" =>
             val kv = mutable.Map[String, String]()
             var table = if (args.size > 1 && !args(1).startsWith("--")) args(1) else ""
@@ -176,23 +196,48 @@ object GrnTestRunner {
         if (flags.contains("COLUMN_INDEX")) {
           if (sources.nonEmpty)
             indexes += IndexDef(table, range, sources.head, flags.contains("WITH_POSITION"))
-        } else tables(table).columns(name) = range
-      case CLoad(table, json) =>
+        } else {
+          tables(table).columns(name) = range
+          if (flags.contains("COLUMN_VECTOR")) tables(table).vectorCols += name
+        }
+      case CLoad(table, loadCols, json) =>
         val arr = mapper.readTree(json)
-        arr.elements().asScala.foreach { obj =>
-          val m = obj.fields().asScala.map(e => e.getKey -> e.getValue).toMap
+        val elems = arr.elements().asScala.toSeq
+        // array-of-arrays form: values are positional — column names come
+        // from --columns, else from a header row (reference lib/db.c:13568)
+        val (header, dataRows) = loadCols match {
+          case Some(cs) => (Some(cs), elems)
+          case None if elems.nonEmpty && elems.head.isArray =>
+            (Some(elems.head.elements().asScala.map(_.asText).toSeq), elems.tail)
+          case None => (None, elems)
+        }
+        dataRows.foreach { obj =>
+          val m: Map[String, JsonNode] =
+            if (obj.isArray) {
+              val vals = obj.elements().asScala.toSeq
+              header.getOrElse(Seq.empty).zip(vals).toMap
+            } else obj.fields().asScala.map(e => e.getKey -> e.getValue).toMap
           tables(table).rows += m
         }
       case CSelect(args, tableName) =>
         selectN += 1
         val exp = if (selectN < selectEnvelopes.size) selectEnvelopes(selectN) else null
         val q = args.toString
+        // error-envelope fixtures (rc != 0): the reference REJECTED the
+        // query — rank-identity there means we reject too
+        val expRc: Int =
+          try { if (exp != null) exp.get(0).get(0).asInt else 0 } catch { case _: Throwable => 0 }
         try {
           val got = execSelect(spark, tables, indexes.toSeq, args, tableName)
-          outcomes += compare(got, exp, q)
+          outcomes +=
+            (if (expRc != 0)
+              SelectOutcome(q, ok = false, s"we accepted a query the reference rejects (rc=$expRc)")
+            else compare(got, exp, q))
         } catch {
           case e: Throwable =>
-            outcomes += SelectOutcome(q, ok = false, s"exception: ${e.getMessage}")
+            outcomes +=
+              (if (expRc != 0) SelectOutcome(q, ok = true, s"both reject (rc=$expRc)")
+              else SelectOutcome(q, ok = false, s"exception: ${e.getMessage}"))
         }
     }
     outcomes.toSeq
@@ -235,9 +280,13 @@ object GrnTestRunner {
         })
     var docs = spark.createDataFrame(rows.asJava, StructType(fields))
 
-    // index over the match column, if an index def exists for this table
+    // index over the match column, if an index def exists for this table;
+    // an adjuster's target column needs its index even without a query
+    val adjusterCol = args.get("adjuster")
+      .flatMap(a => "^\\s*([\\w.]+)\\s*@".r.findFirstMatchIn(a).map(_.group(1)))
     val matchCol = args.get("match_columns")
       .map(_.split("\\*")(0).trim) // "content * 2" weight form: take the column
+      .orElse(adjusterCol)
       .orElse(indexes.find(_.srcTable == tableName).map(_.srcCol))
     val idxDef = indexes.find(ix => ix.srcTable == tableName &&
       matchCol.forall(_ == ix.srcCol))
@@ -250,26 +299,162 @@ object GrnTestRunner {
         val tok = lex.flatMap(_.tokenizer).getOrElse("TokenDelimit") +
           (if (lex.exists(l => l.tokenizer.isDefined && l.normalizer.isEmpty)) ":none" else "")
         val dir = java.nio.file.Files.createTempDirectory("graft_compat_").toString
-        val srcCol = ix.map(_.srcCol).getOrElse(colNames.head)
-        val buildDocs = docs.withColumnRenamed(srcCol, "content")
-        IndexBuilder.build(spark, buildDocs, dir, IndexConfig(
-          tokenizerName = tok,
-          withPositions = ix.forall(_.withPosition),
-          nShards = 2, buildPartitions = 2, hotTermDf = 1000000L,
-          nSalts = 1))
-        new IndexReader(spark, dir) {
-          override lazy val docs: DataFrame = spark.read.parquet(s"$dir/docs")
-            .withColumnRenamed("content", srcCol)
+        val srcCol = ix.map(_.srcCol)
+          .orElse(colNames.headOption)
+          .getOrElse("_key") // key-only table: the key is the content
+        if (td.vectorCols.contains(srcCol)) {
+          // vector (possibly weighted) column: each element is one token —
+          // build from explicit postings (reference indexes vector elements
+          // separately, lib/ii.c:8748-8788; weights via WITH_WEIGHT)
+          val postingRows = td.rows.zipWithIndex.flatMap { case (m, i0) =>
+            val id = (i0 + 1).toLong
+            m.get(srcCol).toSeq.flatMap { node =>
+              val elems: Seq[(String, Int)] =
+                if (node.isArray) node.elements().asScala.map(e => (e.asText, 0)).toSeq
+                else if (node.isObject) node.fields().asScala.map(e => (e.getKey, e.getValue.asInt)).toSeq
+                else Seq((node.asText, 0))
+              elems.zipWithIndex.groupBy(_._1._1).toSeq.map { case (t, occ) =>
+                Row(t, id, occ.size, occ.map(_._2), occ.map(_._1._2).sum)
+              }
+            }
+          }.toSeq
+          val pSchema = StructType(Seq(
+            StructField("term", StringType), StructField("docId", LongType),
+            StructField("tf", IntegerType),
+            StructField("positions", ArrayType(IntegerType)),
+            StructField("weight", IntegerType)))
+          IndexBuilder.buildFromPostings(spark,
+            docs.withColumnRenamed(srcCol, s"__v_$srcCol"),
+            spark.createDataFrame(postingRows.asJava, pSchema), dir,
+            IndexConfig(tokenizerName = "TokenDelimit", withPositions = true,
+              withWeights = true, nShards = 2, buildPartitions = 2,
+              hotTermDf = 1000000L, nSalts = 1))
+          new IndexReader(spark, dir) {
+            override lazy val docs: DataFrame = spark.read.parquet(s"$dir/docs")
+              .withColumnRenamed(s"__v_$srcCol", srcCol)
+          }
+        } else {
+          // avoid a name collision when the table has its own `content`
+          // column and the indexed source is a different column
+          val clash = srcCol != "content" && docs.columns.contains("content")
+          val pre = if (clash) docs.withColumnRenamed("content", "__content") else docs
+          val buildDocs0 = pre.withColumnRenamed(srcCol, "content")
+          // tables with no usable text column (key-only/no-column tables):
+          // index an empty content so the docs/scan machinery still works
+          val buildDocs =
+            if (buildDocs0.columns.contains("content")) buildDocs0
+            else buildDocs0.withColumn("content", lit(""))
+          IndexBuilder.build(spark, buildDocs, dir, IndexConfig(
+            tokenizerName = tok,
+            withPositions = ix.forall(_.withPosition),
+            nShards = 2, buildPartitions = 2, hotTermDf = 1000000L,
+            nSalts = 1))
+          new IndexReader(spark, dir) {
+            override lazy val docs: DataFrame = {
+              val d = spark.read.parquet(s"$dir/docs").withColumnRenamed("content", srcCol)
+              if (clash) d.withColumnRenamed("__content", "content") else d
+            }
+          }
         }
       } else null
 
-    // translate --filter script syntax to a Catalyst expression
-    val filterCol = args.get("filter").map { f =>
-      // script-syntax → Catalyst SQL: the operator spellings differ, the
-      // semantics (for this subset) match
-      expr(f.replace("&!", " AND NOT ").replace("&&", " AND ")
-        .replace("||", " OR ").replace("==", " = ").replace("!(", " NOT ("))
+    // script-syntax → Catalyst SQL: operator spellings differ, the
+    // semantics (for this subset) match; 3-arg geo calls route to the
+    // _approx UDF registrations (no UDF overloading in Spark)
+    graft.functions.GrnGeo.register(spark)
+    def translate(f0: String): String = {
+      var s = f0.replace("&!", " AND NOT ").replace("&&", " AND ")
+        .replace("||", " OR ").replace("==", " = ").replace("!(", " NOT (")
+      s = s.replaceAll(
+        "geo_distance\\(([^()]*?),\\s*\"(rect|rectangle|sphr|sphere|ellip|ellipsoid)\"\\)",
+        "geo_distance_approx($1, \"$2\")")
+      s = s.replaceAll(
+        "geo_in_circle\\(([^()]*?),\\s*\"(rect|rectangle|sphr|sphere|ellip|ellipsoid)\"\\)",
+        "geo_in_circle_approx($1, \"$2\")")
+      // sequential match-family operators in script filters (reference
+      // lib/expr.c:5367 non-indexed exec): @ substring, @^ prefix,
+      // @$ suffix, @~ regexp — order matters (@^ before @)
+      s = s.replaceAll(
+        "([\\w.]+)\\s*@\\^\\s*\"([^\"]*)\"",
+        "startswith(lower($1), lower(\"$2\"))")
+      s = s.replaceAll(
+        "([\\w.]+)\\s*@\\$\\s*\"([^\"]*)\"",
+        "endswith(lower($1), lower(\"$2\"))")
+      s = s.replaceAll(
+        "([\\w.]+)\\s*@~\\s*\"([^\"]*)\"",
+        "($1 RLIKE \"$2\")")
+      s = s.replaceAll(
+        "([\\w.]+)\\s*@\\s*\"([^\"]*)\"",
+        "contains(lower($1), lower(\"$2\"))")
+      // in_values(col, v...) → col IN (v...) (reference lib/proc.c:4052)
+      s = s.replaceAll("in_values\\(([\\w.]+),\\s*([^()]*)\\)", "($1 IN ($2))")
+      // pseudo-column _id → our docId surrogate
+      s = s.replaceAll("\\b_id\\b", "docId")
+      // between(col, min, "include|exclude", max, "include|exclude")
+      // (reference lib/proc.c:3736 border semantics)
+      val betweenRe =
+        "between\\(([\\w.]+),\\s*([^,()]+),\\s*\"(include|exclude)\",\\s*([^,()]+),\\s*\"(include|exclude)\"\\)".r
+      s = betweenRe.replaceAllIn(s, mm => {
+        val c = mm.group(1)
+        val lo = mm.group(2).trim; val loOp = if (mm.group(3) == "include") ">=" else ">"
+        val hi = mm.group(4).trim; val hiOp = if (mm.group(5) == "include") "<=" else "<"
+        s"($c $loOp $lo AND $c $hiOp $hi)"
+      })
+      s = s.replace("all_records()", "true")
+      s
     }
+    val filterCol = args.get("filter").map { f =>
+      val t = translate(f)
+      // bare geo_in_* predicate used as the whole filter: int → boolean
+      val wrapped = if (t.trim.matches("^geo_in_\\w+\\([^=<>!]*\\)$")) s"($t) != 0" else t
+      expr(wrapped)
+    }
+    // _score is Int32 in the reference (command_version 1/2): scorer
+    // assignment truncates toward zero — CAST AS LONG reproduces that
+    val scorer = args.get("scorer")
+      .map(s => translate(s.trim.stripPrefix("_score").trim.stripPrefix("=").trim))
+      .map(s => s"CAST(($s) AS BIGINT)")
+
+    // condition keywords for snippet/highlight output functions
+    // (reference proc_snippet.c:234 pulls keywords from the select condition)
+    val keywords: Seq[String] = args.get("query").toSeq.flatMap { q =>
+      try {
+        def collect(n: graft.query.QueryParser.Node): Seq[String] = n match {
+          case graft.query.QueryParser.Match(t, _) => Seq(t)
+          case graft.query.QueryParser.ColPred(_, "@", v) => Seq(v)
+          case graft.query.QueryParser.And(l, r) => collect(l) ++ collect(r)
+          case graft.query.QueryParser.Or(l, r) => collect(l) ++ collect(r)
+          case graft.query.QueryParser.AndNot(l, _) => collect(l)
+          case graft.query.QueryParser.Adjust(l, _, _) => collect(l)
+          case _ => Seq.empty
+        }
+        collect(graft.query.QueryParser.parse(q).root)
+      } catch { case _: Throwable => q.split("\\s+").toSeq }
+    }
+    val kws = keywords
+    spark.udf.register("snippet_html", (t: String) => {
+      val r = graft.functions.TextFunctions.snippetOf(
+        t, kws, 200, 3, "<span class=\"keyword\">", "</span>")
+      if (r.isEmpty) null else r
+    })
+    spark.udf.register("highlight_html", (t: String) =>
+      graft.functions.TextFunctions.highlightHtmlOf(t, kws))
+
+    def splitTop(s: String): Seq[String] = {
+      // split on commas at paren depth 0
+      val out = mutable.ArrayBuffer[String]()
+      val sb = new StringBuilder; var depth = 0
+      s.foreach { c =>
+        if (c == '(') { depth += 1; sb.append(c) }
+        else if (c == ')') { depth -= 1; sb.append(c) }
+        else if (c == ',' && depth == 0) { out += sb.toString.trim; sb.clear() }
+        else sb.append(c)
+      }
+      if (sb.nonEmpty) out += sb.toString.trim
+      out.toSeq
+    }
+    val outCols: Seq[String] = args.get("output_columns").map(splitTop).getOrElse(Seq("*"))
+    val useExprCols = outCols.exists(_.contains('('))
 
     val sortby = args.get("sortby").orElse(args.get("sort_keys"))
       .map(_.split(",").map(_.trim).toSeq).getOrElse(Seq("_id"))
@@ -277,10 +462,12 @@ object GrnTestRunner {
       query = args.get("query"),
       matchColumns = matchCol.toSeq,
       filter = filterCol,
-      sortby = sortby,
+      scorer = scorer,
+      adjuster = args.get("adjuster"),
+      sortby = sortby.map(translate),
       offset = args.get("offset").map(_.toInt).getOrElse(0),
       limit = args.get("limit").map(_.toInt).getOrElse(10),
-      outputColumns = Seq("*"))
+      outputColumns = if (useExprCols) outCols.map(translate) else Seq("*"))
 
     val res =
       if (reader != null) Select.run(reader, params)
@@ -317,10 +504,15 @@ object GrnTestRunner {
     val (gotCount, gotRows, gotCols) = got
     if (gotCount != expCount)
       return SelectOutcome(q, ok = false, s"count: got $gotCount want $expCount")
-    // project our rows onto the expected schema
+    // project our rows onto the expected schema; function output columns
+    // are named by function in the envelope ("snippet_html") but aliased by
+    // full expression on our side — prefix-match those
     val colIdx = schema.map {
-      case "_id" => gotCols.indexOf("docId")
-      case c => gotCols.indexOf(c)
+      case "_id" if !gotCols.contains("_id") => gotCols.indexOf("docId")
+      case c =>
+        val direct = gotCols.indexOf(c)
+        if (direct >= 0) direct
+        else gotCols.indexWhere(_.startsWith(c + "("))
     }
     if (colIdx.contains(-1))
       return SelectOutcome(q, ok = false,
@@ -328,6 +520,9 @@ object GrnTestRunner {
     def norm(v: Any): String = v match {
       case d: Double => if (d == d.floor && !d.isInfinite) d.toLong.toString else f"$d%.6f"
       case null => "null"
+      case s: scala.collection.Seq[_] =>
+        // arrays compare as compact JSON, same as the envelope's node text
+        mapper.writeValueAsString(s.map(_.toString).asJava)
       case x => x.toString
     }
     val projected = gotRows.map(r => colIdx.map(i => norm(r(i))).mkString(" "))
