@@ -78,23 +78,42 @@ object GrnGeo {
     * lib/geo.c grn_geo_in_circle; int result so fixture `> 0` comparisons
     * typecheck through Catalyst).
     */
+  private val MaxLatMsec = 90.0 * Resolution
+  private val MaxLonMsec = 180.0 * Resolution
+
+  private def validPoint(s: String): Boolean =
+    try {
+      val (la, lo) = parseMsec(s)
+      math.abs(la) <= MaxLatMsec && math.abs(lo) <= MaxLonMsec
+    } catch { case _: Exception => false }
+
+  /** Invalid arguments are a SOFT error in the reference (rc 0, error log,
+    * empty result — the geo_in_rectangle invalid-bounds fixtures):
+    * predicates simply match nothing.
+    */
   def inCircle(p: String, center: String, radiusM: Double, approx: String): Int =
-    if (p != null && distance(p, center, approx) <= radiusM) 1 else 0
+    try {
+      if (p != null && validPoint(p) && validPoint(center) &&
+        distance(p, center, approx) <= radiusM) 1
+      else 0
+    } catch { case _: Exception => 0 }
 
   /** geo_in_rectangle(point, topLeft, bottomRight) → 1/0 (reference
     * grn_geo_in_rectangle_raw lib/geo.c:2170: latitude inclusive both ends;
     * longitude inclusive, with dateline wrap when left > right).
     */
   def inRectangle(p: String, topLeft: String, bottomRight: String): Int = {
-    if (p == null) return 0
-    val (la, lo) = parseMsec(p)
-    val (tla, tlo) = parseMsec(topLeft)
-    val (bla, blo) = parseMsec(bottomRight)
-    if (la > tla || la < bla) return 0
-    val lonOk =
-      if (tlo > blo) lo >= tlo || lo <= blo // wrapped across the dateline
-      else lo >= tlo && lo <= blo
-    if (lonOk) 1 else 0
+    try {
+      if (p == null || !validPoint(p) || !validPoint(topLeft) || !validPoint(bottomRight)) return 0
+      val (la, lo) = parseMsec(p)
+      val (tla, tlo) = parseMsec(topLeft)
+      val (bla, blo) = parseMsec(bottomRight)
+      if (la > tla || la < bla) return 0
+      val lonOk =
+        if (tlo > blo) lo >= tlo || lo <= blo // wrapped across the dateline
+        else lo >= tlo && lo <= blo
+      if (lonOk) 1 else 0
+    } catch { case _: Exception => 0 }
   }
 
   /** Register the family as session UDFs for script-syntax filters/scorers

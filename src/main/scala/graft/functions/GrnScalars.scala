@@ -1,0 +1,48 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+
+/** Scalar functions from the reference's proc registry (lib/proc.c:5126+)
+  * that script-syntax filters can call, registered as session UDFs.
+  */
+object GrnScalars {
+
+  /** Levenshtein distance (reference edit_distance,
+    * lib/proc/proc_fuzzy_search.c:94).
+    */
+  def editDistance(a0: String, b0: String): Int = {
+    val a = if (a0 == null) "" else a0
+    val b = if (b0 == null) "" else b0
+    val n = a.length; val m = b.length
+    if (n == 0) return m
+    if (m == 0) return n
+    var prev = Array.tabulate(m + 1)(identity)
+    var cur = new Array[Int](m + 1)
+    var i = 1
+    while (i <= n) {
+      cur(0) = i
+      var j = 1
+      while (j <= m) {
+        val cost = if (a.charAt(i - 1) == b.charAt(j - 1)) 0 else 1
+        cur(j) = math.min(math.min(cur(j - 1) + 1, prev(j) + 1), prev(j - 1) + cost)
+        j += 1
+      }
+      val t = prev; prev = cur; cur = t
+      i += 1
+    }
+    prev(m)
+  }
+
+  def htmlUntag(s: String): String =
+    if (s == null) null else s.replaceAll("<[^>]*>", "")
+
+  def register(spark: SparkSession): Unit = {
+    spark.udf.register("edit_distance", (a: String, b: String) => editDistance(a, b))
+    spark.udf.register("html_untag", (s: String) => htmlUntag(s))
+    // fuzzy_search as a sequential predicate: value within max_distance 1
+    // (reference proc_fuzzy_search defaults; int result so `> 0` typechecks)
+    spark.udf.register("fuzzy_search",
+      (v: String, q: String) => if (v != null && editDistance(v, q) <= 1) 1 else 0)
+    spark.udf.register("string_length", (s: String) => if (s == null) 0 else s.codePointCount(0, s.length))
+  }
+}

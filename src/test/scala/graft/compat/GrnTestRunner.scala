@@ -362,6 +362,7 @@ object GrnTestRunner {
     // semantics (for this subset) match; 3-arg geo calls route to the
     // _approx UDF registrations (no UDF overloading in Spark)
     graft.functions.GrnGeo.register(spark)
+    graft.functions.GrnScalars.register(spark)
     def translate(f0: String): String = {
       var s = f0.replace("&!", " AND NOT ").replace("&&", " AND ")
         .replace("||", " OR ").replace("==", " = ").replace("!(", " NOT (")
@@ -401,6 +402,13 @@ object GrnTestRunner {
         s"($c $loOp $lo AND $c $hiOp $hi)"
       })
       s = s.replace("all_records()", "true")
+      // variadic SCALAR max/min (reference lib/proc.c:2914,2969) — Spark's
+      // max/min are aggregates; greatest/least are the scalar forms
+      // (single-argument calls duplicate the operand)
+      s = s.replaceAll("\\bmax\\(([^,()]+)\\)", "greatest($1, $1)")
+      s = s.replaceAll("\\bmin\\(([^,()]+)\\)", "least($1, $1)")
+      s = s.replaceAll("\\bmax\\(", "greatest(")
+      s = s.replaceAll("\\bmin\\(", "least(")
       s
     }
     val filterCol = args.get("filter").map { f =>
