@@ -520,8 +520,9 @@ object SparkEntry {
 
     "sel_drilldown" ->
       s"""WITH a AS ${tfOf("spark")}
-         |SELECT d.lang, count(*) AS _nsubrecs, sum(d.n_chars) AS sum_chars,
-         | max(d.n_chars) AS max_chars
+         |SELECT d.lang, count(*) AS _nsubrecs,
+         | CAST(sum(d.n_chars) AS BIGINT) AS sum_chars,
+         | CAST(max(d.n_chars) AS BIGINT) AS max_chars
          |FROM a JOIN documents d USING (doc_id) WHERE a.tf > 0
          |GROUP BY d.lang ORDER BY lang""".stripMargin,
 

@@ -85,21 +85,25 @@ object Select {
       q => QueryExec.run(reader, q, p.matchColumns.headOption,
         p.matchEscalationThreshold).toDF("docId", "_score"),
       p,
-      adjust = p.adjuster.map(spec => applyAdjuster(reader, spec, _)))
+      // single-index mode: every adjuster clause resolves to the one index
+      // (the caller is responsible for it covering the clause's column)
+      adjust = p.adjuster.map(spec => applyAdjuster(_ => reader, spec, _)))
 
   /** Parse and apply an adjuster spec against `scored` (docId, _score):
     * each `col @ "value" * factor` clause contributes factor*tf for member
-    * docs; clauses combine additively (reference OP_ADJUST accumulation).
+    * docs, matched against THAT column's index (reference proc_select.c:125
+    * resolves the clause target through the column's index); clauses combine
+    * additively (OP_ADJUST accumulation).
     */
   private val adjusterClause =
     """\s*([\w.]+)\s*@\s*"([^"]*)"(?:\s*\*\s*(\d+(?:\.\d+)?))?\s*""".r
 
-  private def applyAdjuster(reader: IndexReader, spec: String, scored: DataFrame): DataFrame = {
+  private def applyAdjuster(byCol: String => IndexReader, spec: String, scored: DataFrame): DataFrame = {
     // split on + outside quotes
     val parts = spec.split("""\+(?=(?:[^"]*"[^"]*")*[^"]*$)""").toSeq
     val boosts = parts.map {
-      case adjusterClause(_, value, factor) =>
-        graft.search.Engine.matchScores(reader, value,
+      case adjusterClause(colName, value, factor) =>
+        graft.search.Engine.matchScores(byCol(colName), value,
           weight = Option(factor).map(_.toDouble).getOrElse(1.0))
       case other => throw new IllegalArgumentException(s"bad adjuster clause: $other")
     }
@@ -121,8 +125,13 @@ object Select {
         p.matchEscalationThreshold).toDF("docId", "_score"),
       p,
       adjust = p.adjuster.map { sp => (scored: DataFrame) =>
-        // adjuster clauses name their target column → that section's index
-        applyAdjuster(sidx.primary, sp, scored)
+        // adjuster clauses name their target column → that section's index;
+        // error when no index section exists for it (reference behavior:
+        // an adjuster needs the column's index)
+        applyAdjuster(c => sidx.readers.getOrElse(c,
+          throw new IllegalArgumentException(
+            s"adjuster column $c has no index section (have: ${sidx.sectionNames.mkString(",")})")),
+          sp, scored)
       })
   }
 

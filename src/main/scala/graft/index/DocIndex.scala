@@ -18,7 +18,7 @@ object DocIndex {
 
   def indexDir(sfDir: String): String = {
     val tag = sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
-    s"${sys.props("java.io.tmpdir")}/graft-docindex-v3/$tag"
+    s"${sys.props("java.io.tmpdir")}/graft-docindex-v4/$tag"
   }
 
   def reader(spark: SparkSession, sfDir: String): IndexReader = synchronized {
@@ -46,7 +46,7 @@ object DocIndex {
   def regexReader(spark: SparkSession, sfDir: String): IndexReader = synchronized {
     rxCache.getOrElseUpdate(sfDir, {
       val tag = sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
-      val dir = s"${sys.props("java.io.tmpdir")}/graft-docindex-rx-v1/$tag"
+      val dir = s"${sys.props("java.io.tmpdir")}/graft-docindex-rx-v2/$tag"
       if (!Files.exists(Paths.get(dir, "manifest.json"))) {
         val docs = spark.read.parquet(s"$sfDir/documents.parquet")
           .select(col("doc_id").as("docId"), col("text").as("content"))
@@ -67,7 +67,7 @@ object DocIndex {
   def sectionedReader(spark: SparkSession, sfDir: String): SectionedReader = synchronized {
     secCache.getOrElseUpdate(sfDir, {
       val tag = sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
-      val dir = s"${sys.props("java.io.tmpdir")}/graft-docindex-sec-v1/$tag"
+      val dir = s"${sys.props("java.io.tmpdir")}/graft-docindex-sec-v2/$tag"
       if (!Files.exists(Paths.get(dir, "_sections"))) {
         val docs = spark.read.parquet(s"$sfDir/documents.parquet")
           .select(col("doc_id").as("docId"), col("text"),

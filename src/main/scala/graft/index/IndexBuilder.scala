@@ -47,10 +47,18 @@ final case class IndexManifest(
     contentShaXor: Long,
     hotTerms: Array[String],
     stagesDone: Seq[String],
-    withWeights: Boolean = false
+    withWeights: Boolean = false,
+    /** Posting-payload layout version (see [[graft.codec.PostingCodec]]).
+      * Readers refuse mismatched versions instead of decoding garbage —
+      * v2 payloads (byte 0 = varint n) alias the v3 flag byte silently.
+      */
+    formatVersion: Int = IndexManifest.FormatVersion
 )
 
 object IndexManifest {
+  /** Current posting-payload layout: flag byte + varint streams. */
+  val FormatVersion = 3
+
   // dependency-free JSON (values are numbers/strings/flat arrays)
   def toJson(m: IndexManifest): String = {
     def js(s: String) = "\"" + s.flatMap {
@@ -58,6 +66,7 @@ object IndexManifest {
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
     } + "\""
     s"""{"numDocs":${m.numDocs},"avgDoclen":${m.avgDoclen},"totalTokens":${m.totalTokens},
+       |"formatVersion":${m.formatVersion},
        |"tokenizerName":${js(m.tokenizerName)},"withPositions":${m.withPositions},
        |"withWeights":${m.withWeights},
        |"nShards":${m.nShards},"nSalts":${m.nSalts},
@@ -94,7 +103,10 @@ object IndexManifest {
       contentShaXor = num("contentShaXor").toLong,
       hotTerms = arr("hotTerms"),
       stagesDone = arr("stagesDone").toSeq,
-      withWeights = s.contains("\"withWeights\":true")
+      withWeights = s.contains("\"withWeights\":true"),
+      // manifests written before versioning carry v2-or-older payloads
+      formatVersion =
+        if (s.contains("\"formatVersion\":")) num("formatVersion").toInt else 0
     )
   }
 }
@@ -165,10 +177,25 @@ object IndexBuilder {
           sum(conv(substring(col("sha256"), 1, 8), 16, 10).cast("long")).as("shaSum"))
         .write.mode(SaveMode.Overwrite).parquet(s"$dir/docs")
       val m = obs.get
-      markDone("docs", s"${m("n")} ${m("shaSum")}")
+      // empty corpus: the sha sum Observation is null — record 0
+      val shaOut = m("shaSum") match { case null => 0L; case v => v }
+      markDone("docs", s"${m("n")} $shaOut")
       lap("stage docs")
     }
-    val Array(numDocs, shaSum) = stagePayload("docs").split(" ").map(_.toLong)
+    // resume robustness: a marker written by an older build version (payload
+    // "ok") or otherwise unparseable falls back to recomputing the stats
+    // from the docs parquet instead of crashing
+    val (numDocs, shaSum) = stagePayload("docs").split(" ") match {
+      case Array(n, s) if n.matches("-?\\d+") && s.matches("-?\\d+") =>
+        (n.toLong, s.toLong)
+      case _ =>
+        val row = spark.read.parquet(s"$dir/docs").agg(
+          count(lit(1)),
+          sum(conv(substring(col("sha256"), 1, 8), 16, 10).cast("long"))).collect()(0)
+        val recomputed = (row.getLong(0), if (row.isNullAt(1)) 0L else row.getLong(1))
+        markDone("docs", s"${recomputed._1} ${recomputed._2}")
+        recomputed
+    }
     val docs = spark.read.parquet(s"$dir/docs")
 
     // ---- stages 2-4: lexicon, norms, segments ---------------------------

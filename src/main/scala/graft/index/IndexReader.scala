@@ -9,6 +9,12 @@ class IndexReader(val spark: SparkSession, val dir: String) extends Serializable
 
   val manifest: IndexManifest =
     IndexManifest.fromJson(Files.readString(Paths.get(dir, "manifest.json")))
+  // posting payloads are NOT self-describing across layout versions (a v2
+  // payload's first byte is a varint count that aliases the v3 flag byte) —
+  // fail loudly instead of decoding garbage
+  require(manifest.formatVersion == IndexManifest.FormatVersion,
+    s"index at $dir has posting-layout v${manifest.formatVersion}; this reader " +
+      s"requires v${IndexManifest.FormatVersion} — rebuild the index")
 
   /** Cached relation handle — file listing + schema resolve once per
     * session, so repeated queries only pay the pruned scan itself.
@@ -43,7 +49,7 @@ class IndexReader(val spark: SparkSession, val dir: String) extends Serializable
     this
   }
 
-  private def lexiconWarm(): Unit = { lexiconMap.size: Unit }
+  private def lexiconWarm(): Unit = { lexiconMapForServing().size: Unit }
 
   lazy val docs: DataFrame = spark.read.parquet(s"$dir/docs")
 
@@ -109,27 +115,46 @@ class IndexReader(val spark: SparkSession, val dir: String) extends Serializable
 
   lazy val metrics: DataFrame = spark.read.parquet(s"$dir/metrics")
 
-  /** Driver-cached lexicon stats: term -> (df, cf). The lexicon of a code
-    * corpus is orders of magnitude smaller than the postings (zipf); for
-    * corpora where it isn't, swap for the pruned-scan [[termStatsScan]].
+  /** Driver-cached full lexicon: term -> (df, cf). ONLY materialized by
+    * [[cacheForServing]] — a 10^12-doc corpus has hundreds of millions of
+    * terms; collecting them all to the driver is a serving-mode decision,
+    * never the default query path.
     */
-  private lazy val lexiconMap: Map[String, (Long, Long)] =
-    lexicon.collect()
-      .map(r => r.getString(r.fieldIndex("term")) ->
-        (r.getLong(r.fieldIndex("df")), r.getLong(r.fieldIndex("cf"))))
-      .toMap
+  @volatile private var lexiconMapCache: Map[String, (Long, Long)] = null
+  private def lexiconMapForServing(): Map[String, (Long, Long)] = {
+    if (lexiconMapCache == null)
+      lexiconMapCache = lexicon.collect()
+        .map(r => r.getString(r.fieldIndex("term")) ->
+          (r.getLong(r.fieldIndex("df")), r.getLong(r.fieldIndex("cf"))))
+        .toMap
+    lexiconMapCache
+  }
 
-  /** Global (df, cf) for query terms. */
-  def termStats(terms: Seq[String]): Map[String, (Long, Long)] =
-    terms.distinct.flatMap(t => lexiconMap.get(t).map(t -> _)).toMap
+  // per-term memo so repeated queries for the same terms never re-scan;
+  // negative results memoize too (absent term -> df 0)
+  private val termStatsMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[(Long, Long)]]()
 
-  /** Pruned-scan variant of [[termStats]] for lexicons too big to hold. */
-  def termStatsScan(terms: Seq[String]): Map[String, (Long, Long)] = {
-    lexicon.filter(col("term").isin(terms.distinct: _*))
-      .collect()
-      .map(r => r.getString(r.fieldIndex("term")) ->
-        (r.getLong(r.fieldIndex("df")), r.getLong(r.fieldIndex("cf"))))
-      .toMap
+  /** Global (df, cf) for query terms: a term-pruned lexicon scan (row-group
+    * min/max pruning on the sorted `term` column) of ONLY the terms not yet
+    * memoized — O(query terms), independent of lexicon size. When the full
+    * map was pinned by [[cacheForServing]] it answers from memory instead.
+    */
+  def termStats(terms: Seq[String]): Map[String, (Long, Long)] = {
+    val distinct = terms.distinct
+    val full = lexiconMapCache
+    if (full != null)
+      return distinct.flatMap(t => full.get(t).map(t -> _)).toMap
+    val missing = distinct.filterNot(termStatsMemo.containsKey)
+    if (missing.nonEmpty) {
+      val scanned = lexicon.filter(col("term").isin(missing: _*))
+        .collect()
+        .map(r => r.getString(r.fieldIndex("term")) ->
+          (r.getLong(r.fieldIndex("df")), r.getLong(r.fieldIndex("cf"))))
+        .toMap
+      missing.foreach(t => termStatsMemo.put(t, scanned.get(t)))
+    }
+    distinct.flatMap(t => termStatsMemo.get(t).map(t -> _)).toMap
   }
 
   /** Lexicon terms matching a prefix (sorted) — the PAT-trie descendant walk

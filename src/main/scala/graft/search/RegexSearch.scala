@@ -62,7 +62,9 @@ object RegexSearch {
   ): Dataset[ScoredDoc] = {
     val spark = docsReader.spark
     import spark.implicits._
-    val docs = docsReader.docs
+    // liveDocs, not docs: the Deletes contract (every query path subtracts
+    // the tombstone set) applies to both the scan and the candidate verify
+    val docs = docsReader.liveDocs
 
     def seqScan: Dataset[ScoredDoc] =
       docs.filter(col(colName).rlike(pattern))

@@ -74,8 +74,8 @@ object IncrementalIndex {
     require(dirs.nonEmpty, "nothing to compact")
     val manifests = dirs.map(d =>
       IndexManifest.fromJson(Files.readString(Paths.get(d, "manifest.json"))))
-    require(manifests.map(m => (m.tokenizerName, m.withPositions, m.nShards)).distinct.size == 1,
-      "incompatible index configs")
+    require(manifests.map(m => (m.tokenizerName, m.withPositions, m.nShards, m.withWeights)).distinct.size == 1,
+      "incompatible index configs (tokenizer/positions/shards/weights must match)")
     val m0 = manifests.head
     Files.createDirectories(Paths.get(outDir))
 
@@ -84,8 +84,19 @@ object IncrementalIndex {
       .reduce(_.unionByName(_, allowMissingColumns = true))
       .write.mode(SaveMode.Overwrite).parquet(s"$outDir/docs")
 
+    // tombstones carry forward: union the inputs' deletes so a merge never
+    // resurrects deleted docs (queries keep subtracting them until a
+    // Deletes.compact physically drops the rows)
+    val deleteDirs = dirs.filter(d => Files.exists(Paths.get(d, "deletes")))
+    if (deleteDirs.nonEmpty) {
+      deleteDirs.map(d => spark.read.parquet(s"$d/deletes"))
+        .reduce(_ unionByName _).distinct()
+        .write.mode(SaveMode.Overwrite).parquet(s"$outDir/deletes")
+    }
+
     // segments: merge posting lists per (term, shard, salt)
     val withPos = m0.withPositions
+    val withW = m0.withWeights
     val allSegs = dirs.map(d => spark.read.parquet(s"$d/segments").as[SegmentRow])
       .reduce(_ unionByName _)
     allSegs.groupByKey(r => (r.term, r.shard, r.salt))
@@ -97,7 +108,7 @@ object IncrementalIndex {
           val merged = all.iterator
             .flatMap(r => PostingCodec.decode(r.blocks.map(_.toBlock), withPos))
             .toArray.sortBy(_.docId)
-          val (blocks, df, cf) = PostingCodec.encode(merged.iterator, withPos)
+          val (blocks, df, cf) = PostingCodec.encode(merged.iterator, withPos, withW)
           SegmentRow(shard, term, salt, df, cf,
             blocks.map(b => BlockRow(b.firstDoc, b.lastDoc, b.n, b.maxTf, b.data)))
         }
@@ -147,7 +158,8 @@ object IncrementalIndex {
       nSalts = manifests.map(_.nSalts).max,
       contentShaXor = manifests.map(_.contentShaXor).sum,
       hotTerms = manifests.flatMap(_.hotTerms).distinct.sorted.toArray,
-      stagesDone = Seq("docs", "segments", "norms", "lexicon")
+      stagesDone = Seq("docs", "segments", "norms", "lexicon"),
+      withWeights = m0.withWeights
     )
     Files.writeString(Paths.get(outDir, "manifest.json"), IndexManifest.toJson(merged))
     merged
