@@ -292,6 +292,7 @@ object SparkEntry {
 
     "dd_minhash_bands" -> ((s, d) => Dedup.lshBands(
       Dedup.minhashSignatures(t(s, d, "documents")), bands = 16)
+      .select(col("doc_id"), col("band").cast("long").as("band"), col("bucket"))
       .orderBy("doc_id", "band")),
 
     "dd_lsh_pairs" -> ((s, d) => Dedup.lshCandidatePairs(Dedup.lshBands(
@@ -299,15 +300,30 @@ object SparkEntry {
       .orderBy("a", "b")),
 
     "dd_simhash" -> ((s, d) =>
-      Dedup.simhash(t(s, d, "documents")).orderBy("doc_id")),
+      Dedup.simhash(t(s, d, "documents"))
+        .select("doc_id", "sh_lo", "sh_hi").orderBy("doc_id")),
 
+    "dd_simhash_pairs" -> ((s, d) =>
+      Dedup.simhashPairs(Dedup.simhash(t(s, d, "documents")), maxDist = 3)
+        .select(col("a"), col("b"), col("hamming").cast("long").as("hamming"))
+        .orderBy("a", "b")),
+
+    // LSH candidates → pair-restricted exact Jaccard: the 100 TB shape
+    // (work ∝ candidates, never corpus²)
     "dd_ngram_jaccard" -> ((s, d) =>
-      Dedup.ngramJaccardPairs(t(s, d, "documents"), "source").orderBy("a", "b")),
+      Dedup.nearDupPairs(t(s, d, "documents")).orderBy("a", "b")),
 
     "sim_topk" -> ((s, d) => Similarity.cosineTopK(t(s, d, "embeddings"), 0L, 10)),
 
     "sim_lsh_buckets" -> ((s, d) => Similarity.lshBuckets(t(s, d, "embeddings"))
-      .groupBy("bucket").agg(count(lit(1)).as("n")).orderBy("bucket")),
+      .groupBy(col("bucket").cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n")).orderBy("bucket")),
+
+    "sim_lsh_topk" -> ((s, d) =>
+      Similarity.lshTopK(t(s, d, "embeddings"), 0L, 10, planes = 4, probeDist = 2)),
+
+    "sim_lsh_recall" -> ((s, d) =>
+      Similarity.lshRecallAtK(t(s, d, "embeddings"), 0L, 10, planes = 4, probeDist = 2)),
 
     "ta_quality" -> ((s, d) =>
       TextAnalysis.quality(t(s, d, "documents")).orderBy("doc_id")),
@@ -329,6 +345,69 @@ object SparkEntry {
     "words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)"
   private def tfOf(term: String): String =
     s"(SELECT doc_id, len(list_filter(string_split(text, ' '), x -> x = '$term')) AS tf FROM documents)"
+
+  /** Shared MinHash/LSH CTE chain (seed 42, word-3-grams, 64 perms, 16
+    * bands × 4 rows): the DuckDB re-implementation of Dedup's md5-derived
+    * hashing — must stay in lockstep with Dedup.minhashSignatures/lshBands.
+    */
+  private lazy val MH = {
+    val (a, c) = Dedup.permCoeffs(64, 42L)
+    def arr(xs: Array[Long]) = xs.mkString("[", ", ", "]")
+    s"""t AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+      |g AS (SELECT doc_id, unnest(CASE WHEN len(w) >= 3
+      |  THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)])
+      |  ELSE [text] END) AS gr FROM t),
+      |hh AS (SELECT doc_id, ('0x' || substr(md5('42:' || gr), 1, 15))::BIGINT % 1073741824 AS hl,
+      |  ('0x' || substr(md5('42:' || gr), 1, 15))::BIGINT // 1073741824 AS hh FROM g),
+      |sigrow AS (SELECT doc_id, p, min((
+      |    (((${arr(a)})[p+1] * hh) >> 31) + ((((${arr(a)})[p+1] * hh) & 2147483647) << 30)
+      |    + (${arr(a)})[p+1] * hl + (${arr(c)})[p+1]) % 2305843009213693951) AS s
+      |  FROM hh, range(0, 64) r(p) GROUP BY doc_id, p),""".stripMargin + "\n" +
+    """sig AS (SELECT doc_id, list(s ORDER BY p) AS sig FROM sigrow GROUP BY doc_id),
+      |bands AS (SELECT doc_id, band, ('0x' || substr(md5(array_to_string(
+      |    list_transform(sig[band*4+1 : band*4+4], v -> v::VARCHAR), ',')), 1, 15))::BIGINT AS bucket
+      |  FROM sig, range(0, 16) rb(band)),
+      |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bands x
+      |  JOIN bands y ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id)""".stripMargin
+  }
+
+  /** Shared SimHash CTE chain (seed 42, word-2-grams): DuckDB twin of
+    * Dedup.simhash.
+    */
+  private val SH =
+    """t AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+      |g2 AS (SELECT doc_id, unnest(CASE WHEN len(w) >= 2
+      |  THEN list_distinct([w[i] || ' ' || w[i+1] for i in range(1, len(w))])
+      |  ELSE [text] END) AS gr FROM t),
+      |hh AS (SELECT doc_id, ('0x' || substr(md5('42:' || gr), 1, 8))::BIGINT AS ha,
+      |  ('0x' || substr(md5('42:' || gr), 9, 8))::BIGINT AS hb FROM g2),
+      |bits AS (SELECT doc_id, bt, CAST(sum(CASE WHEN
+      |    (((CASE WHEN bt < 32 THEN ha ELSE hb END) >> (bt % 32)) & 1) = 1
+      |    THEN 1 ELSE -1 END) AS BIGINT) AS acc
+      |  FROM hh, range(0, 64) r(bt) GROUP BY doc_id, bt),
+      |fp AS (SELECT doc_id,
+      |  CAST(sum(CASE WHEN bt < 32 AND acc > 0 THEN (1::BIGINT << (bt % 32)) ELSE 0 END) AS BIGINT) AS sh_lo,
+      |  CAST(sum(CASE WHEN bt >= 32 AND acc > 0 THEN (1::BIGINT << (bt % 32)) ELSE 0 END) AS BIGINT) AS sh_hi
+      |  FROM bits GROUP BY doc_id)""".stripMargin
+
+  /** Sign-projection bucket CTE over embeddings — embeds the SAME ±1 sign
+    * literals the Spark side folds into its plan (Similarity.signMatrix,
+    * dims=64/planes=8/seed=42); dot quantized at 1e-6 before the sign test.
+    */
+  private def bkCte(planes: Int): String = {
+    val sm = Similarity.signMatrix(64, planes, 42L)
+    val bits = sm.zipWithIndex.map { case (row, p) =>
+      val lits = row.mkString("[", ", ", "]") + "::DOUBLE[]"
+      s"(CASE WHEN round(list_dot_product(embedding::DOUBLE[], $lits) * 1000000) >= 0 THEN (1::BIGINT << $p) ELSE 0 END)"
+    }.mkString(" + ")
+    s"bk AS (SELECT vec_id, embedding, CAST($bits AS BIGINT) AS bucket FROM embeddings)"
+  }
+  private lazy val BK: String = bkCte(8)
+  /** ANN gate parameters: 4 planes / hamming-≤2 multi-probe — at 500
+    * vectors this scans ~69% for ~90% recall; the plane count is the
+    * scale knob (each plane halves the probed fraction).
+    */
+  private lazy val BK4: String = bkCte(4)
 
   def oracleSql: Map[String, String] = Map(
     "q1_drilldown_calc" ->
@@ -547,18 +626,65 @@ object SparkEntry {
     "dd_exact" ->
       "SELECT count(*) AS total, count(DISTINCT md5(text)) AS uniq FROM documents",
 
+    "dd_minhash_bands" ->
+      s"""WITH $MH
+         |SELECT doc_id, band, bucket FROM bands ORDER BY doc_id, band""".stripMargin,
+
+    "dd_lsh_pairs" ->
+      s"""WITH $MH
+         |SELECT a, b FROM cand ORDER BY a, b""".stripMargin,
+
+    "dd_simhash" ->
+      s"""WITH $SH
+         |SELECT doc_id, sh_lo, sh_hi FROM fp ORDER BY doc_id""".stripMargin,
+
+    "dd_simhash_pairs" ->
+      s"""WITH $SH,
+         |banded AS (SELECT doc_id, sh_lo, sh_hi, band,
+         |  CASE band WHEN 0 THEN sh_lo & 65535 WHEN 1 THEN (sh_lo >> 16) & 65535
+         |       WHEN 2 THEN sh_hi & 65535 ELSE (sh_hi >> 16) & 65535 END AS v
+         |  FROM fp, range(0, 4) rb(band))
+         |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+         |  CAST(bit_count(xor(x.sh_lo, y.sh_lo)) + bit_count(xor(x.sh_hi, y.sh_hi)) AS BIGINT) AS hamming
+         |FROM banded x JOIN banded y ON x.band = y.band AND x.v = y.v AND x.doc_id < y.doc_id
+         |WHERE bit_count(xor(x.sh_lo, y.sh_lo)) + bit_count(xor(x.sh_hi, y.sh_hi)) <= 3
+         |ORDER BY a, b""".stripMargin,
+
     "dd_ngram_jaccard" ->
-      """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
-        |g AS (SELECT doc_id, source, unnest(list_distinct(
-        |   [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)])) AS gr
-        | FROM t WHERE len(w) >= 3),
-        |sz AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id),
-        |it AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
-        | FROM g x JOIN g y ON x.source = y.source AND x.gr = y.gr AND x.doc_id < y.doc_id
-        | GROUP BY 1, 2)
-        |SELECT a, b, inter * 1000 // (sa.sz + sb.sz - inter) AS jaccard_q3
-        |FROM it JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
-        |ORDER BY a, b""".stripMargin,
+      s"""WITH $MH,
+         |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM g GROUP BY doc_id),
+         |it AS (SELECT c.a, c.b, CAST(count(gb.gr) AS BIGINT) AS inter
+         |  FROM cand c JOIN g ga ON ga.doc_id = c.a
+         |  LEFT JOIN g gb ON gb.doc_id = c.b AND gb.gr = ga.gr
+         |  GROUP BY c.a, c.b)
+         |SELECT a, b, CAST(inter * 1000 // (sa.sz + sb.sz - inter) AS BIGINT) AS jaccard_q3
+         |FROM it JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+         |ORDER BY a, b""".stripMargin,
+
+    "sim_lsh_buckets" ->
+      s"""WITH $BK
+         |SELECT bucket, count(*) AS n FROM bk GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "sim_lsh_topk" ->
+      s"""WITH $BK4,
+         |q AS (SELECT embedding::DOUBLE[] AS qe, bucket AS qb FROM bk WHERE vec_id = 0)
+         |SELECT e.vec_id, CAST(round(list_cosine_similarity(e.embedding::DOUBLE[], q.qe) * 1000) AS BIGINT) AS sim_q3
+         |FROM bk e, q WHERE e.vec_id <> 0 AND bit_count(xor(e.bucket, q.qb)) <= 2
+         |ORDER BY sim_q3 DESC, vec_id LIMIT 10""".stripMargin,
+
+    "sim_lsh_recall" ->
+      s"""WITH $BK4,
+         |q AS (SELECT embedding::DOUBLE[] AS qe, bucket AS qb FROM bk WHERE vec_id = 0),
+         |lsh AS (SELECT e.vec_id FROM bk e, q
+         |  WHERE e.vec_id <> 0 AND bit_count(xor(e.bucket, q.qb)) <= 2
+         |  ORDER BY CAST(round(list_cosine_similarity(e.embedding::DOUBLE[], q.qe) * 1000) AS BIGINT) DESC, e.vec_id
+         |  LIMIT 10),
+         |ex AS (SELECT e.vec_id FROM embeddings e, q WHERE e.vec_id <> 0
+         |  ORDER BY CAST(round(list_cosine_similarity(e.embedding::DOUBLE[], q.qe) * 1000) AS BIGINT) DESC, e.vec_id
+         |  LIMIT 10)
+         |SELECT 10::BIGINT AS k, CAST(count(*) AS BIGINT) AS hits,
+         |  CAST(count(*) * 1000 // 10 AS BIGINT) AS recall_q3
+         |FROM lsh JOIN ex USING (vec_id)""".stripMargin,
 
     "sim_topk" ->
       """WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0)

@@ -8,17 +8,31 @@ import org.apache.spark.sql.functions._
   *
   *   - exact: hash-groupBy on a content digest — one shuffle keyed by digest,
   *     map-side partial aggregation, no skew (digests are uniform).
-  *   - MinHash + LSH: per-doc signature (narrow map) → band buckets → shuffle
-  *     keyed by (band, bucketHash) → candidate pairs only within buckets —
-  *     the classic near-linear near-dup join; the O(n²) verify runs only on
-  *     bucket collisions.
+  *   - MinHash + LSH: per-doc signature (narrow map, zero shuffle) → band
+  *     buckets → shuffle keyed by (band, bucket) → candidate pairs only
+  *     within buckets — the classic near-linear near-dup join; the exact
+  *     Jaccard verify runs only on bucket collisions ([[jaccardForPairs]]).
   *   - SimHash: 64-bit fingerprint per doc (narrow map); near-dups = small
-  *     hamming distance, bucketed by 16-bit sub-bands.
-  *   - n-gram Jaccard: exact verify for candidate pairs via shingle
-  *     explode + count joins (pure DataFrame ops — distributed, no driver
-  *     loops).
+  *     hamming distance, paired via 16-bit sub-band buckets
+  *     ([[simhashPairs]] — pigeonhole: hamming ≤ 3 ⇒ one of 4 bands equal).
+  *   - n-gram Jaccard: exact verify via shingle explode + count joins (pure
+  *     DataFrame ops — distributed, no driver loops).
+  *
+  * All hashing is md5-derived and expressed in Catalyst SQL (codegen'd, no
+  * UDFs), which makes every operator's output reproducible by any engine
+  * with md5 — the DuckDB oracles in [[graft.SparkEntry.oracleSql]] recompute
+  * the full MinHash/LSH/SimHash pipeline independently and must hash-match.
+  *
+  * Hash scheme per shingle g: m = md5(seed ":" g);
+  *   h1 = int(hex m[0,15)) (60 bits), h2 = int(hex m[16,28)) (48 bits);
+  *   perm p value = (h1 + (p+1)·h2) mod (2^61−1)   — Kirsch–Mitzenmacher
+  * double hashing; all arithmetic stays below 2^62 so signed-64 engines
+  * (Spark, DuckDB) agree exactly.
   */
 object Dedup {
+
+  /** 2^61 − 1 (prime): modulus for the per-permutation hash values. */
+  val M61: Long = 2305843009213693951L
 
   /** Exact-dup stats: one row (total, uniq). */
   def exactStats(docs: DataFrame, textCol: String = "text"): DataFrame =
@@ -32,64 +46,57 @@ object Dedup {
       .agg(count(lit(1)).as("n"), min("doc_id").as("keep_id"))
       .filter(col("n") > 1)
 
-  // ---- MinHash --------------------------------------------------------
+  // ---- shingling -------------------------------------------------------
 
-  @inline private def splitmix64(x0: Long): Long = {
-    var x = x0 + 0x9e3779b97f4a7c15L
-    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
-    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
-    x ^ (x >>> 31)
-  }
-
-  /** 64-bit hash of a string (FNV-1a over UTF-8, then finalized). */
-  def hash64(s: String): Long = {
-    var h = 0xcbf29ce484222325L
-    var i = 0
-    while (i < s.length) { h ^= s.charAt(i).toLong; h *= 0x100000001b3L; i += 1 }
-    splitmix64(h)
-  }
-
-  /** Word-level shingles of size `k` (distinct set). */
-  def shingleSet(ws: Array[String], k: Int): Array[Long] = {
-    if (ws.length < k) {
-      if (ws.isEmpty) Array.empty else Array(hash64(ws.mkString(" ")))
-    } else {
-      val out = new java.util.TreeSet[java.lang.Long]()
-      var i = 0
-      while (i + k <= ws.length) {
-        val sb = new StringBuilder
-        var j = 0
-        while (j < k) { if (j > 0) sb.append(' '); sb.append(ws(i + j)); j += 1 }
-        out.add(hash64(sb.toString)); i += 1
-      }
-      val arr = new Array[Long](out.size)
-      val it = out.iterator()
-      var p = 0
-      while (it.hasNext) { arr(p) = it.next(); p += 1 }
-      arr
-    }
-  }
-
-  /** MinHash signature: for permutation p, min over shingles of
-    * splitmix64(shingleHash ^ seed_p). Deterministic in (seed, numPerm).
+  /** Distinct word-k-gram shingles of `textCol` as array<string>; docs with
+    * fewer than k words fall back to the whole text as one shingle.
     */
-  def minhashSig(shingles: Array[Long], numPerm: Int, seed: Long): Array[Long] = {
-    val sig = Array.fill(numPerm)(Long.MaxValue)
-    var i = 0
-    while (i < shingles.length) {
-      val h = shingles(i)
-      var p = 0
-      while (p < numPerm) {
-        val v = splitmix64(h ^ splitmix64(seed + p))
-        if (v < sig(p)) sig(p) = v
-        p += 1
-      }
-      i += 1
+  def gramsExpr(textCol: String, k: Int): Column = expr(
+    s"""CASE WHEN size(split($textCol, ' ')) >= $k
+       | THEN array_distinct(transform(
+       |   sequence(0, size(split($textCol, ' ')) - $k),
+       |   i -> array_join(slice(split($textCol, ' '), i + 1, $k), ' ')))
+       | ELSE array($textCol) END""".stripMargin)
+
+  /** (doc_id, g): one row per distinct shingle. */
+  def shingles(docs: DataFrame, textCol: String, k: Int): DataFrame =
+    docs.select(col("doc_id"), explode(gramsExpr(textCol, k)).as("g"))
+
+  // ---- MinHash ---------------------------------------------------------
+
+  /** Per-permutation hash coefficients (a_p, c_p), md5-derived so any
+    * engine can reproduce them: a is 30-bit odd, c 60-bit. The permutation
+    * value is v_p = (a_p·h + c_p) mod (2^61−1) over the full 60-bit md5
+    * shingle hash h — multiplicative hashing mod a Mersenne prime, which
+    * wraps ~2^29 times (thoroughly non-monotone, so argmin behaves
+    * min-wise; a plain affine form over the halves does NOT wrap and is
+    * near-monotone — measured 21/64 agreement where Jaccard predicts 50).
+    * Computed via the Mersenne rotate identity so every intermediate stays
+    * < 2^63: with h = hh·2^30 + hl (30-bit halves) and t = a·hh ≤ 2^60,
+    *   t·2^30 mod M61 = (t >> 31) + ((t & (2^31−1)) << 30),
+    * hence v = (rot(t) + a·hl + c) mod M61 — exact in signed-64 on both
+    * Spark and DuckDB.
+    */
+  def permCoeffs(numPerm: Int, seed: Long): (Array[Long], Array[Long]) = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val mask30 = (1L << 30) - 1
+    val a = new Array[Long](numPerm)
+    val c = new Array[Long](numPerm)
+    var p = 0
+    while (p < numPerm) {
+      val hex = md.digest(s"mh:$seed:$p".getBytes("UTF-8"))
+        .map(x => f"${x & 0xff}%02x").mkString
+      a(p) = (java.lang.Long.parseLong(hex.substring(0, 8), 16) & mask30) | 1L
+      c(p) = java.lang.Long.parseLong(hex.substring(16, 31), 16)
+      p += 1
     }
-    sig
+    (a, c)
   }
 
-  /** Per-doc MinHash signatures: (doc_id, sig: Array[Long]). */
+  /** Per-doc MinHash signatures (doc_id, sig array<bigint> of length
+    * numPerm) as one narrow codegen'd projection — no shuffle, no UDF.
+    * One md5 per shingle; numPerm affine mixes per shingle.
+    */
   def minhashSignatures(
       docs: DataFrame,
       textCol: String = "text",
@@ -97,28 +104,40 @@ object Dedup {
       shingleK: Int = 3,
       seed: Long = 42L
   ): DataFrame = {
-    val sigUdf = udf { (text: String) =>
-      minhashSig(shingleSet(text.split(' '), shingleK), numPerm, seed)
-    }
-    docs.select(col("doc_id"), sigUdf(col(textCol)).as("sig"))
+    val (a, c) = permCoeffs(numPerm, seed)
+    def arr(xs: Array[Long]) = xs.mkString("array(", "L, ", "L)")
+    val sig = expr(
+      s"""transform(sequence(0, ${numPerm - 1}), p ->
+         | aggregate(
+         |   transform(__grams, g -> named_struct(
+         |     'hl', CAST(conv(substring(md5(concat('$seed:', g)), 1, 15), 16, 10) AS BIGINT) % 1073741824L,
+         |     'hh', shiftright(CAST(conv(substring(md5(concat('$seed:', g)), 1, 15), 16, 10) AS BIGINT), 30))),
+         |   CAST(${M61 - 1} AS BIGINT),
+         |   (acc, h) -> least(acc,
+         |     (shiftright(element_at(${arr(a)}, p + 1) * h.hh, 31) +
+         |      shiftleft(element_at(${arr(a)}, p + 1) * h.hh & 2147483647L, 30) +
+         |      element_at(${arr(a)}, p + 1) * h.hl +
+         |      element_at(${arr(c)}, p + 1)) % ${M61}L)))""".stripMargin)
+    docs.withColumn("__grams", gramsExpr(textCol, shingleK))
+      .select(col("doc_id"), sig.as("sig"))
   }
 
-  /** LSH band rows: signature split into `bands` bands of numPerm/bands rows
-    * each; bucket key = hash of the band slice. Docs sharing any (band,
-    * bucket) are near-dup candidates.
+  /** LSH band rows (doc_id, band, bucket): the signature splits into `bands`
+    * bands of numPerm/bands rows each; bucket = md5 of the band slice
+    * (decimal-joined). Docs sharing any (band, bucket) are candidates.
+    * Narrow map + explode — the only shuffle is the downstream pair join.
     */
   def lshBands(sigs: DataFrame, bands: Int): DataFrame = {
-    val bandUdf = udf { (sig: Seq[Long]) =>
-      val rows = sig.length / bands
-      (0 until bands).map { b =>
-        var h = 0xcbf29ce484222325L
-        var i = b * rows
-        while (i < (b + 1) * rows) { h = splitmix64(h ^ sig(i)); i += 1 }
-        (b, h)
-      }
-    }
-    sigs.select(col("doc_id"), explode(bandUdf(col("sig"))).as("bb"))
-      .select(col("doc_id"), col("bb._1").as("band"), col("bb._2").as("bucket"))
+    val n = sigs.selectExpr("size(sig)").head().getInt(0)
+    require(n % bands == 0, s"numPerm $n not divisible by bands $bands")
+    val rows = n / bands
+    val bandRows = expr(
+      s"""transform(sequence(0, ${bands - 1}), b -> named_struct(
+         | 'band', b,
+         | 'bucket', CAST(conv(substring(md5(concat_ws(',',
+         |    transform(slice(sig, b * $rows + 1, $rows), v -> CAST(v AS STRING)))), 1, 15), 16, 10) AS BIGINT)))""".stripMargin)
+    sigs.select(col("doc_id"), explode(bandRows).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
   }
 
   /** Candidate near-dup pairs from LSH buckets (a < b, distinct). The
@@ -132,34 +151,111 @@ object Dedup {
       .select("a", "b").distinct()
   }
 
-  /** SimHash-64 fingerprint per doc over word shingles. */
-  def simhash(docs: DataFrame, textCol: String = "text", shingleK: Int = 2): DataFrame = {
-    val shUdf = udf { (text: String) =>
-      val sh = shingleSet(text.split(' '), shingleK)
-      val acc = new Array[Int](64)
-      var i = 0
-      while (i < sh.length) {
-        val h = sh(i)
-        var b = 0
-        while (b < 64) {
-          if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
-          b += 1
-        }
-        i += 1
-      }
-      var out = 0L
-      var b = 0
-      while (b < 64) { if (acc(b) > 0) out |= (1L << b); b += 1 }
-      out
-    }
-    docs.select(col("doc_id"), shUdf(col(textCol)).as("simhash"))
+  // ---- SimHash ---------------------------------------------------------
+
+  /** SimHash-64 per doc over word shingles, as (doc_id, simhash, sh_lo,
+    * sh_hi): sh_lo/sh_hi are the unsigned 32-bit halves (cross-engine safe
+    * — no sign games), simhash the packed signed 64-bit convenience value.
+    * Bit b of the fingerprint is the sign of Σ_shingles (±1) where the ±
+    * comes from bit b of the shingle's md5-derived 64-bit hash.
+    */
+  def simhash(docs: DataFrame, textCol: String = "text", shingleK: Int = 2,
+      seed: Long = 42L): DataFrame = {
+    val halves = expr(
+      s"""transform(array(0, 32), half ->
+         | aggregate(sequence(0, 31), CAST(0 AS BIGINT), (acc, b) ->
+         |   acc + IF(
+         |     aggregate(__hs, 0, (cnt, h) -> cnt +
+         |       IF((shiftright(IF(half = 0, h.a, h.b), b) & 1L) = 1L, 1, -1)) > 0,
+         |     shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT))))""".stripMargin)
+    docs.withColumn("__grams", gramsExpr(textCol, shingleK))
+      .withColumn("__hs", expr(
+        s"""transform(__grams, g -> named_struct(
+           | 'a', CAST(conv(substring(md5(concat('$seed:', g)), 1, 8), 16, 10) AS BIGINT),
+           | 'b', CAST(conv(substring(md5(concat('$seed:', g)), 9, 8), 16, 10) AS BIGINT)))""".stripMargin))
+      .select(col("doc_id"), halves.as("__h"))
+      .select(col("doc_id"),
+        expr("shiftleft(__h[1], 32) | __h[0]").as("simhash"),
+        col("__h")(0).as("sh_lo"), col("__h")(1).as("sh_hi"))
   }
 
-  /** Exact word-k-gram Jaccard for all pairs within a grouping column —
-    * pure DataFrame ops: explode distinct shingles, self-join on shingle
-    * within the group (the shuffle key), count intersections, join sizes.
-    * Emits integer fixed-point jaccard (x1000, floor). Use after LSH at
-    * scale; the grouping column bounds the pair blow-up.
+  /** Near-dup pairs by SimHash hamming distance ≤ maxDist (≤ 3 for the
+    * guarantee), via 16-bit sub-band buckets: hamming ≤ 3 ⇒ at least one of
+    * the four 16-bit bands is equal (pigeonhole), so the self-join keyed by
+    * (band, value) sees every qualifying pair; the hamming filter then
+    * verifies. Scale shape: explode ×4 + bucketed join — never all-pairs.
+    */
+  def simhashPairs(fps: DataFrame, maxDist: Int = 3): DataFrame = {
+    val banded = fps.select(col("doc_id"), col("sh_lo"), col("sh_hi"),
+      explode(expr(
+        """array(
+          | named_struct('band', 0, 'v', sh_lo & 65535L),
+          | named_struct('band', 1, 'v', shiftright(sh_lo, 16) & 65535L),
+          | named_struct('band', 2, 'v', sh_hi & 65535L),
+          | named_struct('band', 3, 'v', shiftright(sh_hi, 16) & 65535L))""".stripMargin)).as("bb"))
+      .select(col("doc_id"), col("sh_lo"), col("sh_hi"),
+        col("bb.band").as("band"), col("bb.v").as("v"))
+    val l = banded.select(col("band"), col("v"), col("doc_id").as("a"),
+      col("sh_lo").as("alo"), col("sh_hi").as("ahi"))
+    val r = banded.select(col("band"), col("v"), col("doc_id").as("b"),
+      col("sh_lo").as("blo"), col("sh_hi").as("bhi"))
+    l.join(r, Seq("band", "v"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        expr("bit_count(alo ^ blo) + bit_count(ahi ^ bhi)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+
+  // ---- exact n-gram Jaccard -------------------------------------------
+
+  /** Exact word-k-gram Jaccard for a GIVEN candidate pair set (a, b) — the
+    * scale-safe verify: work is proportional to |pairs| × shingles-per-doc,
+    * never quadratic in the corpus. Joins are keyed by doc id then (b, g).
+    * Emits (a, b, jaccard_q3) fixed-point (×1000, floor), pairs with zero
+    * shared shingles kept at 0.
+    */
+  def jaccardForPairs(
+      docs: DataFrame,
+      pairs: DataFrame,
+      textCol: String = "text",
+      k: Int = 3
+  ): DataFrame = {
+    val grams = shingles(docs, textCol, k)
+    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val ga = pairs.join(grams.select(col("doc_id").as("a"), col("g")), "a")
+    val interCnt = ga.join(grams.select(col("doc_id").as("b"), col("g")), Seq("b", "g"))
+      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+    pairs
+      .join(interCnt, Seq("a", "b"), "left_outer")
+      .na.fill(0L, Seq("inter"))
+      .join(sizes.select(col("doc_id").as("a"), col("sz").as("sa")), "a")
+      .join(sizes.select(col("doc_id").as("b"), col("sz").as("sb")), "b")
+      .select(col("a"), col("b"),
+        expr("inter * 1000 div (sa + sb - inter)").as("jaccard_q3"))
+  }
+
+  /** MinHash-LSH candidates → exact Jaccard, the end-to-end near-dup
+    * pipeline in its 100 TB shape (bucketed candidates only, then
+    * pair-restricted verify).
+    */
+  def nearDupPairs(
+      docs: DataFrame,
+      textCol: String = "text",
+      numPerm: Int = 64,
+      bands: Int = 16,
+      shingleK: Int = 3,
+      seed: Long = 42L
+  ): DataFrame =
+    jaccardForPairs(docs,
+      lshCandidatePairs(lshBands(
+        minhashSignatures(docs, textCol, numPerm, shingleK, seed), bands)),
+      textCol, shingleK)
+
+  /** Exact word-k-gram Jaccard for ALL pairs within a grouping column —
+    * the self-join is keyed by (group, shingle); within a group every
+    * common shingle meets df² times, so this is for SMALL groups only
+    * (e.g. one LSH bucket). At corpus scale use [[nearDupPairs]].
     */
   def ngramJaccardPairs(
       docs: DataFrame,
@@ -170,10 +266,7 @@ object Dedup {
     val grams = docs
       .filter(size(split(col(textCol), " ")) >= k)
       .select(col("doc_id"), col(groupCol).as("grp"),
-        expr(s"transform(sequence(0, size(split($textCol, ' ')) - $k), " +
-          s"i -> array_join(slice(split($textCol, ' '), i + 1, $k), ' '))")
-          .as("gs"))
-      .select(col("doc_id"), col("grp"), explode(array_distinct(col("gs"))).as("g"))
+        explode(gramsExpr(textCol, k)).as("g"))
     val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = grams.as("x")
       .join(grams.as("y"), expr("x.grp = y.grp AND x.g = y.g AND x.doc_id < y.doc_id"))

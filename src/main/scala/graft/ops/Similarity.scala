@@ -10,10 +10,17 @@ import org.apache.spark.sql.functions._
   * (the query vector is a broadcast literal folded into the plan) followed by
   * TakeOrderedAndProject; at 100 TB this is one pass, no shuffle.
   *
-  * Scale path: random-hyperplane LSH — per-row signature (narrow map),
-  * shuffle keyed by bucket, candidate search within buckets only. Hyperplanes
-  * are generated from a seeded deterministic RNG so signatures are
-  * reproducible across runs/cluster sizes.
+  * Scale path: sign-random-projection LSH with deterministic ±1 (Rademacher)
+  * hyperplane components derived from md5 — per-row bucket signature is a
+  * narrow codegen'd projection (the sign matrix folds into the plan as
+  * array literals; no UDF, no broadcast variable), candidate search then
+  * brute-forces only within the probed buckets. Multi-probe (hamming ≤ 1
+  * neighbors of the query bucket) trades a constant factor for recall.
+  *
+  * Everything is reproducible by any engine with md5 + double arithmetic:
+  * the DuckDB oracles replicate bucket assignment bit-for-bit (dot products
+  * quantized at 1e-6 before the sign test so accumulation-order noise at
+  * 1e-16 cannot flip a bucket bit).
   *
   * Dot products use `zip_with`/`aggregate` higher-order functions in double
   * precision — codegen'd, no UDF in the hot path.
@@ -58,71 +65,91 @@ object Similarity {
       .select(col("a"), col("b"), round(col("sim") * 1000).cast("long").as("sim_q3"))
   }
 
-  @inline private def splitmix64(x0: Long): Long = {
-    var x = x0 + 0x9e3779b97f4a7c15L
-    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
-    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
-    x ^ (x >>> 31)
-  }
+  // ---- sign-random-projection LSH ---------------------------------------
 
-  /** Deterministic unit-less gaussian-ish hyperplanes: dims × planes matrix
-    * from a seeded counter RNG (sum of 4 uniforms − 2, CLT-approx normal —
-    * adequate for sign-random-projection).
+  /** Deterministic ±1 sign matrix (planes × dims) from md5("hp:seed:p:d") —
+    * reproducible by any engine with md5 (the DuckDB oracle embeds the same
+    * literals). Rademacher components are standard for sign-projection LSH.
     */
-  def hyperplanes(dims: Int, planes: Int, seed: Long): Array[Array[Double]] =
+  def signMatrix(dims: Int, planes: Int, seed: Long): Array[Array[Int]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
     Array.tabulate(planes) { p =>
       Array.tabulate(dims) { d =>
-        var s = 0.0
-        var i = 0L
-        while (i < 4) {
-          val bits = splitmix64(seed ^ (p.toLong << 32) ^ (d.toLong << 8) ^ i)
-          s += (bits >>> 11).toDouble / (1L << 53).toDouble
-          i += 1
-        }
-        s - 2.0
+        val h = md.digest(s"hp:$seed:$p:$d".getBytes("UTF-8"))
+        if ((h(0) & 1) == 1) 1 else -1
       }
     }
-
-  /** Sign-random-projection LSH bucket id per row: one bit per hyperplane.
-    * Rows in the same bucket are ANN candidates; search brute-forces within
-    * the bucket (plus optionally neighboring buckets for recall).
-    */
-  def lshBuckets(emb: DataFrame, planes: Int = 8, seed: Long = 42L): DataFrame = {
-    val spark = emb.sparkSession
-    val dims = emb.select(size(col("embedding"))).head().getInt(0)
-    val hp = hyperplanes(dims, planes, seed)
-    val hpB = spark.sparkContext.broadcast(hp)
-    val bucketUdf = udf { (e: Seq[Float]) =>
-      val h = hpB.value
-      var sig = 0
-      var p = 0
-      while (p < h.length) {
-        var dot = 0.0
-        var d = 0
-        val row = h(p)
-        while (d < row.length && d < e.length) { dot += e(d) * row(d); d += 1 }
-        if (dot >= 0) sig |= (1 << p)
-        p += 1
-      }
-      sig
-    }
-    emb.withColumn("bucket", bucketUdf(col("embedding")))
   }
 
-  /** ANN top-k via LSH: probe = query's bucket; brute-force cosine within it.
-    * Returns (vec_id, sim_q3). Recall < 1 by construction; the baseline
-    * [[cosineTopK]] is the oracle to measure recall against.
+  /** Per-plane signed dot product SQL fragment (shared with the oracle
+    * generator): Σ_d emb[d] · sign[d], quantized at 1e-6 for the sign test.
     */
-  def lshTopK(emb: DataFrame, queryId: Long, k: Int, planes: Int = 8, seed: Long = 42L): DataFrame = {
+  private def dotExpr(embCol: String, signs: Array[Int]): String = {
+    val slit = signs.mkString("array(", "D, ", "D)")
+    s"aggregate(zip_with($embCol, $slit, (x, y) -> cast(x as double) * y), 0D, (a, x) -> a + x)"
+  }
+
+  /** Bucket id column: bit p = sign of the p-th projection. */
+  def bucketExpr(embCol: String, sm: Array[Array[Int]]): Column = {
+    val bits = sm.zipWithIndex.map { case (row, p) =>
+      s"shiftleft(IF(CAST(round(${dotExpr(embCol, row)} * 1000000) AS BIGINT) >= 0, 1, 0), $p)"
+    }
+    expr(bits.mkString(" + "))
+  }
+
+  /** Sign-random-projection LSH bucket id per row — one narrow projection,
+    * sign matrix folded into the plan as literals.
+    */
+  def lshBuckets(emb: DataFrame, planes: Int = 8, seed: Long = 42L): DataFrame = {
+    val dims = emb.select(size(col("embedding"))).head().getInt(0)
+    val sm = signMatrix(dims, planes, seed)
+    emb.withColumn("bucket", bucketExpr("embedding", sm))
+  }
+
+  /** The query bucket plus all buckets at hamming distance ≤ `probeDist`
+    * (multi-probe LSH: the closest alternative buckets are those where one
+    * marginal projection flipped).
+    */
+  def probeBuckets(bucket: Int, planes: Int, probeDist: Int): Seq[Int] = {
+    var cur = Set(bucket)
+    var all = cur
+    (1 to probeDist).foreach { _ =>
+      cur = cur.flatMap(b => (0 until planes).map(p => b ^ (1 << p)))
+      all = all ++ cur
+    }
+    all.toSeq.sorted
+  }
+
+  /** ANN top-k via multi-probe LSH: probe the query's bucket and its
+    * hamming-≤1 neighbors; brute-force cosine within the probed candidates.
+    * Returns (vec_id, sim_q3). At 100 TB: bucket is a pre-computed column
+    * (partition key), the probe is a selective filter, the scan never
+    * touches other buckets.
+    */
+  def lshTopK(emb: DataFrame, queryId: Long, k: Int, planes: Int = 8,
+      seed: Long = 42L, probeDist: Int = 1): DataFrame = {
     val bucketed = lshBuckets(emb, planes, seed)
     val qRow = bucketed.filter(col("vec_id") === queryId)
       .select("embedding", "bucket").collect()(0)
     val q = qRow.getSeq[Float](0).map(_.toDouble).toArray
-    val qBucket = qRow.getInt(1)
-    bucketed.filter(col("bucket") === qBucket && col("vec_id") =!= queryId)
+    val probes = probeBuckets(qRow.getInt(1), planes, probeDist)
+    bucketed.filter(col("bucket").isin(probes: _*) && col("vec_id") =!= queryId)
       .select(col("vec_id"),
         round(cosineToQuery("embedding", q) * 1000).cast("long").as("sim_q3"))
       .orderBy(desc("sim_q3"), asc("vec_id"))
       .limit(k)
+  }
+
+  /** Recall@k of the LSH ANN against the exact brute-force top-k: one row
+    * (k, hits, recall_q3). The gate oracle recomputes both sides in SQL.
+    */
+  def lshRecallAtK(emb: DataFrame, queryId: Long, k: Int, planes: Int = 8,
+      seed: Long = 42L, probeDist: Int = 1): DataFrame = {
+    val ann = lshTopK(emb, queryId, k, planes, seed, probeDist).select("vec_id")
+    val exact = cosineTopK(emb, queryId, k).select("vec_id")
+    ann.join(exact, "vec_id")
+      .agg(count(lit(1)).as("hits"))
+      .select(lit(k.toLong).as("k"), col("hits"),
+        expr(s"hits * 1000 div $k").as("recall_q3"))
   }
 }

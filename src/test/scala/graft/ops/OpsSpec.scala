@@ -34,10 +34,22 @@ class OpsSpec extends AnyFunSuite {
   }
 
   test("simhash: identical texts equal, near-dups close, disjoint far") {
-    val sh = Dedup.simhash(docs).as[(Long, Long)].collect().toMap
+    val fp = Dedup.simhash(docs)
+    val sh = fp.select("doc_id", "simhash").as[(Long, Long)].collect().toMap
     def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     assert(sh(0L) == sh(3L))
     assert(ham(sh(0L), sh(1L)) < ham(sh(0L), sh(4L)))
+    // packed value consistent with the unsigned halves
+    val parts = fp.select("doc_id", "sh_lo", "sh_hi").as[(Long, Long, Long)]
+      .collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(sh(0L) == ((parts(0L)._2 << 32) | parts(0L)._1))
+  }
+
+  test("simhash hamming-bucket pairs find the exact dup, not disjoint docs") {
+    val pairs = Dedup.simhashPairs(Dedup.simhash(docs), maxDist = 3)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 3L))) // identical → hamming 0
+    assert(!pairs.contains((2L, 4L)))
   }
 
   test("ngram jaccard pairs: exact dup = 1000, near-dup high, cross-group excluded") {
@@ -45,6 +57,14 @@ class OpsSpec extends AnyFunSuite {
       .as[(Long, Long, Long)].collect().map(t => (t._1, t._2) -> t._3).toMap
     assert(!j.contains((0L, 3L))) // different groups never pair
     assert(j((0L, 1L)) >= 500)    // 7-gram overlap of 9-word near-dups
+  }
+
+  test("pair-restricted near-dup pipeline: LSH candidates verified exactly") {
+    val nd = Dedup.nearDupPairs(docs)
+      .as[(Long, Long, Long)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    assert(nd((0L, 3L)) == 1000L) // exact dup
+    assert(nd.get((0L, 1L)).forall(_ >= 500)) // near-dup, if LSH caught it
+    assert(!nd.contains((2L, 4L))) // disjoint docs never collide
   }
 
   test("brute-force cosine top-k is exact and ordered") {
