@@ -197,10 +197,11 @@ object SparkEntry {
       scored(Engine.fuzzySearch(DocIndex.reader(s, d), "part", maxDistance = 1))),
 
     // similar-document search (GRN_OP_SIMILAR, reference lib/ii.c:6217):
-    // M rarest terms of the input, score = Σ tf·ln(N/df)
+    // faithful weights w = qtf + 1048576/est, top-3 terms, score = Σ w·tf
     "ft_similar" -> ((s, d) =>
       scoredQ4(Engine.similarSearch(DocIndex.reader(s, d),
-        "dup batch join window slow spark", m = 3)).orderBy("doc_id")),
+        "dup batch join window slow spark", similarityThreshold = 3))
+        .orderBy("doc_id")),
 
     // BM25 over all matching docs (rank-identity oracle for the top-k path)
     "ft_bm25_all" -> ((s, d) => {
@@ -530,15 +531,17 @@ object SparkEntry {
     "ft_similar" ->
       s"""WITH $W,
          |dfx AS (SELECT w, count(DISTINCT doc_id) AS df FROM words GROUP BY w),
-         |nn AS (SELECT count(*) AS n FROM documents),
-         |qt AS (SELECT w, df FROM dfx
-         |  WHERE w IN ('dup', 'batch', 'join', 'window', 'slow', 'spark')
-         |  ORDER BY df, w LIMIT 3),
+         |qq AS (SELECT * FROM (VALUES ('dup',1),('batch',2),('join',3),
+         |  ('window',4),('slow',5),('spark',6)) t(w, qpos)),
+         |qt AS (SELECT qq.w,
+         |    1 + 1048576 // (CASE WHEN df = 1 THEN 1 ELSE df + 2 END) AS wgt
+         |  FROM qq JOIN dfx USING (w)
+         |  ORDER BY wgt DESC, qpos LIMIT 3),
          |tf AS (SELECT doc_id, w, count(*) AS tf FROM words
          |  WHERE w IN (SELECT w FROM qt) GROUP BY doc_id, w)
          |SELECT doc_id,
-         | CAST(round(sum(tf * ln(n / df)) * 10000) AS BIGINT) AS score_q4
-         |FROM tf JOIN qt USING (w) CROSS JOIN nn
+         | CAST(round(sum(tf * wgt) * 10000) AS BIGINT) AS score_q4
+         |FROM tf JOIN qt USING (w)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "ft_bm25_all" ->

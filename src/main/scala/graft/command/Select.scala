@@ -50,7 +50,22 @@ final case class SelectParams(
       * escalate EXACT→UNSPLIT→PARTIAL only when a match comes back empty;
       * -1 disables escalation entirely.
       */
-    matchEscalationThreshold: Long = 0L
+    matchEscalationThreshold: Long = 0L,
+    /** Filter-stage score column (reference res_add: each satisfied filter
+      * predicate contributes its match weight); default 1 per row.
+      */
+    filterScore: Option[Column] = None,
+    /** Scorer-stage column assignments in order — the general
+      * `--scorer 'col op= expr'` form (assignments update named columns,
+      * not just `_score`). Applied after `scorer`.
+      */
+    scorerAssigns: Seq[(String, Column)] = Nil,
+    /** Pre-lowered output columns (name, expr); takes precedence over
+      * `outputColumns` when set.
+      */
+    outputExprs: Option[Seq[(String, Column)]] = None,
+    /** Pre-lowered sort keys; takes precedence over `sortby` when set. */
+    sortByCols: Option[Seq[Column]] = None
 )
 
 final case class SelectResult(
@@ -143,16 +158,19 @@ object Select {
   ): SelectResult = {
     // 1. result set: query (via index) AND filter (via Catalyst), like the
     // AND-combined condition of grn_select step 2 (proc_select.c:726-739)
+    val fScore = p.filterScore.getOrElse(lit(1.0))
     val scored: DataFrame = (p.query, p.filter) match {
       case (Some(q), None) =>
         queryEval(q)
       case (None, Some(f)) =>
-        docs.filter(f).select(col("docId"), lit(1.0).as("_score"))
+        docs.filter(f).select(col("docId"), fScore.cast("double").as("_score"))
       case (Some(q), Some(f)) =>
-        // filter applies as an AND scan unit: intersect, scores add 1
+        // filter applies as an AND scan unit: intersect, scores add
         queryEval(q)
-          .join(docs.filter(f).select(col("docId")), "docId")
-          .withColumn("_score", col("_score") + 1.0)
+          .join(docs.filter(f).select(col("docId"),
+            fScore.cast("double").as("_fscore")), "docId")
+          .withColumn("_score", col("_score") + col("_fscore"))
+          .drop("_fscore")
       case (None, None) =>
         docs.select(col("docId"), lit(1.0).as("_score"))
     }
@@ -163,15 +181,20 @@ object Select {
     val hitsAll = adjusted.join(docs, "docId")
     val nHits = hitsAll.count()
 
-    // 2. scorer expression (`--scorer "_score = expr"`)
-    val scoredHits = p.scorer match {
+    // 2. scorer expression (`--scorer "_score = expr"`) + general column
+    // assignments (`--scorer 'output &= value'`), applied in order
+    val scoredHits0 = p.scorer match {
       case Some(e) => hitsAll.withColumn("_score", expr(e))
       case None => hitsAll
+    }
+    val scoredHits = p.scorerAssigns.foldLeft(scoredHits0) {
+      case (d, (name, c)) => d.withColumn(name, c)
     }
 
     // 3. sort + offset/limit: TakeOrdered over offset+limit, then drop the
     // offset rows (partial sort, reference grn_table_sort lib/db.c:11176)
-    val order = sortCols(if (p.sortby.nonEmpty) p.sortby else Seq("_id"))
+    val order = p.sortByCols.getOrElse(
+      sortCols(if (p.sortby.nonEmpty) p.sortby else Seq("_id")))
     // negative offset/limit count from the end (reference
     // grn_normalize_offset_and_limit: offset += size; limit += size + 1)
     val offset = math.max(0L,
@@ -185,11 +208,14 @@ object Select {
     // 4. output columns (pseudo-cols _id/_score; function-call entries are
     // Catalyst expressions — the reference's output_columns script exprs,
     // lib/output.c:2187)
-    val out =
-      if (p.outputColumns == Seq("*")) paged
-      else paged.select(p.outputColumns.map { c =>
-        (if (c.contains('(')) expr(c) else col(colOf(c))).as(c)
-      }: _*)
+    val out = p.outputExprs match {
+      case Some(es) => paged.select(es.map { case (n, c) => c.as(n) }: _*)
+      case None =>
+        if (p.outputColumns == Seq("*")) paged
+        else paged.select(p.outputColumns.map { c =>
+          (if (c.contains('(')) expr(c) else col(colOf(c))).as(c)
+        }: _*)
+    }
 
     // 5. drilldowns evaluate on the FILTERED set (pre-offset/limit)
     val dds = p.drilldowns.zipWithIndex.map { case (d, idx) =>

@@ -81,30 +81,48 @@ object GrnGeo {
   private val MaxLatMsec = 90.0 * Resolution
   private val MaxLonMsec = 180.0 * Resolution
 
+  /** Driver-side eager validation for literal query points. */
+  def requireValidPoint(s: String): Unit =
+    require(validPoint(s), s"invalid geo point <$s>")
+
   private def validPoint(s: String): Boolean =
     try {
       val (la, lo) = parseMsec(s)
-      math.abs(la) <= MaxLatMsec && math.abs(lo) <= MaxLonMsec
+      // bounds are EXCLUSIVE (reference grn_geo.h:52 + the "too big:
+      // <324000000>(max:324000000)" rejection at exactly 90°)
+      math.abs(la) < MaxLatMsec && math.abs(lo) < MaxLonMsec
     } catch { case _: Exception => false }
 
-  /** Invalid arguments are a SOFT error in the reference (rc 0, error log,
-    * empty result — the geo_in_rectangle invalid-bounds fixtures):
-    * predicates simply match nothing.
+  /** An invalid TARGET point is a soft miss (0); invalid QUERY arguments
+    * (center/corners out of range) are a hard error in the reference
+    * (rc=-22, the geo_in_rectangle invalid-bounds fixtures).
     */
-  def inCircle(p: String, center: String, radiusM: Double, approx: String): Int =
+  def inCircle(p: String, center: String, radiusM: Double, approx: String): Int = {
+    require(validPoint(center), s"geo_in_circle: invalid center <$center>")
     try {
-      if (p != null && validPoint(p) && validPoint(center) &&
-        distance(p, center, approx) <= radiusM) 1
+      if (p != null && validPoint(p) && distance(p, center, approx) <= radiusM) 1
       else 0
     } catch { case _: Exception => 0 }
+  }
+
+  /** 3rd-argument-as-point form: the radius is the distance from the
+    * center to that point (reference grn_geo_in_circle with a GeoPoint
+    * radius argument, lib/geo.c).
+    */
+  def inCirclePoint(p: String, center: String, radiusPt: String, approx: String): Int = {
+    require(validPoint(radiusPt), s"geo_in_circle: invalid radius point <$radiusPt>")
+    inCircle(p, center, distance(center, radiusPt, approx), approx)
+  }
 
   /** geo_in_rectangle(point, topLeft, bottomRight) → 1/0 (reference
     * grn_geo_in_rectangle_raw lib/geo.c:2170: latitude inclusive both ends;
     * longitude inclusive, with dateline wrap when left > right).
     */
   def inRectangle(p: String, topLeft: String, bottomRight: String): Int = {
+    require(validPoint(topLeft), s"geo_in_rectangle: invalid top-left <$topLeft>")
+    require(validPoint(bottomRight), s"geo_in_rectangle: invalid bottom-right <$bottomRight>")
     try {
-      if (p == null || !validPoint(p) || !validPoint(topLeft) || !validPoint(bottomRight)) return 0
+      if (p == null || !validPoint(p)) return 0
       val (la, lo) = parseMsec(p)
       val (tla, tlo) = parseMsec(topLeft)
       val (bla, blo) = parseMsec(bottomRight)
@@ -130,5 +148,9 @@ object GrnGeo {
       (p: String, c: String, r: Double, a: String) => inCircle(p, c, r, a))
     spark.udf.register("geo_in_rectangle",
       (p: String, tl: String, br: String) => inRectangle(p, tl, br))
+    spark.udf.register("geo_in_circle_pt",
+      (p: String, c: String, rp: String) => inCirclePoint(p, c, rp, ""))
+    spark.udf.register("geo_in_circle_pt_approx",
+      (p: String, c: String, rp: String, a: String) => inCirclePoint(p, c, rp, a))
   }
 }

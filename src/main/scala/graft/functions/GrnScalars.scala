@@ -33,6 +33,39 @@ object GrnScalars {
     prev(m)
   }
 
+  /** Damerau–Levenshtein (optimal string alignment): Levenshtein plus
+    * adjacent-transposition as one edit — the `with_transposition` option
+    * of fuzzy_search (reference lib/proc/proc_fuzzy_search.c:94 cost loop,
+    * transposition branch).
+    */
+  def damerauDistance(a0: String, b0: String): Int = {
+    val a = if (a0 == null) "" else a0
+    val b = if (b0 == null) "" else b0
+    val n = a.length; val m = b.length
+    if (n == 0) return m
+    if (m == 0) return n
+    val d = Array.ofDim[Int](n + 1, m + 1)
+    var i = 0
+    while (i <= n) { d(i)(0) = i; i += 1 }
+    var j = 0
+    while (j <= m) { d(0)(j) = j; j += 1 }
+    i = 1
+    while (i <= n) {
+      j = 1
+      while (j <= m) {
+        val cost = if (a.charAt(i - 1) == b.charAt(j - 1)) 0 else 1
+        var v = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1), d(i - 1)(j - 1) + cost)
+        if (i > 1 && j > 1 && a.charAt(i - 1) == b.charAt(j - 2) &&
+            a.charAt(i - 2) == b.charAt(j - 1))
+          v = math.min(v, d(i - 2)(j - 2) + 1)
+        d(i)(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    d(n)(m)
+  }
+
   def htmlUntag(s: String): String =
     if (s == null) null else s.replaceAll("<[^>]*>", "")
 
@@ -44,5 +77,7 @@ object GrnScalars {
     spark.udf.register("fuzzy_search",
       (v: String, q: String) => if (v != null && editDistance(v, q) <= 1) 1 else 0)
     spark.udf.register("string_length", (s: String) => if (s == null) 0 else s.codePointCount(0, s.length))
+    spark.udf.register("damerau_levenshtein",
+      (a: String, b: String) => damerauDistance(a, b))
   }
 }

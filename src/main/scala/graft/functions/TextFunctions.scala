@@ -13,6 +13,156 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
+  /** Keyword occurrence spans as original-text char ranges, located on the
+    * NORMALIZED text and mapped back through the per-codepoint offsets
+    * (the reference's "checks" mechanism, lib/string.c — this is what lets
+    * keyword "MySQL" tag the full-width `ＭｙＳＱＬ` in the original).
+    * Returns (startChar, endCharExclusive, keywordIdx) sorted, overlaps
+    * dropped (leftmost wins).
+    */
+  def keywordSpans(
+      text: String,
+      keywords: Seq[String],
+      normalize: Boolean
+  ): Seq[(Int, Int, Int)] = {
+    if (text == null || text.isEmpty) return Seq.empty
+    val spans = scala.collection.mutable.ArrayBuffer[(Int, Int, Int)]()
+    if (!normalize) {
+      val lower = text.toLowerCase
+      keywords.zipWithIndex.foreach { case (k0, g) =>
+        val k = k0.toLowerCase
+        if (k.nonEmpty) {
+          var idx = lower.indexOf(k)
+          while (idx >= 0) { spans += ((idx, idx + k.length, g)); idx = lower.indexOf(k, idx + 1) }
+        }
+      }
+    } else {
+      val nz = graft.analysis.Normalizer.auto(text)
+      val ntext = nz.text
+      // char index per normalized codepoint (ntext may contain surrogates)
+      val nChar2cp = new Array[Int](ntext.length + 1)
+      var ci = 0; var cpi = 0
+      while (ci < ntext.length) {
+        nChar2cp(ci) = cpi
+        val w = Character.charCount(ntext.codePointAt(ci))
+        if (w == 2) nChar2cp(ci + 1) = cpi
+        ci += w; cpi += 1
+      }
+      nChar2cp(ntext.length) = cpi
+      // original codepoint index -> original char index
+      val nOrig = text.codePointCount(0, text.length)
+      val cp2char = new Array[Int](nOrig + 1)
+      ci = 0; cpi = 0
+      while (ci < text.length) {
+        cp2char(cpi) = ci
+        ci += Character.charCount(text.codePointAt(ci)); cpi += 1
+      }
+      cp2char(cpi) = text.length
+      keywords.zipWithIndex.foreach { case (k0, g) =>
+        val k = graft.analysis.Normalizer.auto(k0).text
+        if (k.nonEmpty) {
+          var idx = ntext.indexOf(k)
+          while (idx >= 0) {
+            val a = nChar2cp(idx) // normalized cp span [a, b)
+            val b = nChar2cp(idx + k.length)
+            if (b > a && b <= nz.length) {
+              val startCp = nz.offsets(a)
+              val endCp = nz.offsets(b - 1) + 1
+              spans += ((cp2char(startCp), cp2char(endCp), g))
+            }
+            idx = ntext.indexOf(k, idx + 1)
+          }
+        }
+      }
+    }
+    val sorted = spans.sortBy(s => (s._1, -(s._2 - s._1)))
+    val out = scala.collection.mutable.ArrayBuffer[(Int, Int, Int)]()
+    var pos = 0
+    sorted.foreach { case s @ (a, b, _) =>
+      if (a >= pos) { out += s; pos = b }
+    }
+    out.toSeq
+  }
+
+  /** HTML escape of text outside/inside highlight tags (reference
+    * grn_text_escape usage in proc_highlight.c).
+    */
+  def htmlEscape(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+      .replace("\"", "&quot;")
+
+  /** `highlight_full` / `highlight` engine: tag each keyword group's
+    * occurrences with its own open/close tags (reference
+    * proc_highlight.c:340-488); `escape` HTML-escapes all emitted text
+    * content (tags excluded), `normalize` locates matches on the
+    * normalized text.
+    */
+  def highlightOf(
+      text: String,
+      groups: Seq[(String, String, String)],
+      escape: Boolean,
+      normalize: Boolean
+  ): String = {
+    if (text == null) return null
+    val spans = keywordSpans(text, groups.map(_._1), normalize)
+    val sb = new StringBuilder
+    var pos = 0
+    def emit(s: String): Unit = sb.append(if (escape) htmlEscape(s) else s)
+    spans.foreach { case (a, b, g) =>
+      emit(text.substring(pos, a))
+      sb.append(groups(g)._2)
+      emit(text.substring(a, b))
+      sb.append(groups(g)._3)
+      pos = b
+    }
+    emit(text.substring(pos))
+    sb.toString
+  }
+
+  /** `snippet` engine with per-group tags + normalizer-located matches
+    * (reference proc_snippet.c:234): windows of `width` chars, at most
+    * `maxResults`, every in-window occurrence tagged.
+    */
+  def snippetTagged(
+      text: String,
+      groups: Seq[(String, String, String)],
+      width: Int,
+      maxResults: Int,
+      escape: Boolean,
+      normalize: Boolean
+  ): Seq[String] = {
+    if (text == null) return Seq.empty
+    val spans = keywordSpans(text, groups.map(_._1), normalize)
+    if (spans.isEmpty) return Seq.empty
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    var consumedTo = 0
+    var i = 0
+    while (i < spans.length && out.size < maxResults) {
+      val (s0, _, _) = spans(i)
+      if (s0 >= consumedTo) {
+        val wStart = math.max(0, math.min(s0 - (width / 4), text.length))
+        val wEnd = math.min(text.length, wStart + width)
+        val sb = new StringBuilder
+        var pos = wStart
+        def emit(s: String): Unit = sb.append(if (escape) htmlEscape(s) else s)
+        spans.foreach { case (a, b, g) =>
+          if (a >= wStart && b <= wEnd && a >= pos) {
+            emit(text.substring(pos, a))
+            sb.append(groups(g)._2)
+            emit(text.substring(a, b))
+            sb.append(groups(g)._3)
+            pos = b
+          }
+        }
+        emit(text.substring(pos, wEnd))
+        out += sb.toString
+        consumedTo = wEnd
+      }
+      i += 1
+    }
+    out.toSeq
+  }
+
   /** Pure snippet engine: windows of `width` codepoints around keyword
     * occurrences, at most `maxResults` windows, keywords wrapped in
     * openTag/closeTag. Keywords match case-insensitively on the normalized

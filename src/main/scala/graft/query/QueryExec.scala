@@ -76,9 +76,10 @@ object QueryExec {
           Engine.matchScores(r, text, kind = NearMatch(maxInterval), weight = w))
       case Similar(text, threshold) =>
         // threshold <= 0 = "use default" (reference
-        // DEFAULT_SIMILARITY_THRESHOLD 0); our default profile width is 5
+        // DEFAULT_SIMILARITY_THRESHOLD 0 → top (n>>3)+1 terms)
         acrossSections(ctx)((r, w) =>
-          Engine.similarSearch(r, text, m = if (threshold > 0) threshold else 5)
+          Engine.similarSearch(r, text,
+            similarityThreshold = math.max(threshold, 0))
             .map(s => ScoredDoc(s.docId, s.score * w)))
       // `col:@word` on an indexed column routes through that column's index
       // (the selector-proc index-resolution of reference lib/expr.c:6018)

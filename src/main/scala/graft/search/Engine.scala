@@ -273,19 +273,31 @@ object Engine {
   }
 
   /** Similar-document search (GRN_OP_SIMILAR, reference
-    * grn_ii_similar_search lib/ii.c:6217-6356): tokenize the input, keep the
-    * M rarest terms (df asc, term asc tie-break), OR them with
-    * score(doc) = Σ tf·ln(N/df) — tf·idf over the rare-term profile.
+    * grn_ii_similar_search lib/ii.c:6217-6356), faithful weights:
+    * per distinct query term, w = qtf + 1048576/est where est is the
+    * posting-size estimate (grn_ii_estimate_size lib/ii.c:4704 — an
+    * embedded single posting estimates 1, a buffer-resident list df+2);
+    * keep the top (n>>3)+1 terms by weight (or `similarityThreshold` when
+    * given), score(doc) = Σ w·tf, OR-merged.
     */
-  def similarSearch(reader: IndexReader, text: String, m: Int = 5): Dataset[ScoredDoc] = {
-    val terms = Searcher.queryTokens(reader, text).map(_.term).distinct
-    val stats = reader.termStats(terms)
-    val n = reader.manifest.numDocs
-    val rarest = terms.flatMap(t => stats.get(t).map(s => (t, s._1)))
-      .sortBy { case (t, df) => (df, t) }
-      .take(m)
-    orTermsScores(reader,
-      rarest.map { case (t, df) => t -> math.log(n.toDouble / df) }.toMap)
+  def similarSearch(reader: IndexReader, text: String,
+      similarityThreshold: Int = 0): Dataset[ScoredDoc] = {
+    val toks = Searcher.queryTokens(reader, text).map(_.term)
+    val order = scala.collection.mutable.LinkedHashMap[String, Long]()
+    toks.foreach(t => order(t) = order.getOrElse(t, 0L) + 1L)
+    val stats = reader.termStats(order.keys.toSeq)
+    val maxSize = 1048576L
+    val weighted = order.toSeq.zipWithIndex.flatMap { case ((t, qtf), i) =>
+      stats.get(t).map { case (df, _) =>
+        val est = if (df == 1L) 1L else df + 2L
+        (t, qtf + maxSize / est, i)
+      }
+    }
+    val limit =
+      if (similarityThreshold > 0) math.min(similarityThreshold, weighted.size)
+      else (weighted.size >> 3) + 1
+    val chosen = weighted.sortBy { case (_, w, i) => (-w, i) }.take(limit)
+    orTermsScores(reader, chosen.map { case (t, w, _) => t -> w.toDouble }.toMap)
   }
 
   /** Global top-k via the typed k-heap aggregator. */

@@ -14,7 +14,12 @@ import scala.jdk.CollectionConverters._
 object CompatSweep {
 
   def main(args: Array[String]): Unit = {
-    val max = if (args.nonEmpty) args(0).toInt else Int.MaxValue
+    val (prefix, max) = args.toList match {
+      case Nil => ("", Int.MaxValue)
+      case n :: rest if n.forall(_.isDigit) => ("", n.toInt)
+      case p :: n :: _ if n.forall(_.isDigit) => (p, n.toInt)
+      case p :: _ => (p, Int.MaxValue)
+    }
     val suite = Paths.get("/root/reference/test/command/suite")
     val spark = SparkTestBase.spark
 
@@ -31,6 +36,7 @@ object CompatSweep {
         cmds.nonEmpty && cmds.subsetOf(supported)
       }
       .map(p => suite.relativize(p).toString.stripSuffix(".test"))
+      .filter(_.startsWith(prefix))
       .toSeq.sorted.take(max)
 
     System.err.println(s"sweeping ${fixtures.size} fixtures")
@@ -64,7 +70,10 @@ object CompatSweep {
         System.err.println(f"[${i + 1}/${fixtures.size}] pass=$pass fail=$fail err=$err (${(System.nanoTime() - t0) / 1e9}%.0fs)")
     }
     Files.createDirectories(Paths.get("target"))
-    Files.writeString(Paths.get("target/compat_sweep.tsv"), out.toString)
+    val outName =
+      if (prefix.isEmpty) "target/compat_sweep.tsv"
+      else "target/compat_sweep_partial.tsv"
+    Files.writeString(Paths.get(outName), out.toString)
     println(s"PASS=$pass FAIL=$fail ERROR=$err of ${fixtures.size}")
   }
 }

@@ -1,22 +1,33 @@
 package graft.compat
 
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import graft.analysis.Normalizer
 import graft.command.{Select, SelectParams}
+import graft.functions.GrnScalars
 import graft.index.{IndexBuilder, IndexConfig, IndexReader}
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import graft.script.ScriptExpr
+import graft.script.ScriptExpr._
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import scala.collection.mutable
 import scala.jdk.CollectionConverters._
 
-/** Executes a curated subset of the reference's grntest command fixtures
+/** Executes the reference's grntest command fixtures
   * (reference test/command/suite/select/...) against our engine and
   * compares each `select` output with the `.expected` JSON envelope —
   * the rank-identity harness of SURVEY.md §5.
   *
-  * Supported commands: table_create, column_create (scalar + index),
-  * load (JSON array of objects), select (--table/--query/--filter/
-  * --match_columns/--sortby/--sort_keys/--output_columns/--offset/--limit).
+  * Supported commands: table_create, column_create (scalar + vector +
+  * index), load (JSON array of objects/arrays), select (--table/--query/
+  * --filter/--scorer/--match_columns/--sortby/--sort_keys/
+  * --output_columns/--offset/--limit/--adjuster/--match_escalation_threshold).
+  *
+  * `--filter`, `--scorer`, expression `--output_columns` and sort keys go
+  * through the script-syntax parser ([[graft.script.ScriptExpr]]) with the
+  * fixture table's declared Groonga types, so fixed-width arithmetic,
+  * assignments, vectors, Time and reference columns behave like the
+  * reference's expression VM.
   */
 object GrnTestRunner {
 
@@ -25,13 +36,15 @@ object GrnTestRunner {
   final case class TableDef(
       name: String,
       keyed: Boolean,
+      keyType: Option[String],
       tokenizer: Option[String],
       normalizer: Option[String],
       columns: mutable.LinkedHashMap[String, String] = mutable.LinkedHashMap(),
       rows: mutable.ArrayBuffer[Map[String, JsonNode]] = mutable.ArrayBuffer(),
       vectorCols: mutable.Set[String] = mutable.Set())
 
-  final case class IndexDef(lexicon: String, srcTable: String, srcCol: String, withPosition: Boolean)
+  final case class IndexDef(lexicon: String, name: String, srcTable: String,
+      srcCol: String, withPosition: Boolean)
 
   sealed trait Cmd
   final case class CTable(d: TableDef) extends Cmd
@@ -39,7 +52,11 @@ object GrnTestRunner {
   final case class CLoad(table: String, columns: Option[Seq[String]], json: String) extends Cmd
   final case class CSelect(args: Map[String, String], table: String) extends Cmd
 
-  /** Split a command line into args, honoring single/double quotes. */
+  /** Split a command line into args, honoring quotes. Backslash escapes
+    * collapse inside BOTH quote styles (the reference command tokenizer
+    * unescapes before the expression lexer sees the text — regex fixtures
+    * rely on '...\\\\A...' arriving as '\\A').
+    */
   def splitArgs(line: String): Seq[String] = {
     val out = mutable.ArrayBuffer[String]()
     val sb = new StringBuilder
@@ -49,7 +66,7 @@ object GrnTestRunner {
       val c = line.charAt(i)
       if (quote != 0) {
         if (c == quote) quote = 0
-        else if (c == '\\' && i + 1 < line.length && quote == '"') {
+        else if (c == '\\' && i + 1 < line.length) {
           i += 1; sb.append(line.charAt(i))
         } else sb.append(c)
       } else if (c == '\'' || c == '"') quote = c
@@ -93,10 +110,18 @@ object GrnTestRunner {
           case "table_create" =>
             val name = args(1)
             val keyed = !args(2).contains("NO_KEY")
+            val keyType =
+              if (keyed && args.size > 3 && !args(3).startsWith("--")) Some(args(3))
+              else None
             def flag(f: String): Option[String] =
               args.sliding(2).collectFirst { case Seq(`f`, v) => v }
-            cmds += CTable(TableDef(name, keyed,
-              flag("--default_tokenizer"), flag("--normalizer")))
+            // KEY_NORMALIZE table flag = NormalizerAuto (reference
+            // grn_table_create normalizer defaulting, lib/db.c)
+            cmds += CTable(TableDef(name, keyed, keyType,
+              flag("--default_tokenizer"),
+              flag("--normalizer").orElse(
+                if (args(2).contains("KEY_NORMALIZE")) Some("NormalizerAuto")
+                else None)))
           case "column_create" =>
             // column_create TABLE NAME FLAGS TYPE [SOURCE...]
             cmds += CColumn(args(1), args(2), args(3),
@@ -194,8 +219,12 @@ object GrnTestRunner {
       case CTable(d) => tables(d.name) = d
       case CColumn(table, name, flags, range, sources) =>
         if (flags.contains("COLUMN_INDEX")) {
-          if (sources.nonEmpty)
-            indexes += IndexDef(table, range, sources.head, flags.contains("WITH_POSITION"))
+          // multi-source index ("title,content") = one IndexDef per source
+          sources.flatMap(_.split(",").map(_.trim)).filter(_.nonEmpty)
+            .foreach { src =>
+              indexes += IndexDef(table, name, range, src,
+                flags.contains("WITH_POSITION"))
+            }
         } else {
           tables(table).columns(name) = range
           if (flags.contains("COLUMN_VECTOR")) tables(table).vectorCols += name
@@ -225,14 +254,22 @@ object GrnTestRunner {
         val q = args.toString
         // error-envelope fixtures (rc != 0): the reference REJECTED the
         // query — rank-identity there means we reject too
+        // header is [rc,start,elapsed] normally but [[rc,start,elapsed],"msg"]
+        // for error envelopes (reference lib/output.c:1985 envelope shape)
         val expRc: Int =
-          try { if (exp != null) exp.get(0).get(0).asInt else 0 } catch { case _: Throwable => 0 }
+          try {
+            if (exp == null) 0
+            else {
+              val h = exp.get(0).get(0)
+              if (h.isArray) h.get(0).asInt else h.asInt
+            }
+          } catch { case _: Throwable => 0 }
         try {
-          val got = execSelect(spark, tables, indexes.toSeq, args, tableName)
+          val (got, explicitCols) = execSelect(spark, tables, indexes.toSeq, args, tableName)
           outcomes +=
             (if (expRc != 0)
               SelectOutcome(q, ok = false, s"we accepted a query the reference rejects (rc=$expRc)")
-            else compare(got, exp, q))
+            else compare(got, exp, q, explicitCols))
         } catch {
           case e: Throwable =>
             outcomes +=
@@ -241,6 +278,488 @@ object GrnTestRunner {
         }
     }
     outcomes.toSeq
+  }
+
+  // --------------------------------------------------------------- typing
+
+  private def normOf(td: TableDef): Option[String => String] =
+    td.normalizer.map(_ => (s: String) => if (s == null) null else Normalizer.auto(s).text)
+
+  /** Groonga type of a column, resolving reference columns to their target
+    * table's key type (the stored value IS the key).
+    */
+  private def gtypeOf(td: TableDef, tables: collection.Map[String, TableDef], c: String): GType = {
+    val range = td.columns(c)
+    val base = tables.get(range) match {
+      case Some(t) => t.keyType.map(typeOfName).getOrElse(GText)
+      case None => typeOfName(range)
+    }
+    if (td.vectorCols(c)) GVec(base) else base
+  }
+
+  private def sparkTypeOf(t: GType): DataType = t match {
+    case GInt(_, _) => LongType
+    case GFloat => DoubleType
+    case GBool => BooleanType
+    case GTime => DoubleType
+    case GVec(e) => ArrayType(sparkTypeOf(e))
+    case _ => StringType
+  }
+
+  /** Convert a loaded JSON value to the column's typed runtime value
+    * (reference grn_obj_cast on load, lib/db.c): missing numerics 0,
+    * missing text "", time strings parse to epoch seconds, reference
+    * values normalize through the target table's normalizer.
+    */
+  private def jsonToTyped(n: JsonNode, t: GType, norm: Option[String => String]): Any = t match {
+    case GVec(et) =>
+      val elems: Seq[JsonNode] =
+        if (n == null || n.isNull) Seq.empty
+        else if (n.isArray) n.elements().asScala.toSeq
+        else if (n.isObject) // weighted vector {"elem": weight}: elements
+          n.fieldNames().asScala.map(k => mapper.getNodeFactory.textNode(k)).toSeq
+        else Seq(n)
+      elems.map(e => jsonToTyped(e, et, norm))
+    case GInt(_, _) =>
+      if (n == null || n.isNull) 0L
+      else if (n.isNumber) n.asLong
+      else n.asText.trim.toLongOption.getOrElse(0L)
+    case GFloat =>
+      if (n == null || n.isNull) 0.0
+      else if (n.isNumber) n.asDouble
+      else n.asText.trim.toDoubleOption.getOrElse(0.0)
+    case GBool =>
+      n != null && !n.isNull && (if (n.isBoolean) n.asBoolean else n.asText == "true")
+    case GTime =>
+      if (n == null || n.isNull) 0.0
+      else if (n.isNumber) n.asDouble
+      else try ScriptExpr.parseTime(n.asText) catch { case _: Exception => 0.0 }
+    case _ =>
+      if (n == null || n.isNull) ""
+      else {
+        val s = if (n.isTextual) n.asText else n.toString
+        norm.map(_(s)).getOrElse(s)
+      }
+  }
+
+  // ----------------------------------------------------------- expression env
+
+  /** Script-expression environment over a fixture table: resolves columns
+    * by declared Groonga type, nested reference paths through small
+    * broadcast map literals (the join-free form the tiny fixture tables
+    * allow; at scale the same access is a reference join), and proc
+    * functions incl. fuzzy_search with options.
+    */
+  private final class RunnerEnv(
+      td: TableDef,
+      tables: collection.Map[String, TableDef],
+      docsOf: () => DataFrame,
+      /** Content-bearing index reader, present when the select built one
+        * (for the *N / *S index-routed match operators).
+        */
+      readerOpt: Option[IndexReader] = None,
+      /** Declared index columns, for `Lexicon.index_column` accessor paths
+        * (reference: an index-column accessor denotes its source column).
+        */
+      indexDefs: Seq[IndexDef] = Nil) extends Env {
+
+    /** Index-routed match operators in script filters: `*N` (near) and
+      * `*S` (similar) resolve through the index eagerly — fixture tables
+      * are tiny, so the scored set collects to a map literal; at scale the
+      * same operators run as joins through QueryExec.
+      */
+    override def matchOp(op: String, l: TVal, r: TVal): TVal = {
+      if (op.startsWith("*N") || op == "*S") {
+        val q = r.litv match {
+          case Some(s: String) => s
+          case _ => throw new ScriptError(s"$op needs a constant query")
+        }
+        val rd = readerOpt.getOrElse(throw new ScriptError(s"$op needs an index"))
+        val scored: Array[(Long, Double)] =
+          if (op == "*S") {
+            if (q.trim.isEmpty) Array.empty // reference: soft error, no rows
+            else graft.search.Engine.similarSearch(rd, q)
+              .collect().map(s => (s.docId, s.score))
+          } else {
+            val dist = op.drop(2) match { case "" => 10; case d => d.toInt }
+            graft.search.Engine.matchScores(rd, q,
+              kind = graft.search.NearMatch(dist))
+              .collect().map(s => (s.docId, s.score))
+          }
+        if (scored.isEmpty)
+          TVal(lit(false), GBool, score = Some(lit(0.0)))
+        else {
+          val m = map(scored.toSeq.flatMap { case (id, s) =>
+            Seq(lit(id), lit(s)) }: _*)
+          val sc = element_at(m, col("docId"))
+          TVal(sc.isNotNull, GBool, score = Some(coalesce(sc, lit(0.0))))
+        }
+      } else if (op == "*T") {
+        // TERM_EXTRACT (reference grn_ii_term_extract lib/ii.c:6360): keys
+        // of the table occurring in the query text (both normalized)
+        val q = r.litv match {
+          case Some(s: String) => s
+          case _ => throw new ScriptError("*T needs a constant text")
+        }
+        val qn = normOf(td).map(_(q)).getOrElse(q.toLowerCase)
+        TVal(contains(lit(qn), l.col), GBool)
+      } else super.matchOp(op, l, r)
+    }
+
+    private val colG: Map[String, GType] =
+      td.columns.keys.map(c => c -> gtypeOf(td, tables, c)).toMap
+
+    private def keyG: GType = td.keyType.map(typeOfName).getOrElse(GText)
+
+    def resolve(path: Seq[String]): Option[TVal] = path match {
+      case Seq("_id") => Some(TVal(col("docId"), GInt(32, signed = false)))
+      case Seq("_key") if td.keyed => Some(TVal(col("_key"), keyG))
+      case Seq("_score") => Some(TVal(col("_score"), GFloat))
+      case Seq("_nsubrecs") => Some(TVal(col("_nsubrecs"), GInt(32, signed = true)))
+      case Seq(c) if colG.contains(c) => Some(TVal(col(c), colG(c)))
+      case head +: rest if colG.contains(head) => nested(head, rest)
+      case Seq(lex, idxName) =>
+        // an index-column accessor reads through to its source column
+        indexDefs.find(ix => ix.lexicon == lex && ix.name == idxName &&
+          ix.srcTable == td.name).flatMap { ix =>
+          if (ix.srcCol == "_key" && td.keyed) Some(TVal(col("_key"), keyG))
+          else colG.get(ix.srcCol).map(t => TVal(col(ix.srcCol), t))
+        }
+      case _ => None
+    }
+
+    /** Nested reference path a.b[.c]: each hop maps the current key value
+      * through the referenced table's (_key → column) pairs as a Catalyst
+      * map literal (reference accessor chain, lib/db.c:5306-5600).
+      */
+    private def nested(head: String, rest: Seq[String]): Option[TVal] = {
+      var curTable = tables.get(td.columns(head)).getOrElse(return None)
+      val headIsVec = td.vectorCols(head)
+      var cur: Column = col(head)
+      var curT: GType = gtypeOf(td, tables, head) match {
+        case GVec(e) => e
+        case t => t
+      }
+      rest.foreach { name =>
+        if (name == "_key") () // the stored value IS the key
+        else {
+          val ct = curTable.columns.get(name).getOrElse(return None)
+          val valueT = gtypeOf(curTable, tables, name) match {
+            case GVec(_) => return None // vector-of-vector hop unsupported
+            case t => t
+          }
+          val norm = normOf(curTable)
+          val kv: Seq[(String, Any)] = curTable.rows.toSeq.flatMap { m =>
+            m.get("_key").map(_.asText).map(s => norm.map(_(s)).getOrElse(s)).map { k =>
+              k -> jsonToTyped(m.get(name).orNull, valueT,
+                tables.get(ct).flatMap(normOf))
+            }
+          }.distinctBy(_._1)
+          val mapLit =
+            if (kv.isEmpty) map_from_arrays(array().cast("array<string>"),
+              array().cast("array<string>"))
+            else map(kv.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+          cur =
+            if (headIsVec) transform(cur, e => element_at(mapLit, e.cast("string")))
+            else element_at(mapLit, cur.cast("string"))
+          curT = valueT
+          curTable = tables.get(ct).getOrElse(
+            // scalar leaf: further hops impossible; dummy keeps the loop safe
+            TableDef("", keyed = false, None, None, None))
+        }
+      }
+      Some(TVal(cur, if (headIsVec) GVec(curT) else curT))
+    }
+
+    override def record(table: String, key: Any): Option[Map[String, TVal]] =
+      tables.get(table).filter(_.keyed).flatMap { t =>
+        val norm = normOf(t)
+        val keyS = norm.map(_(key.toString)).getOrElse(key.toString)
+        t.rows.find(m => m.get("_key").exists(k =>
+          norm.map(_(k.asText)).getOrElse(k.asText) == keyS)).map { m =>
+          val cols = t.columns.keys.map { c =>
+            val gt = gtypeOf(t, tables, c)
+            val v = jsonToTyped(m.get(c).orNull, gt, None)
+            c -> TVal(lit(v), gt, litv = Some(v))
+          }.toMap
+          cols + ("_key" -> TVal(lit(keyS), GText, litv = Some(keyS)))
+        }
+      }
+
+    override def call(name: String, args: Seq[TVal]): Option[TVal] = name match {
+      case "fuzzy_search" => Some(fuzzy(args))
+      case "geo_distance" if args.size == 3 =>
+        Some(TVal(call_udf("geo_distance_approx", args.map(_.col): _*), GFloat))
+      case "geo_distance" =>
+        Some(TVal(call_udf("geo_distance", args.map(_.col): _*), GFloat))
+      case "geo_in_circle" =>
+        // radius argument: meters, OR a point whose distance to the center
+        // defines the radius (reference lib/geo.c grn_geo_in_circle)
+        val radiusIsPoint = args(2).litv.exists {
+          case s: String => s.trim.toDoubleOption.isEmpty
+          case _ => false
+        }
+        val fn = (args.size, radiusIsPoint) match {
+          case (4, true) => "geo_in_circle_pt_approx"
+          case (_, true) => "geo_in_circle_pt"
+          case (4, false) => "geo_in_circle_approx"
+          case _ => "geo_in_circle"
+        }
+        val rad = if (radiusIsPoint) args(2).col else args(2).col.cast("double")
+        Some(TVal(call_udf(fn, (Seq(args(0).col, args(1).col, rad) ++
+          args.drop(3).map(_.col)): _*), GInt(32, signed = true)))
+      case "geo_in_rectangle" =>
+        // invalid literal corners are a hard parse-time error in the
+        // reference (rc=-22) — validate eagerly, not per row
+        args.drop(1).foreach(_.litv.foreach {
+          case s: String => graft.functions.GrnGeo.requireValidPoint(s)
+          case _ => ()
+        })
+        Some(TVal(call_udf("geo_in_rectangle", args.map(_.col): _*), GInt(32, signed = true)))
+      case "snippet_html" =>
+        Some(TVal(call_udf("snippet_html", args.head.col), GText))
+      case "highlight_html" =>
+        Some(TVal(call_udf("highlight_html", args.head.col), GText))
+      case "highlight_full" => Some(highlightFull(args))
+      case "highlight" => Some(highlightFn(args))
+      case "snippet" => Some(snippetFn(args))
+      case "html_untag" =>
+        Some(TVal(call_udf("html_untag", args.head.col), GText))
+      case "string_length" =>
+        Some(TVal(call_udf("string_length", args.head.col).cast("long"),
+          GInt(32, signed = false)))
+      case "edit_distance" =>
+        Some(TVal(call_udf("edit_distance", args(0).col, args(1).col).cast("long"),
+          GInt(32, signed = true)))
+      case _ => super.call(name, args)
+    }
+
+    private def litStr(v: TVal, what: String): String = v.litv match {
+      case Some(s: String) => s
+      case _ => throw new ScriptError(s"$what needs a literal string")
+    }
+
+    private def optsOf(v: TVal): Map[String, Any] = v.litv match {
+      case Some(m: Map[_, _]) => m.asInstanceOf[Map[String, Any]]
+      case _ => Map.empty
+    }
+
+    /** Validate a normalizer argument (reference rejects non-normalizer
+      * objects, proc_highlight.c "not normalizer"); "" means none.
+      */
+    private def normalizeFlag(name: String): Boolean = name match {
+      case "" => false
+      case n if n.startsWith("Normalizer") => true
+      case other => throw new ScriptError(s"not a normalizer: $other")
+    }
+
+    /** highlight_full(col, normalizer, htmlEscape, kw, open, close, ...)
+      * (reference proc_highlight.c:340). Wrong arity → null (rc=0 with a
+      * null value, fixture invalid/lack_close_tag).
+      */
+    private def highlightFull(args: Seq[TVal]): TVal = {
+      if (args.size < 6 || (args.size - 3) % 3 != 0)
+        return TVal(lit(null).cast("string"), GText)
+      val normalize = normalizeFlag(litStr(args(1), "highlight_full normalizer"))
+      val escape = args(2).litv.contains(true)
+      val groups = args.drop(3).grouped(3).map { g =>
+        (litStr(g(0), "keyword"), litStr(g(1), "open tag"), litStr(g(2), "close tag"))
+      }.toSeq
+      val u = udf((t: String) =>
+        graft.functions.TextFunctions.highlightOf(t, groups, escape, normalize))
+      TVal(u(args.head.col), GText)
+    }
+
+    /** highlight(col, kw, open, close, ..., {options}) (reference
+      * proc_highlight.c:488): per-keyword tags, options html_escape
+      * (default true) and normalizer (default NormalizerAuto).
+      */
+    private def highlightFn(args: Seq[TVal]): TVal = {
+      val (opts, kwArgs) =
+        if (args.size > 1 && args.last.litv.exists(_.isInstanceOf[Map[_, _]]))
+          (optsOf(args.last), args.tail.dropRight(1))
+        else (Map.empty[String, Any], args.tail)
+      if (kwArgs.isEmpty || kwArgs.size % 3 != 0)
+        return TVal(lit(null).cast("string"), GText)
+      val normalize = normalizeFlag(
+        opts.getOrElse("normalizer", "NormalizerAuto").toString)
+      val escape = opts.get("html_escape").forall {
+        case b: Boolean => b
+        case n: Long => n != 0
+        case s => s.toString == "true"
+      }
+      val groups = kwArgs.grouped(3).map { g =>
+        (litStr(g(0), "keyword"), litStr(g(1), "open tag"), litStr(g(2), "close tag"))
+      }.toSeq
+      val u = udf((t: String) =>
+        graft.functions.TextFunctions.highlightOf(t, groups, escape, normalize))
+      TVal(u(args.head.col), GText)
+    }
+
+    /** snippet(col, kw[, open, close]..., {options}) (reference
+      * proc_snippet.c:234): array of tagged windows; options width,
+      * max_n_results, html_escape, normalizer, default_open_tag/
+      * default_close_tag.
+      */
+    private def snippetFn(args: Seq[TVal]): TVal = {
+      val (opts, kwArgs) =
+        if (args.size > 1 && args.last.litv.exists(_.isInstanceOf[Map[_, _]]))
+          (optsOf(args.last), args.tail.dropRight(1))
+        else (Map.empty[String, Any], args.tail)
+      val normalize = normalizeFlag(
+        opts.getOrElse("normalizer", "NormalizerAuto").toString)
+      val escape = opts.get("html_escape").exists {
+        case b: Boolean => b
+        case n: Long => n != 0
+        case s => s.toString == "true"
+      }
+      def num(k: String, d: Int): Int = opts.get(k) match {
+        case Some(v: Long) => v.toInt
+        case Some(v: Int) => v
+        case _ => d
+      }
+      val width = num("width", 200)
+      val maxN = num("max_n_results", 3)
+      val dOpen = opts.getOrElse("default_open_tag", "").toString
+      val dClose = opts.getOrElse("default_close_tag", "").toString
+      val groups: Seq[(String, String, String)] =
+        if (kwArgs.size % 3 == 0 && kwArgs.size >= 3 &&
+            kwArgs.grouped(3).forall(g => g.forall(_.litv.exists(_.isInstanceOf[String]))))
+          kwArgs.grouped(3).map(g => (litStr(g(0), "kw"), litStr(g(1), "open"),
+            litStr(g(2), "close"))).toSeq
+        else kwArgs.map(k => (litStr(k, "keyword"), dOpen, dClose))
+      val u = udf((t: String) =>
+        graft.functions.TextFunctions.snippetTagged(t, groups, width, maxN, escape, normalize))
+      TVal(u(args.head.col), GVec(GText))
+    }
+
+    /** fuzzy_search(column, query[, options]) — sequential semantics
+      * (reference lib/proc/proc_fuzzy_search.c): match when the edit
+      * distance ≤ max_distance (default 1), scored max_distance − d + 1;
+      * options max_distance / with_transposition (Damerau) /
+      * prefix_length (candidates must share the prefix) / max_expansion
+      * (only the N closest distinct values match).
+      */
+    private def fuzzy(args: Seq[TVal]): TVal = {
+      val qv = args(1).litv match {
+        case Some(s: String) => s
+        case _ => throw new ScriptError("fuzzy_search needs a literal query")
+      }
+      val opts: Map[String, Any] = if (args.size > 2) args(2).litv match {
+        case Some(m: Map[_, _]) => m.asInstanceOf[Map[String, Any]]
+        case _ => Map.empty
+      } else Map.empty
+      def num(k: String, d: Long): Long = opts.get(k) match {
+        case Some(v: Long) => v
+        case Some(v: Int) => v.toLong
+        case Some(v: Double) => v.toLong
+        case _ => d
+      }
+      val maxd = num("max_distance", 1L)
+      val pl = num("prefix_length", 0L).toInt
+      val trans = opts.get("with_transposition").exists {
+        case b: Boolean => b
+        case s: String => s == "true"
+        case n: Long => n != 0
+        case _ => false
+      }
+      val big = lit(Long.MaxValue)
+      def distC(e: Column): Column = {
+        val d =
+          if (trans) call_udf("damerau_levenshtein", e.cast("string"), lit(qv)).cast("long")
+          else levenshtein(e.cast("string"), lit(qv)).cast("long")
+        if (pl > 0)
+          when(substring(e.cast("string"), 1, pl) === qv.take(pl), d).otherwise(big)
+        else d
+      }
+      def distS(v: String): Long = {
+        if (pl > 0 && !v.startsWith(qv.take(pl))) return Long.MaxValue
+        (if (trans) GrnScalars.damerauDistance(v, qv)
+         else GrnScalars.editDistance(v, qv)).toLong
+      }
+      val lhs = args.head
+      val isVec = lhs.t match { case GVec(_) => true; case _ => false }
+      val maxExp = num("max_expansion", 0L)
+      val minDist: Column =
+        if (maxExp > 0) {
+          // the N closest distinct values only (driver-side expansion over
+          // the value domain, like the reference's lexicon walk)
+          val colName = lhs.path.map(_.head).getOrElse(
+            throw new ScriptError("max_expansion needs a plain column"))
+          val base = docsOf().select(
+            (if (isVec) explode(col(colName)) else col(colName)).cast("string").as("v"))
+            .distinct().collect().map(_.getString(0))
+          val allowed = base.map(v => v -> distS(v)).filter(_._2 <= maxd)
+            .sortBy(_._2).take(maxExp.toInt).toMap
+          def distOf(e: Column): Column = allowed.foldLeft(big) { case (acc, (v, d)) =>
+            when(e.cast("string") === v, lit(d)).otherwise(acc)
+          }
+          if (isVec) array_min(transform(lhs.col, distOf(_))) else distOf(lhs.col)
+        } else if (isVec) array_min(transform(lhs.col, distC(_)))
+        else distC(lhs.col)
+      val pred = coalesce(minDist <= maxd, lit(false))
+      TVal(pred, GBool,
+        score = Some(when(pred, (lit(maxd) - minDist + 1).cast("double")).otherwise(lit(0.0))))
+    }
+  }
+
+  /** `--query_expander TABLE.COLUMN` (reference grn_expr_syntax_expand_query,
+    * lib/expr.c + proc_select.c:34-58): each bare term / quoted phrase in
+    * the query whose value is a key of TABLE is replaced by that row's
+    * COLUMN text (itself query syntax); not recursive. At scale this is a
+    * broadcast synonym map applied to the parsed query — here a direct
+    * splice over the tiny fixture table.
+    */
+  def expandQuery(
+      q: String,
+      spec: String,
+      tables: collection.Map[String, TableDef]): String = {
+    val (tName, cName) = spec.split("\\.", 2) match {
+      case Array(t, c) => (t, c)
+      case _ => throw new IllegalArgumentException(s"bad query_expander $spec")
+    }
+    val t = tables.getOrElse(tName,
+      throw new IllegalArgumentException(s"nonexistent expander table $tName"))
+    if (!t.columns.contains(cName) && cName != "_key")
+      throw new IllegalArgumentException(s"nonexistent expander column $cName")
+    val norm = normOf(t)
+    def keyOf(s: String) = norm.map(_(s)).getOrElse(s)
+    val synonyms: Map[String, String] = t.rows.flatMap { m =>
+      for {
+        k <- m.get("_key").map(_.asText)
+        v <- m.get(cName).map(_.asText)
+      } yield keyOf(k) -> v
+    }.toMap
+    val sb = new StringBuilder
+    var i = 0
+    while (i < q.length) {
+      val c = q.charAt(i)
+      if (c == '"') {
+        val end = {
+          var j = i + 1
+          while (j < q.length && q.charAt(j) != '"')
+            j += (if (q.charAt(j) == '\\') 2 else 1)
+          j
+        }
+        val phrase = q.substring(i + 1, math.min(end, q.length))
+        synonyms.get(keyOf(phrase)) match {
+          case Some(rep) => sb.append(rep)
+          case None => sb.append(q.substring(i, math.min(end + 1, q.length)))
+        }
+        i = end + 1
+      } else if (c.isWhitespace || "()+-".indexOf(c) >= 0) {
+        sb.append(c); i += 1
+      } else {
+        var j = i
+        while (j < q.length && !q.charAt(j).isWhitespace &&
+          "()+-\"".indexOf(q.charAt(j)) < 0) j += 1
+        val word = q.substring(i, j)
+        if (word == "OR") sb.append(word)
+        else sb.append(synonyms.getOrElse(keyOf(word), word))
+        i = j
+      }
+    }
+    sb.toString
   }
 
   private def jsonToValue(n: JsonNode): Any =
@@ -257,28 +776,29 @@ object GrnTestRunner {
       indexes: Seq[IndexDef],
       args: Map[String, String],
       tableName: String
-  ): (Long, Seq[Seq[Any]], Seq[String]) = {
-    import spark.implicits._
+  ): ((Long, Seq[Seq[Any]], Seq[String]), Boolean) = {
     val td = tables(tableName)
-    // docs DataFrame: docId (=_id, 1-based insertion), _key?, columns
+    // docs DataFrame: docId (=_id, 1-based insertion), _key?, typed columns
     val colNames = td.columns.keys.toSeq
+    val colTypes = colNames.map(c => gtypeOf(td, tables, c))
+    val keyNorm = normOf(td)
     val rows = td.rows.zipWithIndex.map { case (m, i) =>
       val id = (i + 1).toLong
-      val key = if (td.keyed) m.get("_key").map(_.asText).orNull else null
-      val vals = colNames.map(c => m.get(c).map(jsonToValue).orNull)
+      val key =
+        if (td.keyed)
+          m.get("_key").map(k => keyNorm.map(_(k.asText)).getOrElse(k.asText)).orNull
+        else null
+      val vals = colNames.zip(colTypes).map { case (c, t) =>
+        val refNorm = tables.get(td.columns(c)).flatMap(normOf)
+        jsonToTyped(m.get(c).orNull, t, refNorm)
+      }
       Row.fromSeq(id +: (if (td.keyed) Seq(key) else Seq.empty) ++: vals)
     }.toSeq
     val fields = StructField("docId", LongType, nullable = false) +:
       ((if (td.keyed) Seq(StructField("_key", StringType)) else Seq.empty) ++
-        colNames.map { c =>
-          val t = td.columns(c) match {
-            case "Int8" | "Int16" | "Int32" | "Int64" | "UInt8" | "UInt16" | "UInt32" | "UInt64" => LongType
-            case "Float" => DoubleType
-            case _ => StringType
-          }
-          StructField(c, t)
-        })
-    var docs = spark.createDataFrame(rows.asJava, StructType(fields))
+        colNames.zip(colTypes).map { case (c, t) => StructField(c, sparkTypeOf(t)) })
+    val typedDocs = spark.createDataFrame(rows.asJava, StructType(fields))
+    val docs = typedDocs
 
     // index over the match column, if an index def exists for this table;
     // an adjuster's target column needs its index even without a query
@@ -286,29 +806,38 @@ object GrnTestRunner {
       .flatMap(a => "^\\s*([\\w.]+)\\s*@".r.findFirstMatchIn(a).map(_.group(1)))
     val matchCol = args.get("match_columns")
       .map(_.split("\\*")(0).trim) // "content * 2" weight form: take the column
+      .map { mc =>
+        // "Lexicon.index_column" names the index; resolve its source
+        if (mc.contains('.')) {
+          val Array(lx, ic) = mc.split("\\.", 2)
+          indexes.find(ix => ix.lexicon == lx && ix.name == ic)
+            .map(_.srcCol).getOrElse(mc)
+        } else mc
+      }
       .orElse(adjusterCol)
       .orElse(indexes.find(_.srcTable == tableName).map(_.srcCol))
     val idxDef = indexes.find(ix => ix.srcTable == tableName &&
       matchCol.forall(_ == ix.srcCol))
       .orElse(indexes.find(_.srcTable == tableName))
-    val needIndex = args.contains("query")
-    val reader: IndexReader =
-      if (needIndex || args.contains("filter")) {
-        val ix = idxDef
-        val lex = ix.map(i => tables(i.lexicon))
-        val tok = lex.flatMap(_.tokenizer).getOrElse("TokenDelimit") +
-          (if (lex.exists(l => l.tokenizer.isDefined && l.normalizer.isEmpty)) ":none" else "")
-        val dir = java.nio.file.Files.createTempDirectory("graft_compat_").toString
-        val srcCol = ix.map(_.srcCol)
-          .orElse(colNames.headOption)
-          .getOrElse("_key") // key-only table: the key is the content
-        if (td.vectorCols.contains(srcCol)) {
+    // *N / *S in a filter route through the index (reference resolves the
+    // selector through the column's index even in --filter context)
+    val needIndex = args.contains("query") ||
+      args.get("filter").exists(f => f.contains("*N") || f.contains("*S"))
+    val reader: IndexReader = {
+      val ix = if (needIndex) idxDef else None
+      val lex = ix.map(i => tables(i.lexicon))
+      val tok = lex.flatMap(_.tokenizer).getOrElse("TokenDelimit") +
+        (if (lex.exists(l => l.tokenizer.isDefined && l.normalizer.isEmpty)) ":none" else "")
+      val dir = java.nio.file.Files.createTempDirectory("graft_compat_").toString
+      val srcCol = ix.map(_.srcCol).filter(_ => needIndex)
+      srcCol match {
+        case Some(sc) if td.vectorCols.contains(sc) =>
           // vector (possibly weighted) column: each element is one token —
           // build from explicit postings (reference indexes vector elements
           // separately, lib/ii.c:8748-8788; weights via WITH_WEIGHT)
           val postingRows = td.rows.zipWithIndex.flatMap { case (m, i0) =>
             val id = (i0 + 1).toLong
-            m.get(srcCol).toSeq.flatMap { node =>
+            m.get(sc).toSeq.flatMap { node =>
               val elems: Seq[(String, Int)] =
                 if (node.isArray) node.elements().asScala.map(e => (e.asText, 0)).toSeq
                 else if (node.isObject) node.fields().asScala.map(e => (e.getKey, e.getValue.asInt)).toSeq
@@ -324,104 +853,45 @@ object GrnTestRunner {
             StructField("positions", ArrayType(IntegerType)),
             StructField("weight", IntegerType)))
           IndexBuilder.buildFromPostings(spark,
-            docs.withColumnRenamed(srcCol, s"__v_$srcCol"),
+            docs.withColumn(s"__v_$sc", col(sc).cast("string")).drop(sc),
             spark.createDataFrame(postingRows.asJava, pSchema), dir,
             IndexConfig(tokenizerName = "TokenDelimit", withPositions = true,
               withWeights = true, nShards = 2, buildPartitions = 2,
               hotTermDf = 1000000L, nSalts = 1))
           new IndexReader(spark, dir) {
-            override lazy val docs: DataFrame = spark.read.parquet(s"$dir/docs")
-              .withColumnRenamed(s"__v_$srcCol", srcCol)
+            override lazy val docs: DataFrame = typedDocs
           }
-        } else {
-          // avoid a name collision when the table has its own `content`
-          // column and the indexed source is a different column
-          val clash = srcCol != "content" && docs.columns.contains("content")
-          val pre = if (clash) docs.withColumnRenamed("content", "__content") else docs
-          val buildDocs0 = pre.withColumnRenamed(srcCol, "content")
-          // tables with no usable text column (key-only/no-column tables):
-          // index an empty content so the docs/scan machinery still works
-          val buildDocs =
-            if (buildDocs0.columns.contains("content")) buildDocs0
-            else buildDocs0.withColumn("content", lit(""))
+        case Some(sc) =>
+          // the build wants a string `content` column; serve queries from
+          // the in-memory typed table regardless
+          val buildDocs = docs
+            .withColumn("__idx_content", col(sc).cast("string"))
+            .select((Seq(col("docId"), col("__idx_content").as("content")) ++
+              docs.columns.filter(c => c != "docId" && c != sc && c != "content")
+                .map(col)): _*)
           IndexBuilder.build(spark, buildDocs, dir, IndexConfig(
             tokenizerName = tok,
             withPositions = ix.forall(_.withPosition),
             nShards = 2, buildPartitions = 2, hotTermDf = 1000000L,
             nSalts = 1))
           new IndexReader(spark, dir) {
-            override lazy val docs: DataFrame = {
-              val d = spark.read.parquet(s"$dir/docs").withColumnRenamed("content", srcCol)
-              if (clash) d.withColumnRenamed("__content", "content") else d
-            }
+            override lazy val docs: DataFrame = typedDocs
           }
-        }
-      } else null
+        case None =>
+          // no query: plain table scan through the same Select stages —
+          // index an empty content so the docs/scan machinery still works
+          IndexBuilder.build(spark,
+            docs.select(col("docId")).withColumn("content", lit("")), dir,
+            IndexConfig(tokenizerName = "TokenDelimit", nShards = 1,
+              buildPartitions = 1, nSalts = 1))
+          new IndexReader(spark, dir) {
+            override lazy val docs: DataFrame = typedDocs
+          }
+      }
+    }
 
-    // script-syntax → Catalyst SQL: operator spellings differ, the
-    // semantics (for this subset) match; 3-arg geo calls route to the
-    // _approx UDF registrations (no UDF overloading in Spark)
     graft.functions.GrnGeo.register(spark)
     graft.functions.GrnScalars.register(spark)
-    def translate(f0: String): String = {
-      var s = f0.replace("&!", " AND NOT ").replace("&&", " AND ")
-        .replace("||", " OR ").replace("==", " = ").replace("!(", " NOT (")
-      s = s.replaceAll(
-        "geo_distance\\(([^()]*?),\\s*\"(rect|rectangle|sphr|sphere|ellip|ellipsoid)\"\\)",
-        "geo_distance_approx($1, \"$2\")")
-      s = s.replaceAll(
-        "geo_in_circle\\(([^()]*?),\\s*\"(rect|rectangle|sphr|sphere|ellip|ellipsoid)\"\\)",
-        "geo_in_circle_approx($1, \"$2\")")
-      // sequential match-family operators in script filters (reference
-      // lib/expr.c:5367 non-indexed exec): @ substring, @^ prefix,
-      // @$ suffix, @~ regexp — order matters (@^ before @)
-      s = s.replaceAll(
-        "([\\w.]+)\\s*@\\^\\s*\"([^\"]*)\"",
-        "startswith(lower($1), lower(\"$2\"))")
-      s = s.replaceAll(
-        "([\\w.]+)\\s*@\\$\\s*\"([^\"]*)\"",
-        "endswith(lower($1), lower(\"$2\"))")
-      s = s.replaceAll(
-        "([\\w.]+)\\s*@~\\s*\"([^\"]*)\"",
-        "($1 RLIKE \"$2\")")
-      s = s.replaceAll(
-        "([\\w.]+)\\s*@\\s*\"([^\"]*)\"",
-        "contains(lower($1), lower(\"$2\"))")
-      // in_values(col, v...) → col IN (v...) (reference lib/proc.c:4052)
-      s = s.replaceAll("in_values\\(([\\w.]+),\\s*([^()]*)\\)", "($1 IN ($2))")
-      // pseudo-column _id → our docId surrogate
-      s = s.replaceAll("\\b_id\\b", "docId")
-      // between(col, min, "include|exclude", max, "include|exclude")
-      // (reference lib/proc.c:3736 border semantics)
-      val betweenRe =
-        "between\\(([\\w.]+),\\s*([^,()]+),\\s*\"(include|exclude)\",\\s*([^,()]+),\\s*\"(include|exclude)\"\\)".r
-      s = betweenRe.replaceAllIn(s, mm => {
-        val c = mm.group(1)
-        val lo = mm.group(2).trim; val loOp = if (mm.group(3) == "include") ">=" else ">"
-        val hi = mm.group(4).trim; val hiOp = if (mm.group(5) == "include") "<=" else "<"
-        s"($c $loOp $lo AND $c $hiOp $hi)"
-      })
-      s = s.replace("all_records()", "true")
-      // variadic SCALAR max/min (reference lib/proc.c:2914,2969) — Spark's
-      // max/min are aggregates; greatest/least are the scalar forms
-      // (single-argument calls duplicate the operand)
-      s = s.replaceAll("\\bmax\\(([^,()]+)\\)", "greatest($1, $1)")
-      s = s.replaceAll("\\bmin\\(([^,()]+)\\)", "least($1, $1)")
-      s = s.replaceAll("\\bmax\\(", "greatest(")
-      s = s.replaceAll("\\bmin\\(", "least(")
-      s
-    }
-    val filterCol = args.get("filter").map { f =>
-      val t = translate(f)
-      // bare geo_in_* predicate used as the whole filter: int → boolean
-      val wrapped = if (t.trim.matches("^geo_in_\\w+\\([^=<>!]*\\)$")) s"($t) != 0" else t
-      expr(wrapped)
-    }
-    // _score is Int32 in the reference (command_version 1/2): scorer
-    // assignment truncates toward zero — CAST AS LONG reproduces that
-    val scorer = args.get("scorer")
-      .map(s => translate(s.trim.stripPrefix("_score").trim.stripPrefix("=").trim))
-      .map(s => s"CAST(($s) AS BIGINT)")
 
     // condition keywords for snippet/highlight output functions
     // (reference proc_snippet.c:234 pulls keywords from the select condition)
@@ -448,13 +918,25 @@ object GrnTestRunner {
     spark.udf.register("highlight_html", (t: String) =>
       graft.functions.TextFunctions.highlightHtmlOf(t, kws))
 
+    // *N / *S need a REAL content index; a near/similar filter on a table
+    // without one is rejected like the reference (rc=-38)
+    val env = new RunnerEnv(td, tables, () => reader.docs,
+      if (needIndex && idxDef.isDefined) Some(reader) else None, indexes)
+
+    // --filter / --scorer via the script-syntax parser
+    val filterLowered = args.get("filter").map(f => ScriptExpr.lower(f, env))
+    val filterCol = filterLowered.map(l => truthy(l.value))
+    val filterScore = filterLowered.map(l => scoreOf(l.value))
+    val scorerAssigns: Seq[(String, Column)] =
+      args.get("scorer").map(s => ScriptExpr.lower(s, env).assigns).getOrElse(Nil)
+
     def splitTop(s: String): Seq[String] = {
-      // split on commas at paren depth 0
+      // split on commas at paren/bracket depth 0
       val out = mutable.ArrayBuffer[String]()
       val sb = new StringBuilder; var depth = 0
       s.foreach { c =>
-        if (c == '(') { depth += 1; sb.append(c) }
-        else if (c == ')') { depth -= 1; sb.append(c) }
+        if (c == '(' || c == '[' || c == '{') { depth += 1; sb.append(c) }
+        else if (c == ')' || c == ']' || c == '}') { depth -= 1; sb.append(c) }
         else if (c == ',' && depth == 0) { out += sb.toString.trim; sb.clear() }
         else sb.append(c)
       }
@@ -462,42 +944,59 @@ object GrnTestRunner {
       out.toSeq
     }
     val outCols: Seq[String] = args.get("output_columns").map(splitTop).getOrElse(Seq("*"))
-    val useExprCols = outCols.exists(_.contains('('))
+    val outputExprs: Option[Seq[(String, Column)]] =
+      if (outCols == Seq("*")) None
+      else Some(outCols.flatMap {
+        case "*" =>
+          (if (td.keyed) Seq("_key" -> col("_key")) else Seq.empty) ++
+            colNames.map(c => c -> col(c))
+        case "_id" => Seq("_id" -> col("docId"))
+        case e => Seq(e -> ScriptExpr.lower(e, env).value.col)
+      })
 
     val sortby = args.get("sortby").orElse(args.get("sort_keys"))
-      .map(_.split(",").map(_.trim).toSeq).getOrElse(Seq("_id"))
+      .map(splitTop).getOrElse(Seq("_id"))
+    val sortByCols: Seq[Column] = sortby.map { k =>
+      val (neg, body0) =
+        if (k.startsWith("-")) (true, k.drop(1)) else (false, k.stripPrefix("+"))
+      val body = body0.trim
+      val c = body match {
+        case "_id" => col("docId")
+        case _ => ScriptExpr.lower(body, env).value.col
+      }
+      if (neg) c.desc else c.asc
+    }
+
+    val expander = args.get("query_expander").orElse(args.get("query_expansion"))
+    val query = (args.get("query"), expander) match {
+      case (Some(q), Some(spec)) => Some(expandQuery(q, spec, tables))
+      case (q, _) => q
+    }
     val params = SelectParams(
-      query = args.get("query"),
+      query = query,
       matchColumns = matchCol.toSeq,
       filter = filterCol,
-      scorer = scorer,
+      filterScore = filterScore,
+      scorerAssigns = scorerAssigns,
       adjuster = args.get("adjuster"),
-      sortby = sortby.map(translate),
+      sortByCols = Some(sortByCols),
       offset = args.get("offset").map(_.toInt).getOrElse(0),
       limit = args.get("limit").map(_.toInt).getOrElse(10),
-      outputColumns = if (useExprCols) outCols.map(translate) else Seq("*"))
+      outputExprs = outputExprs,
+      matchEscalationThreshold =
+        args.get("match_escalation_threshold").map(_.toLong).getOrElse(0L))
 
-    val res =
-      if (reader != null) Select.run(reader, params)
-      else {
-        // no query: plain table scan through the same Select stages
-        val fakeDir = java.nio.file.Files.createTempDirectory("graft_compat_").toString
-        IndexBuilder.build(spark, docs.withColumn("content", lit("")), fakeDir,
-          IndexConfig(tokenizerName = "TokenDelimit", nShards = 1,
-            buildPartitions = 1, nSalts = 1))
-        val r = new IndexReader(spark, fakeDir) {
-          override lazy val docs: DataFrame = spark.read.parquet(s"$fakeDir/docs")
-        }
-        Select.run(r, params)
-      }
+    val res = Select.run(reader, params)
     val hits = res.hits
-    (res.nHits, hits.collect().map(_.toSeq.toSeq).toSeq, hits.columns.toSeq)
+    ((res.nHits, hits.collect().map(_.toSeq.toSeq).toSeq, hits.columns.toSeq),
+      outputExprs.isDefined)
   }
 
   private def compare(
       got: (Long, Seq[Seq[Any]], Seq[String]),
       exp: JsonNode,
-      q: String
+      q: String,
+      explicitCols: Boolean
   ): SelectOutcome = {
     if (exp == null) return SelectOutcome(q, ok = false, "no expected envelope")
     val body = exp.get(1)
@@ -512,16 +1011,21 @@ object GrnTestRunner {
     val (gotCount, gotRows, gotCols) = got
     if (gotCount != expCount)
       return SelectOutcome(q, ok = false, s"count: got $gotCount want $expCount")
-    // project our rows onto the expected schema; function output columns
-    // are named by function in the envelope ("snippet_html") but aliased by
-    // full expression on our side — prefix-match those
-    val colIdx = schema.map {
-      case "_id" if !gotCols.contains("_id") => gotCols.indexOf("docId")
-      case c =>
-        val direct = gotCols.indexOf(c)
-        if (direct >= 0) direct
-        else gotCols.indexWhere(_.startsWith(c + "("))
-    }
+    // explicit output columns compare positionally (the envelope schema is
+    // the requested list in order; expression entries are unnamed there)
+    val colIdx: Seq[Int] =
+      if (explicitCols) {
+        if (schema.size != gotCols.size)
+          return SelectOutcome(q, ok = false,
+            s"column count: want ${schema.size} (${schema.mkString(",")}) have ${gotCols.size}")
+        gotCols.indices
+      } else schema.map {
+        case "_id" if !gotCols.contains("_id") => gotCols.indexOf("docId")
+        case c =>
+          val direct = gotCols.indexOf(c)
+          if (direct >= 0) direct
+          else gotCols.indexWhere(_.startsWith(c + "("))
+      }
     if (colIdx.contains(-1))
       return SelectOutcome(q, ok = false,
         s"missing columns: want $schema have $gotCols")
@@ -529,12 +1033,15 @@ object GrnTestRunner {
       case d: Double => if (d == d.floor && !d.isInfinite) d.toLong.toString else f"$d%.6f"
       case null => "null"
       case s: scala.collection.Seq[_] =>
-        // arrays compare as compact JSON, same as the envelope's node text
-        mapper.writeValueAsString(s.map(_.toString).asJava)
+        // arrays render as compact JSON, matching the envelope node text
+        s.map {
+          case e: String => mapper.writeValueAsString(e)
+          case e => norm(e)
+        }.mkString("[", ",", "]")
       case x => x.toString
     }
-    val projected = gotRows.map(r => colIdx.map(i => norm(r(i))).mkString(" "))
-    val want = expRows.map(_.map(norm).mkString(" "))
+    val projected = gotRows.map(r => colIdx.map(i => norm(r(i))).mkString(" "))
+    val want = expRows.map(_.map(norm).mkString(" "))
     // grntest fixture rows are emitted in result order; we compare as
     // multisets (hash-table iteration order of the reference is an
     // implementation detail) unless a sortby was present — the caller's
