@@ -71,7 +71,11 @@ final case class SelectParams(
 final case class SelectResult(
     nHits: Long,
     hits: DataFrame,
-    drilldowns: Map[String, DataFrame]
+    drilldowns: Map[String, DataFrame],
+    /** Total group count per drilldown (pre-offset/limit) — the envelope's
+      * leading count for each drilldown result set.
+      */
+    drilldownTotals: Map[String, Long] = Map.empty
 )
 
 object Select {
@@ -95,14 +99,22 @@ object Select {
     if (neg) c.desc else c.asc
   }
 
-  def run(reader: IndexReader, p: SelectParams): SelectResult =
+  def run(reader: IndexReader, p: SelectParams): SelectResult = {
+    // the single match column may carry a weight or scorer cap
+    // ("title * 10", "scorer_tf_at_most(col, 3.0)")
+    val sw = p.matchColumns.headOption
+      .map(mc => graft.index.MatchColumnsSpec.parse(mc).headOption
+        .getOrElse(graft.index.SectionWeight(mc, 1.0)))
     runWith(reader.liveDocs,
-      q => QueryExec.run(reader, q, p.matchColumns.headOption,
-        p.matchEscalationThreshold).toDF("docId", "_score"),
+      q => QueryExec.run(reader, q, sw.map(_.column),
+        p.matchEscalationThreshold,
+        weight = sw.map(_.weight).getOrElse(1.0),
+        cap = sw.flatMap(_.cap)).toDF("docId", "_score"),
       p,
       // single-index mode: every adjuster clause resolves to the one index
       // (the caller is responsible for it covering the clause's column)
       adjust = p.adjuster.map(spec => applyAdjuster(_ => reader, spec, _)))
+  }
 
   /** Parse and apply an adjuster spec against `scored` (docId, _score):
     * each `col @ "value" * factor` clause contributes factor*tf for member
@@ -133,9 +145,10 @@ object Select {
     * `p.matchColumns` (entries may carry weights, `"title * 10"`), scores
     * weighted then merged — the full `--match_columns` semantics.
     */
-  def run(sidx: graft.index.SectionedReader, p: SelectParams): SelectResult = {
+  def run(sidx: graft.index.SectionedReader, p: SelectParams,
+      docsOverride: Option[DataFrame] = None): SelectResult = {
     val spec = graft.index.MatchColumnsSpec.parse(p.matchColumns.mkString(" || "))
-    runWith(sidx.primary.liveDocs,
+    runWith(docsOverride.getOrElse(sidx.primary.liveDocs),
       q => QueryExec.runSectioned(sidx, q, spec,
         p.matchEscalationThreshold).toDF("docId", "_score"),
       p,
@@ -222,6 +235,10 @@ object Select {
       val label = if (d.label.nonEmpty) d.label else d.keys.mkString(",")
       val aggs = scala.collection.mutable.ArrayBuffer[Column]()
       aggs += count(lit(1)).as("_nsubrecs")
+      // first-seen group order (reference hash-table insertion order) is
+      // available as a sort key when the caller asks for `__first`
+      if (d.sortby.exists(_.contains("__first")))
+        aggs += min(col("docId")).as("__first")
       d.calcTypes.filter(_ != "COUNT").foreach { ct =>
         val t = col(d.calcTarget.getOrElse(
           throw new IllegalArgumentException("calc_target required")))
@@ -241,9 +258,10 @@ object Select {
           d.keys.map(asc): _*) // key tie-break for determinism
       // negative drilldown limit = all groups (reference normalize semantics)
       val sorted = if (d.limit < 0) sorted0 else sorted0.limit(d.offset + d.limit)
-      label -> sorted
-    }.toMap
+      (label, sorted, grouped)
+    }
 
-    SelectResult(nHits, out, dds)
+    SelectResult(nHits, out, dds.map(t => t._1 -> t._2).toMap,
+      dds.map(t => t._1 -> t._3.count()).toMap)
   }
 }

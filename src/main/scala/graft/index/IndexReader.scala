@@ -46,8 +46,18 @@ class IndexReader(val spark: SparkSession, val dir: String) extends Serializable
     segments.count(): Unit // materialize
     normsBroadcast // ship norms once
     lexiconWarm()
+    servingFlag = true
     this
   }
+
+  @volatile private var servingFlag = false
+
+  /** True after [[cacheForServing]]: query paths may then use the
+    * driver-collected norms broadcast / lexicon map; otherwise they must
+    * stay driver-light (cogroup norms, pruned lexicon scans) so a
+    * 10^12-doc corpus never funnels through the driver.
+    */
+  def isServing: Boolean = servingFlag
 
   private def lexiconWarm(): Unit = { lexiconMapForServing().size: Unit }
 

@@ -8,16 +8,32 @@ import java.nio.file.{Files, Paths}
   * `--match_columns "title * 10 || body"` spec (reference
   * lib/proc/proc_select.c:686-698; weights applied lib/expr.c:6126-6193).
   */
-final case class SectionWeight(column: String, weight: Double)
+final case class SectionWeight(
+    column: String,
+    weight: Double,
+    /** Raw-score ceiling applied before the weight —
+      * `scorer_tf_at_most(col, max)` entries (reference
+      * plugins/scorers/scorer_tf_at_most.c: min(tf, max)).
+      */
+    cap: Option[Double] = None)
 
 object MatchColumnsSpec {
-  /** Parse `"a * 10 || b * 2 || c"` → sections with weights (default 1). */
+  private val scorerRe = """scorer_tf_at_most\(\s*([\w.]+)\s*,\s*([\d.]+)\s*\)""".r
+
+  /** Parse `"a * 10 || scorer_tf_at_most(b, 3.0) * 2 || c"` → sections with
+    * weights (default 1) and optional score caps.
+    */
   def parse(s: String): Seq[SectionWeight] =
     s.split("\\|\\|").toSeq.map(_.trim).filter(_.nonEmpty).map { part =>
-      part.split("\\*").map(_.trim) match {
-        case Array(c) => SectionWeight(c, 1.0)
-        case Array(c, w) => SectionWeight(c, w.toDouble)
+      // split on the weight `*` only OUTSIDE parentheses
+      val (body, w) = part.split("\\*(?![^(]*\\))").map(_.trim) match {
+        case Array(c) => (c, 1.0)
+        case Array(c, wt) => (c, wt.toDouble)
         case _ => throw new IllegalArgumentException(s"bad match_columns entry: $part")
+      }
+      body match {
+        case scorerRe(c, cap) => SectionWeight(c, w, Some(cap.toDouble))
+        case c => SectionWeight(c, w)
       }
     }
 }
@@ -84,11 +100,11 @@ final class SectionedReader(val spark: SparkSession, val dir: String) extends Se
   def docs: DataFrame = primary.docs
 
   /** Resolve a match_columns spec against this index's sections. */
-  def targets(spec: Seq[SectionWeight]): Seq[(IndexReader, Double)] =
+  def targets(spec: Seq[SectionWeight]): Seq[(IndexReader, Double, Option[Double])] =
     spec.map { sw =>
       val r = readers.getOrElse(sw.column,
         throw new IllegalArgumentException(
           s"no index section for column ${sw.column} (have: ${sectionNames.mkString(",")})"))
-      (r, sw.weight)
+      (r, sw.weight, sw.cap)
     }
 }

@@ -136,8 +136,15 @@ object Dedup {
          | 'band', b,
          | 'bucket', CAST(conv(substring(md5(concat_ws(',',
          |    transform(slice(sig, b * $rows + 1, $rows), v -> CAST(v AS STRING)))), 1, 15), 16, 10) AS BIGINT)))""".stripMargin)
-    sigs.select(col("doc_id"), explode(bandRows).as("bb"))
+    // materialize band rows: every downstream op (the self-join, the
+    // verify) would otherwise recompute the full 64-permutation signature
+    // per reference — at scale this materialization is the signatures
+    // table you'd persist to storage anyway
+    val out = sigs.select(col("doc_id"), explode(bandRows).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count(): Unit
+    out
   }
 
   /** Candidate near-dup pairs from LSH buckets (a < b, distinct). The
@@ -195,6 +202,8 @@ object Dedup {
           | named_struct('band', 3, 'v', shiftright(sh_hi, 16) & 65535L))""".stripMargin)).as("bb"))
       .select(col("doc_id"), col("sh_lo"), col("sh_hi"),
         col("bb.band").as("band"), col("bb.v").as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    banded.count(): Unit // both join sides read the materialized fingerprints
     val l = banded.select(col("band"), col("v"), col("doc_id").as("a"),
       col("sh_lo").as("alo"), col("sh_hi").as("ahi"))
     val r = banded.select(col("band"), col("v"), col("doc_id").as("b"),
@@ -221,12 +230,16 @@ object Dedup {
       textCol: String = "text",
       k: Int = 3
   ): DataFrame = {
+    // the candidate set feeds three joins — materialize it once (it is
+    // small by construction: LSH bucket collisions only)
+    val p = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    p.count(): Unit
     val grams = shingles(docs, textCol, k)
     val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val ga = pairs.join(grams.select(col("doc_id").as("a"), col("g")), "a")
+    val ga = p.join(grams.select(col("doc_id").as("a"), col("g")), "a")
     val interCnt = ga.join(grams.select(col("doc_id").as("b"), col("g")), Seq("b", "g"))
       .groupBy("a", "b").agg(count(lit(1)).as("inter"))
-    pairs
+    p
       .join(interCnt, Seq("a", "b"), "left_outer")
       .na.fill(0L, Seq("inter"))
       .join(sizes.select(col("doc_id").as("a"), col("sz").as("sa")), "a")

@@ -24,13 +24,14 @@ object QueryExec {
     */
   final case class Ctx(
       docs: DataFrame,
-      sections: Seq[(IndexReader, Double)],
+      sections: Seq[(IndexReader, Double, Option[Double])],
       byCol: Map[String, IndexReader]
   )
 
   object Ctx {
-    def single(reader: IndexReader, matchColumn: Option[String]): Ctx =
-      Ctx(reader.liveDocs, Seq(reader -> 1.0),
+    def single(reader: IndexReader, matchColumn: Option[String],
+        weight: Double = 1.0, cap: Option[Double] = None): Ctx =
+      Ctx(reader.liveDocs, Seq((reader, weight, cap)),
         matchColumn.map(_ -> reader).toMap)
 
     def sectioned(sidx: SectionedReader, spec: Seq[SectionWeight]): Ctx =
@@ -40,10 +41,13 @@ object QueryExec {
 
   def run(reader: IndexReader, q: String,
       matchColumn: Option[String] = None,
-      escalationThreshold: Long = -1L): Dataset[ScoredDoc] = {
+      escalationThreshold: Long = -1L,
+      weight: Double = 1.0,
+      cap: Option[Double] = None): Dataset[ScoredDoc] = {
     val parsed = QueryParser.parse(q)
     val esc = parsed.escalationThreshold.getOrElse(escalationThreshold)
-    eval(Ctx.single(reader, matchColumn), parsed.root, esc, escalating = true)
+    eval(Ctx.single(reader, matchColumn, weight, cap), parsed.root, esc,
+      escalating = true)
   }
 
   def runSectioned(sidx: SectionedReader, q: String, spec: Seq[SectionWeight],
@@ -54,8 +58,8 @@ object QueryExec {
   }
 
   /** Weighted score-merge across the ctx's sections (OR, scores add). */
-  private def acrossSections(ctx: Ctx)(f: (IndexReader, Double) => Dataset[ScoredDoc]): Dataset[ScoredDoc] =
-    ctx.sections.map { case (r, w) => f(r, w) }.reduce(Engine.SetOps.or)
+  private def acrossSections(ctx: Ctx)(f: (IndexReader, Double, Option[Double]) => Dataset[ScoredDoc]): Dataset[ScoredDoc] =
+    ctx.sections.map { case (r, w, cap) => f(r, w, cap) }.reduce(Engine.SetOps.or)
 
   def eval(ctx: Ctx, node: Node, esc: Long, escalating: Boolean): Dataset[ScoredDoc] = {
     val spark = ctx.docs.sparkSession
@@ -65,19 +69,20 @@ object QueryExec {
       // grn_ii_sel guards on op == GRN_OP_OR) — the first clause and both
       // sides of an OR; never the right side of AND/AND_NOT/ADJUST
       case Match(text, _) if escalating && esc >= 0 =>
-        acrossSections(ctx)((r, w) => Engine.matchScoresEscalating(r, text, esc, w))
+        acrossSections(ctx)((r, w, cap) => Engine.matchScoresEscalating(r, text, esc, w, cap))
       case Match(text, _) =>
-        acrossSections(ctx)((r, w) => Engine.matchScores(r, text, PhraseMatch, w))
+        acrossSections(ctx)((r, w, cap) => Engine.matchScores(r, text, PhraseMatch, w, cap))
       case Prefix(p) =>
-        acrossSections(ctx)((r, w) =>
+        acrossSections(ctx)((r, w, _) =>
           Engine.prefixSearch(r, p).map(s => ScoredDoc(s.docId, s.score * w)))
       case Near(text, maxInterval) =>
-        acrossSections(ctx)((r, w) =>
-          Engine.matchScores(r, text, kind = NearMatch(maxInterval), weight = w))
+        acrossSections(ctx)((r, w, cap) =>
+          Engine.matchScores(r, text, kind = NearMatch(maxInterval), weight = w,
+            cap = cap))
       case Similar(text, threshold) =>
         // threshold <= 0 = "use default" (reference
         // DEFAULT_SIMILARITY_THRESHOLD 0 → top (n>>3)+1 terms)
-        acrossSections(ctx)((r, w) =>
+        acrossSections(ctx)((r, w, _) =>
           Engine.similarSearch(r, text,
             similarityThreshold = math.max(threshold, 0))
             .map(s => ScoredDoc(s.docId, s.score * w)))

@@ -26,7 +26,11 @@ object Engine {
       reader: IndexReader,
       text: String,
       kind: MatchKind = PhraseMatch,
-      weight: Double = 1.0
+      weight: Double = 1.0,
+      /** Raw-score ceiling BEFORE the weight — scorer_tf_at_most
+        * (reference plugins/scorers, min(tf, max)·w).
+        */
+      cap: Option[Double] = None
   ): Dataset[ScoredDoc] = {
     val spark = reader.spark
     import spark.implicits._
@@ -39,7 +43,10 @@ object Engine {
       .groupByKey(_.shard)
       .flatMapGroups { (_, rows) =>
         Searcher.evalShardMatch(qtoks, rows.toSeq, withPos, kind, delB.value)
-          .map { case (d, n, ts) => ScoredDoc(d, (n + ts) * weight) }
+          .map { case (d, n, ts) =>
+            val raw = n + ts
+            ScoredDoc(d, cap.fold(raw.toDouble)(c => math.min(raw, c)) * weight)
+          }
       }
   }
 
@@ -68,27 +75,43 @@ object Engine {
     val idfs: Map[String, Double] =
       terms.map(t => t -> bm25.idf(n, stats.get(t).map(_._1).getOrElse(0L))).toMap
 
-    // Norms ship once per session as a broadcast (tiny: varints per doc);
-    // the query itself is then a single term-pruned scan + one small
-    // shuffle of segment rows grouped by shard. (A cogroup-with-norms
-    // variant would avoid the broadcast for corpora whose norms exceed
-    // driver memory — at 10^12 docs norms would be co-partitioned with
-    // segments instead.)
-    val normsB = reader.normsBroadcast
     val delB = reader.deletedBroadcast
-    val perShard = reader.segmentsFor(terms).groupByKey(_.shard)
-      .flatMapGroups { (shard, segIt) =>
-        val segRows = segIt.toSeq
-        val lookup = Norms.decode(normsB.value(shard))
-        val cursors = segRows.groupBy(_.term).toSeq
-          .map { case (t, rows) =>
-            TermCursor.fromRows(rows, withPos, termIdx(t), idfs(t), bm25)
+    def scoreShard(segRows: Seq[graft.index.SegmentRow],
+        normsBlob: Array[Byte], deleted: Set[Long]): Iterator[ScoredDoc] = {
+      val lookup = Norms.decode(normsBlob)
+      val cursors = segRows.groupBy(_.term).toSeq
+        .map { case (t, rows) =>
+          TermCursor.fromRows(rows, withPos, termIdx(t), idfs(t), bm25)
+        }
+        .sortBy(_.termIdx)
+      val top =
+        if (useWand) Bm25Shard.wand(cursors, lookup.apply, avgdl, bm25, k, deleted)
+        else Bm25Shard.exhaustive(cursors, lookup.apply, avgdl, bm25, k, deleted)
+      top.iterator
+    }
+    val perShard =
+      if (reader.isServing) {
+        // serving mode: norms pinned once as a broadcast (one varint/doc) —
+        // minimum latency for a query workload on a warmed reader
+        val normsB = reader.normsBroadcast
+        reader.segmentsFor(terms).groupByKey(_.shard)
+          .flatMapGroups { (shard, segIt) =>
+            scoreShard(segIt.toSeq, normsB.value(shard), delB.value)
           }
-          .sortBy(_.termIdx)
-        val top =
-          if (useWand) Bm25Shard.wand(cursors, lookup.apply, avgdl, bm25, k, delB.value)
-          else Bm25Shard.exhaustive(cursors, lookup.apply, avgdl, bm25, k, delB.value)
-        top.iterator
+      } else {
+        // batch mode: cogroup the query's segment rows with the norms
+        // sidecar ON SHARD — no whole-corpus driver collect, so the path
+        // holds at 10^12 docs where norms exceed driver memory
+        val normsByShard = reader.norms.groupByKey(_._1)
+        reader.segmentsFor(terms).groupByKey(_.shard)
+          .cogroup(normsByShard) { (shard, segIt, normIt) =>
+            val segRows = segIt.toSeq
+            if (segRows.isEmpty) Iterator.empty
+            else normIt.toSeq.headOption match {
+              case Some((_, blob)) => scoreShard(segRows, blob, delB.value)
+              case None => Iterator.empty
+            }
+          }
       }
     topK(perShard, k)
   }
@@ -108,12 +131,13 @@ object Engine {
       reader: IndexReader,
       text: String,
       threshold: Long,
-      weight: Double = 1.0
+      weight: Double = 1.0,
+      cap: Option[Double] = None
   ): Dataset[ScoredDoc] = {
     // bounded size probe: stop counting at threshold+1 (cheap when 0)
     def moreThan(ds: Dataset[ScoredDoc], t: Long): Boolean =
       ds.limit(math.min(t + 1, Int.MaxValue.toLong).toInt).count() > t
-    val exact = matchScores(reader, text, PhraseMatch, weight)
+    val exact = matchScores(reader, text, PhraseMatch, weight, cap)
     if (threshold < 0) return exact
     if (moreThan(exact, threshold)) return exact
     val tokenizer = graft.analysis.Tokenizers.byName(reader.manifest.tokenizerName)
@@ -164,30 +188,49 @@ object Engine {
       }.toMap
     }
     val plansB = spark.sparkContext.broadcast(plans)
-    val normsB = reader.normsBroadcast
     val delB = reader.deletedBroadcast
     val kLocal = k
-    val perShard = reader.segmentsFor(allTerms).groupByKey(_.shard)
-      .flatMapGroups { (shard, segIt) =>
-        // merge salted sub-lists ONCE per (shard, term) — shared by every
-        // query in the batch (hot terms are exactly the ones many queries hit)
-        val byTerm: Map[String, Array[graft.codec.PostingBlock]] =
-          segIt.toSeq.groupBy(_.term)
-            .map { case (t, rows) => t -> TermCursor.mergedBlocks(rows, withPos) }
-        val lookup = Norms.decode(normsB.value(shard))
-        plansB.value.iterator.flatMap { case (qid, plan) =>
-          val cursors = plan.toSeq.collect {
-            case (t, (idx, idf)) if byTerm.contains(t) =>
-              new TermCursor(byTerm(t), withPos, idx, idf, bm25)
-          }.sortBy(_.termIdx)
-          if (cursors.isEmpty) Iterator.empty
-          else {
-            val top =
-              if (useWand) Bm25Shard.wand(cursors, lookup.apply, avgdl, bm25, kLocal, delB.value)
-              else Bm25Shard.exhaustive(cursors, lookup.apply, avgdl, bm25, kLocal, delB.value)
-            top.iterator.map(s => (qid, s.docId, s.score))
-          }
+    def scoreShardBatch(segRows: Seq[graft.index.SegmentRow],
+        normsBlob: Array[Byte]): Iterator[(Long, Long, Double)] = {
+      // merge salted sub-lists ONCE per (shard, term) — shared by every
+      // query in the batch (hot terms are exactly the ones many queries hit)
+      val byTerm: Map[String, Array[graft.codec.PostingBlock]] =
+        segRows.groupBy(_.term)
+          .map { case (t, rows) => t -> TermCursor.mergedBlocks(rows, withPos) }
+      val lookup = Norms.decode(normsBlob)
+      plansB.value.iterator.flatMap { case (qid, plan) =>
+        val cursors = plan.toSeq.collect {
+          case (t, (idx, idf)) if byTerm.contains(t) =>
+            new TermCursor(byTerm(t), withPos, idx, idf, bm25)
+        }.sortBy(_.termIdx)
+        if (cursors.isEmpty) Iterator.empty
+        else {
+          val top =
+            if (useWand) Bm25Shard.wand(cursors, lookup.apply, avgdl, bm25, kLocal, delB.value)
+            else Bm25Shard.exhaustive(cursors, lookup.apply, avgdl, bm25, kLocal, delB.value)
+          top.iterator.map(s => (qid, s.docId, s.score))
         }
+      }
+    }
+    val perShard =
+      if (reader.isServing) {
+        val normsB = reader.normsBroadcast
+        reader.segmentsFor(allTerms).groupByKey(_.shard)
+          .flatMapGroups { (shard, segIt) =>
+            scoreShardBatch(segIt.toSeq, normsB.value(shard))
+          }
+      } else {
+        // batch mode: norms cogrouped on shard — no driver-side collect
+        // (see bm25TopK; the same 10^12-doc argument)
+        reader.segmentsFor(allTerms).groupByKey(_.shard)
+          .cogroup(reader.norms.groupByKey(_._1)) { (shard, segIt, normIt) =>
+            val segRows = segIt.toSeq
+            if (segRows.isEmpty) Iterator.empty
+            else normIt.toSeq.headOption match {
+              case Some((_, blob)) => scoreShardBatch(segRows, blob)
+              case None => Iterator.empty
+            }
+          }
       }
     perShard.groupByKey(_._1).flatMapGroups { (qid, it) =>
       it.toSeq.sortWith((a, b) => a._3 > b._3 || (a._3 == b._3 && a._2 < b._2))

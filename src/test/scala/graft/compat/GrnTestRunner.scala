@@ -62,6 +62,7 @@ object GrnTestRunner {
     val sb = new StringBuilder
     var i = 0
     var quote: Char = 0
+    var sawQuote = false // '' is a real (empty) argument
     while (i < line.length) {
       val c = line.charAt(i)
       if (quote != 0) {
@@ -69,12 +70,15 @@ object GrnTestRunner {
         else if (c == '\\' && i + 1 < line.length) {
           i += 1; sb.append(line.charAt(i))
         } else sb.append(c)
-      } else if (c == '\'' || c == '"') quote = c
-      else if (c == ' ') { if (sb.nonEmpty) { out += sb.toString; sb.clear() } }
+      } else if (c == '\'' || c == '"') { quote = c; sawQuote = true }
+      else if (c == ' ') {
+        if (sb.nonEmpty || sawQuote) { out += sb.toString; sb.clear() }
+        sawQuote = false
+      }
       else sb.append(c)
       i += 1
     }
-    if (sb.nonEmpty) out += sb.toString
+    if (sb.nonEmpty || sawQuote) out += sb.toString
     out.toSeq
   }
 
@@ -265,11 +269,11 @@ object GrnTestRunner {
             }
           } catch { case _: Throwable => 0 }
         try {
-          val (got, explicitCols) = execSelect(spark, tables, indexes.toSeq, args, tableName)
+          val (got, explicitCols, dds) = execSelect(spark, tables, indexes.toSeq, args, tableName)
           outcomes +=
             (if (expRc != 0)
               SelectOutcome(q, ok = false, s"we accepted a query the reference rejects (rc=$expRc)")
-            else compare(got, exp, q, explicitCols))
+            else compare(got, exp, q, explicitCols, dds))
         } catch {
           case e: Throwable =>
             outcomes +=
@@ -724,14 +728,56 @@ object GrnTestRunner {
       throw new IllegalArgumentException(s"nonexistent expander column $cName")
     val norm = normOf(t)
     def keyOf(s: String) = norm.map(_(s)).getOrElse(s)
+    // vector synonym columns OR their elements (reference expanded-term
+    // assembly, lib/expr.c grn_expr_syntax_expand_query)
     val synonyms: Map[String, String] = t.rows.flatMap { m =>
       for {
         k <- m.get("_key").map(_.asText)
-        v <- m.get(cName).map(_.asText)
-      } yield keyOf(k) -> v
+        node <- m.get(cName)
+      } yield keyOf(k) -> {
+        if (node.isArray)
+          node.elements().asScala.map { e =>
+            val s = e.asText
+            if (s.exists(_.isWhitespace)) "\"" + s + "\"" else s
+          }.mkString("((", ") OR (", "))")
+        else node.asText
+      }
     }.toMap
+
+    // re-prefix every term of an expansion with a column predicate
+    // ("content:@" distributed over "(a OR b)")
+    def distribute(expansion: String, colPrefix: String): String = {
+      val sb = new StringBuilder
+      var i = 0
+      while (i < expansion.length) {
+        val c = expansion.charAt(i)
+        if (c == '"') {
+          var j = i + 1
+          while (j < expansion.length && expansion.charAt(j) != '"')
+            j += (if (expansion.charAt(j) == '\\') 2 else 1)
+          sb.append(colPrefix).append(expansion.substring(i, math.min(j + 1, expansion.length)))
+          i = j + 1
+        } else if (c.isWhitespace || "()".indexOf(c) >= 0) {
+          sb.append(c); i += 1
+        } else {
+          var j = i
+          while (j < expansion.length && !expansion.charAt(j).isWhitespace &&
+            "()\"".indexOf(expansion.charAt(j)) < 0) j += 1
+          val word = expansion.substring(i, j)
+          if (word == "OR") sb.append(word)
+          else sb.append(colPrefix).append(word)
+          i = j
+        }
+      }
+      sb.toString
+    }
+
+    // one term lookup: the raw term first (operator-bearing keys like
+    // "=mroonga"), then with the operator prefix stripped
+    val colPredRe = """^([A-Za-z_][\w.]*:)([@^$~<>=!]*)(.*)$""".r
     val sb = new StringBuilder
     var i = 0
+    var pendingCol: Option[(String, String)] = None // (col:, op) awaiting a value
     while (i < q.length) {
       val c = q.charAt(i)
       if (c == '"') {
@@ -742,20 +788,55 @@ object GrnTestRunner {
           j
         }
         val phrase = q.substring(i + 1, math.min(end, q.length))
-        synonyms.get(keyOf(phrase)) match {
-          case Some(rep) => sb.append(rep)
-          case None => sb.append(q.substring(i, math.min(end + 1, q.length)))
+        val rep = synonyms.get(keyOf(phrase))
+        (pendingCol, rep) match {
+          case (Some((cp, op)), Some(r)) => sb.append(distribute(r, cp + op))
+          case (Some((cp, op)), None) =>
+            sb.append(cp).append(op).append(q.substring(i, math.min(end + 1, q.length)))
+          case (None, Some(r)) => sb.append(r)
+          case (None, None) => sb.append(q.substring(i, math.min(end + 1, q.length)))
         }
+        pendingCol = None
         i = end + 1
-      } else if (c.isWhitespace || "()+-".indexOf(c) >= 0) {
+      } else if (c.isWhitespace || "()".indexOf(c) >= 0) {
         sb.append(c); i += 1
       } else {
         var j = i
         while (j < q.length && !q.charAt(j).isWhitespace &&
-          "()+-\"".indexOf(q.charAt(j)) < 0) j += 1
+          "()\"".indexOf(q.charAt(j)) < 0) j += 1
         val word = q.substring(i, j)
-        if (word == "OR") sb.append(word)
-        else sb.append(synonyms.getOrElse(keyOf(word), word))
+        val restIsEmpty = q.substring(j).trim.isEmpty
+        word match {
+          case "OR" if !restIsEmpty => sb.append(word) // operator position
+          case colPredRe(cp, op, value) if pendingCol.isEmpty =>
+            if (value.isEmpty && !q.substring(j).trim.startsWith("OR")) {
+              // `content:@ "phrase"` — the value is the next token
+              pendingCol = Some((cp, op)); sb.append("")
+            } else {
+              val (bare, stars) = value.span(_ != '*') match {
+                case (b, s) if s.forall(_ == '*') => (b, s)
+                case _ => (value, "")
+              }
+              synonyms.get(keyOf(op + bare)) // operator-bearing key first
+                .map(r => sb.append(distribute(r, cp)).append(stars))
+                .orElse(synonyms.get(keyOf(bare))
+                  .map(r => sb.append(distribute(r, cp + op)).append(stars)))
+                .getOrElse(sb.append(word))
+            }
+          case _ =>
+            val (bare, stars) = word.span(_ != '*') match {
+              case (b, s) if s.forall(_ == '*') => (b, s)
+              case _ => (word, "")
+            }
+            val prefix = pendingCol.map { case (cp, op) => cp + op }.getOrElse("")
+            pendingCol = None
+            synonyms.get(keyOf(bare)) match {
+              case Some(r) =>
+                if (prefix.isEmpty) sb.append(r).append(stars)
+                else sb.append(distribute(r, prefix)).append(stars)
+              case None => sb.append(prefix).append(word)
+            }
+        }
         i = j
       }
     }
@@ -776,7 +857,7 @@ object GrnTestRunner {
       indexes: Seq[IndexDef],
       args: Map[String, String],
       tableName: String
-  ): ((Long, Seq[Seq[Any]], Seq[String]), Boolean) = {
+  ): ((Long, Seq[Seq[Any]], Seq[String]), Boolean, Seq[DdResult]) = {
     val td = tables(tableName)
     // docs DataFrame: docId (=_id, 1-based insertion), _key?, typed columns
     val colNames = td.columns.keys.toSeq
@@ -804,18 +885,47 @@ object GrnTestRunner {
     // an adjuster's target column needs its index even without a query
     val adjusterCol = args.get("adjuster")
       .flatMap(a => "^\\s*([\\w.]+)\\s*@".r.findFirstMatchIn(a).map(_.group(1)))
-    val matchCol = args.get("match_columns")
-      .map(_.split("\\*")(0).trim) // "content * 2" weight form: take the column
-      .map { mc =>
-        // "Lexicon.index_column" names the index; resolve its source
-        if (mc.contains('.')) {
-          val Array(lx, ic) = mc.split("\\.", 2)
-          indexes.find(ix => ix.lexicon == lx && ix.name == ic)
-            .map(_.srcCol).getOrElse(mc)
-        } else mc
+    // resolve one match_columns entry body to its source column(s):
+    // "col", "Lexicon.index" (ALL the index's sources), "Lexicon.index.col"
+    def entryCols(body: String): Seq[String] = body.split("\\.").toList match {
+      case lex :: idx :: Nil
+        if indexes.exists(ix => ix.lexicon == lex && ix.name == idx) =>
+        indexes.filter(ix => ix.lexicon == lex && ix.name == idx)
+          .map(_.srcCol).toSeq
+      case lex :: idx :: c :: Nil
+        if indexes.exists(ix => ix.lexicon == lex && ix.name == idx) =>
+        Seq(c)
+      case _ => Seq(body)
+    }
+    // weighted section entries of the match_columns spec (reference
+    // WITH_SECTION weighted match, lib/expr.c:6126-6193); entries may be
+    // scorer calls (`scorer_tf_at_most(col, max)`)
+    val scorerEntryRe = """scorer_tf_at_most\(\s*([\w.]+)\s*,\s*([\d.]+)\s*\)""".r
+    val sectionEntries: Seq[(String, Double, Option[Double])] =
+      args.get("match_columns").toSeq.flatMap { spec =>
+        spec.split("\\|\\|").toSeq.map(_.trim).filter(_.nonEmpty).flatMap { part =>
+          val (body, w) = part.split("\\*(?![^(]*\\))").map(_.trim) match {
+            case Array(b) => (b, 1.0)
+            case Array(b, wt) => (b, wt.toDouble)
+            case _ => (part, 1.0)
+          }
+          body match {
+            case scorerEntryRe(c, cap) =>
+              entryCols(c).map(col0 => (col0, w, Some(cap.toDouble)))
+            case _ => entryCols(body).map(col0 => (col0, w, None: Option[Double]))
+          }
+        }
       }
+    val matchCol = sectionEntries.headOption.map(_._1)
       .orElse(adjusterCol)
       .orElse(indexes.find(_.srcTable == tableName).map(_.srcCol))
+    // a match_columns spec naming nothing resolvable is rejected
+    // (reference rc=-22, fixture match_columns/invalid/table)
+    if (args.contains("query") && args.contains("match_columns") &&
+        sectionEntries.nonEmpty &&
+        !sectionEntries.exists(e => td.columns.contains(e._1) || e._1 == "_key"))
+      throw new ScriptError(
+        s"match_columns resolves to no column: ${args("match_columns")}")
     val idxDef = indexes.find(ix => ix.srcTable == tableName &&
       matchCol.forall(_ == ix.srcCol))
       .orElse(indexes.find(_.srcTable == tableName))
@@ -826,10 +936,19 @@ object GrnTestRunner {
     val reader: IndexReader = {
       val ix = if (needIndex) idxDef else None
       val lex = ix.map(i => tables(i.lexicon))
-      val tok = lex.flatMap(_.tokenizer).getOrElse("TokenDelimit") +
+      val tok = lex.flatMap(_.tokenizer).getOrElse(
+        // fabricated no-index match: bigrams approximate the reference's
+        // sequential substring scan
+        if (needIndex && ix.isEmpty) "TokenBigram" else "TokenDelimit") +
         (if (lex.exists(l => l.tokenizer.isDefined && l.normalizer.isEmpty)) ":none" else "")
       val dir = java.nio.file.Files.createTempDirectory("graft_compat_").toString
-      val srcCol = ix.map(_.srcCol).filter(_ => needIndex)
+      // no declared index but a query over a real column: index it on the
+      // fly with TokenBigram — the sequential-scan (contains) analogue
+      // (reference match without index, fixtures match_columns/no_index)
+      val srcCol =
+        if (!needIndex) None
+        else ix.map(_.srcCol).orElse(matchCol.filter(c =>
+          typedDocs.columns.contains(c) || (c == "_key" && td.keyed)))
       srcCol match {
         case Some(sc) if td.vectorCols.contains(sc) =>
           // vector (possibly weighted) column: each element is one token —
@@ -947,11 +1066,15 @@ object GrnTestRunner {
     val outputExprs: Option[Seq[(String, Column)]] =
       if (outCols == Seq("*")) None
       else Some(outCols.flatMap {
-        case "*" =>
-          (if (td.keyed) Seq("_key" -> col("_key")) else Seq.empty) ++
-            colNames.map(c => c -> col(c))
+        // `*` in an explicit list = the DATA columns only (no _key/_id —
+        // reference output_columns star expansion)
+        case "*" => colNames.map(c => c -> col(c))
         case "_id" => Seq("_id" -> col("docId"))
-        case e => Seq(e -> ScriptExpr.lower(e, env).value.col)
+        case e =>
+          // unknown columns are SKIPPED, not errors (reference ignores
+          // nonexistent output_columns entries, rc stays 0)
+          try Seq(e -> ScriptExpr.lower(e, env).value.col)
+          catch { case _: ScriptError => Seq.empty }
       })
 
     val sortby = args.get("sortby").orElse(args.get("sort_keys"))
@@ -967,6 +1090,59 @@ object GrnTestRunner {
       if (neg) c.desc else c.asc
     }
 
+    // ---- drilldowns: plain `--drilldown keys` (one drilldown per key) and
+    // labeled `--drilldown[label].prop` (reference grn_select_drilldown /
+    // drilldown_labeled, proc_select.c:358-528)
+    val ddOutCols = mutable.Map[String, Seq[String]]()
+    val ddOrdered = mutable.Map[String, Boolean]()
+    val plainDdLabels = mutable.ArrayBuffer[String]()
+    val ddSpecs: Seq[graft.command.DrilldownSpec] = {
+      val plain = args.get("drilldown").toSeq.flatMap { spec =>
+        val keys = splitTop(spec).flatMap(_.split("[ ]+")).filter(_.nonEmpty)
+        val sort = args.get("drilldown_sortby").orElse(args.get("drilldown_sort_keys"))
+          .map(splitTop)
+        val out = args.get("drilldown_output_columns").map(splitTop)
+          .getOrElse(Seq("_key", "_nsubrecs"))
+        val calcTypes = args.get("drilldown_calc_types")
+          .map(_.split("[|,]").toSeq.map(_.trim).filter(_.nonEmpty))
+          .getOrElse(Seq("COUNT"))
+        keys.map { k =>
+          ddOutCols(k) = out
+          ddOrdered(k) = sort.isDefined
+          plainDdLabels += k
+          graft.command.DrilldownSpec(
+            keys = Seq(k),
+            calcTypes = "COUNT" +: calcTypes.filter(_ != "COUNT"),
+            calcTarget = args.get("drilldown_calc_target"),
+            sortby = sort.getOrElse(Seq("+__first")),
+            offset = args.get("drilldown_offset").map(_.toInt).getOrElse(0),
+            limit = args.get("drilldown_limit").map(_.toInt).getOrElse(10),
+            label = k)
+        }
+      }
+      val labeledRe = """drilldown\[(.+)\]\.(\w+)""".r
+      val labeled = args.toSeq.collect {
+        case (labeledRe(lbl, prop), v) => (lbl, prop, v)
+      }.groupBy(_._1).toSeq.sortBy(_._1).map { case (lbl, es) =>
+        val m = es.map(e => e._2 -> e._3).toMap
+        val sort = m.get("sort_keys").orElse(m.get("sortby")).map(splitTop)
+        ddOutCols(lbl) = m.get("output_columns").map(splitTop)
+          .getOrElse(Seq("_key", "_nsubrecs"))
+        ddOrdered(lbl) = sort.isDefined
+        graft.command.DrilldownSpec(
+          keys = m.get("keys").map(_.split(",").toSeq.map(_.trim)).getOrElse(Seq.empty),
+          calcTypes = "COUNT" +: m.get("calc_types")
+            .map(_.split("[|,]").toSeq.map(_.trim).filter(t => t.nonEmpty && t != "COUNT"))
+            .getOrElse(Seq.empty),
+          calcTarget = m.get("calc_target"),
+          sortby = sort.getOrElse(Seq("+__first")),
+          offset = m.get("offset").map(_.toInt).getOrElse(0),
+          limit = m.get("limit").map(_.toInt).getOrElse(10),
+          label = lbl)
+      }
+      plain ++ labeled
+    }
+
     val expander = args.get("query_expander").orElse(args.get("query_expansion"))
     val query = (args.get("query"), expander) match {
       case (Some(q), Some(spec)) => Some(expandQuery(q, spec, tables))
@@ -974,6 +1150,7 @@ object GrnTestRunner {
     }
     val params = SelectParams(
       query = query,
+      drilldowns = ddSpecs,
       matchColumns = matchCol.toSeq,
       filter = filterCol,
       filterScore = filterScore,
@@ -986,17 +1163,67 @@ object GrnTestRunner {
       matchEscalationThreshold =
         args.get("match_escalation_threshold").map(_.toLong).getOrElse(0L))
 
-    val res = Select.run(reader, params)
+    // multi-section match (WITH_SECTION / multi-column match_columns):
+    // one sub-index per source column, weighted score-merge (reference
+    // lib/expr.c:6126-6193) — the SectionedIndex path
+    val secCols = sectionEntries.map(_._1).distinct
+    val res =
+      if (args.contains("query") &&
+          (secCols.size > 1 || sectionEntries.exists(_._3.isDefined)) &&
+          secCols.nonEmpty && secCols.forall(typedDocs.columns.contains)) {
+        val lexT = idxDef.map(i => tables(i.lexicon))
+        val secTok = lexT.flatMap(_.tokenizer).getOrElse("TokenDelimit") +
+          (if (lexT.exists(l => l.tokenizer.isDefined && l.normalizer.isEmpty)) ":none" else "")
+        val secDir = java.nio.file.Files.createTempDirectory("graft_compat_sec_").toString
+        val bi = secCols.foldLeft(typedDocs)((d, c) =>
+          d.withColumn(c, col(c).cast("string")))
+        graft.index.SectionedIndex.build(spark, bi, secDir,
+          IndexConfig(tokenizerName = secTok,
+            withPositions = idxDef.forall(_.withPosition),
+            nShards = 2, buildPartitions = 2, hotTermDf = 1000000L, nSalts = 1),
+          secCols)
+        val sidx = graft.index.SectionedIndex.open(spark, secDir)
+        Select.run(sidx, params.copy(matchColumns = sectionEntries.map {
+          case (c, w, cap) =>
+            val body = cap.map(x => s"scorer_tf_at_most($c, $x)").getOrElse(c)
+            if (w == 1.0) body else s"$body * $w"
+        }), Some(typedDocs))
+      } else Select.run(reader, params)
     val hits = res.hits
+
+    // project each drilldown through its output_columns (pseudo-columns
+    // _key / _key[i] / _nsubrecs / _sum.., reference output stage)
+    val ddResults: Seq[DdResult] = ddSpecs.map { spec =>
+      val df = res.drilldowns(spec.label)
+      val projected = df.select(ddOutCols(spec.label).map {
+        case "_key" => col(spec.keys.head)
+        case k if k.matches("_key\\[\\d+\\]") =>
+          col(spec.keys(k.stripPrefix("_key[").stripSuffix("]").toInt))
+        case other => col(other)
+      }: _*)
+      DdResult(spec.label, res.drilldownTotals(spec.label),
+        projected.collect().map(_.toSeq.toSeq).toSeq,
+        ddOrdered(spec.label),
+        plain = plainDdLabels.contains(spec.label))
+    }
+
     ((res.nHits, hits.collect().map(_.toSeq.toSeq).toSeq, hits.columns.toSeq),
-      outputExprs.isDefined)
+      outputExprs.isDefined, ddResults)
   }
+
+  final case class DdResult(
+      label: String,
+      total: Long,
+      rows: Seq[Seq[Any]],
+      ordered: Boolean,
+      plain: Boolean)
 
   private def compare(
       got: (Long, Seq[Seq[Any]], Seq[String]),
       exp: JsonNode,
       q: String,
-      explicitCols: Boolean
+      explicitCols: Boolean,
+      dds: Seq[DdResult] = Nil
   ): SelectOutcome = {
     if (exp == null) return SelectOutcome(q, ok = false, "no expected envelope")
     val body = exp.get(1)
@@ -1049,6 +1276,41 @@ object GrnTestRunner {
     if (projected.sorted != want.sorted)
       return SelectOutcome(q, ok = false,
         s"rows differ:\n got: $projected\nwant: $want")
+
+    // drilldown result sets: plain ones follow the main set as arrays (in
+    // drilldown-key order), labeled ones as one object keyed by label
+    val expPlain = (1 until body.size).filter(body.get(_).isArray).map(body.get)
+    val expLabeled: Map[String, JsonNode] =
+      (1 until body.size).map(body.get).filter(_.isObject)
+        .flatMap(_.fields().asScala.map(e => e.getKey -> e.getValue)).toMap
+    val plainGot = dds.filter(_.plain)
+    if (plainGot.nonEmpty && expPlain.size != plainGot.size)
+      return SelectOutcome(q, ok = false,
+        s"drilldown sets: got ${plainGot.size} want ${expPlain.size}")
+    def cmpSet(dd: DdResult, set: JsonNode): Option[String] = {
+      val expTotal = set.get(0).get(0).asLong
+      if (dd.total != expTotal)
+        return Some(s"drilldown ${dd.label} count: got ${dd.total} want $expTotal")
+      val rows = (2 until set.size).map { i =>
+        set.get(i).elements().asScala.map(jsonToValue).map(norm).mkString(" ")
+      }
+      val mine = dd.rows.map(_.map(norm).mkString(" "))
+      val same = if (dd.ordered) mine == rows else mine.sorted == rows.sorted
+      if (!same)
+        Some(s"drilldown ${dd.label} rows differ:\n got: $mine\nwant: $rows")
+      else None
+    }
+    plainGot.zip(expPlain).foreach { case (dd, set) =>
+      cmpSet(dd, set).foreach(d => return SelectOutcome(q, ok = false, d))
+    }
+    dds.filterNot(_.plain).foreach { dd =>
+      expLabeled.get(dd.label) match {
+        case Some(set) =>
+          cmpSet(dd, set).foreach(d => return SelectOutcome(q, ok = false, d))
+        case None =>
+          return SelectOutcome(q, ok = false, s"no expected drilldown ${dd.label}")
+      }
+    }
     SelectOutcome(q, ok = true, s"rows=${want.size}")
   }
 }
