@@ -231,14 +231,19 @@ object Select {
     }
 
     // 5. drilldowns evaluate on the FILTERED set (pre-offset/limit)
-    val dds = p.drilldowns.zipWithIndex.map { case (d, idx) =>
+    val dds = p.drilldowns.map { d =>
       val label = if (d.label.nonEmpty) d.label else d.keys.mkString(",")
+      // vector (array) keys group per ELEMENT — reference grn_table_group
+      // unnests vector key values into the group table (lib/db.c:3483)
+      val base = d.keys.foldLeft(hitsAll) { (df, k) =>
+        df.schema.fields.find(_.name == k) match {
+          case Some(f) if f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] =>
+            df.withColumn(k, explode(col(k)))
+          case _ => df
+        }
+      }
       val aggs = scala.collection.mutable.ArrayBuffer[Column]()
       aggs += count(lit(1)).as("_nsubrecs")
-      // first-seen group order (reference hash-table insertion order) is
-      // available as a sort key when the caller asks for `__first`
-      if (d.sortby.exists(_.contains("__first")))
-        aggs += min(col("docId")).as("__first")
       d.calcTypes.filter(_ != "COUNT").foreach { ct =>
         val t = col(d.calcTarget.getOrElse(
           throw new IllegalArgumentException("calc_target required")))
@@ -250,11 +255,29 @@ object Select {
           case other => throw new IllegalArgumentException(s"calc type $other")
         }
       }
-      val grouped = hitsAll.groupBy(d.keys.map(col): _*)
+      // group insertion order (reference group-hash insertion follows the
+      // _id scan order) — backs the drilldown `_id` sort key; LAST so the
+      // calc columns keep their positional slots
+      aggs += min(col("docId")).as("__first")
+      val grouped = base.groupBy(d.keys.map(col): _*)
         .agg(aggs.head, aggs.tail.toSeq: _*)
+      // drilldown sort keys: `_id` = insertion order, `_key` = the
+      // (composite) group key, `_value.<k>(._key)?` = one key component
+      def ddSort(raw: String): Seq[Column] = {
+        val (neg, body) =
+          if (raw.startsWith("-")) (true, raw.drop(1))
+          else (false, raw.stripPrefix("+"))
+        val cols: Seq[Column] = body match {
+          case "_id" | "__first" => Seq(col("__first"))
+          case "_key" => d.keys.map(col)
+          case b if b.startsWith("_value.") =>
+            Seq(col(b.stripPrefix("_value.").stripSuffix("._key")))
+          case b => Seq(col(b))
+        }
+        cols.map(c => if (neg) c.desc else c.asc)
+      }
       val sorted0 = grouped.orderBy(
-        d.sortby.map(k =>
-          if (k.startsWith("-")) desc(k.drop(1)) else asc(k.stripPrefix("+"))) ++
+        d.sortby.flatMap(ddSort) ++
           d.keys.map(asc): _*) // key tie-break for determinism
       // negative drilldown limit = all groups (reference normalize semantics)
       val sorted = if (d.limit < 0) sorted0 else sorted0.limit(d.offset + d.limit)

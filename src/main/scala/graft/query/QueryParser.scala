@@ -12,7 +12,37 @@ package graft.query
   */
 object QueryParser {
 
+  /** `--query_flags` (reference grn_proc_expr_query_flags,
+    * lib/proc/proc_select.c): which syntax classes the parser honors.
+    * Default = ALLOW_PRAGMA|ALLOW_COLUMN; NONE treats `*X` and `col:v`
+    * as plain text; ALLOW_LEADING_NOT permits a query-initial `-term`.
+    */
+  final case class QueryFlags(
+      allowPragma: Boolean = true,
+      allowColumn: Boolean = true,
+      allowUpdate: Boolean = false,
+      allowLeadingNot: Boolean = false)
+
+  object QueryFlags {
+    val default: QueryFlags = QueryFlags()
+    /** The flags string REPLACES the default set (reference
+      * grn_proc_expr_query_flags parses the literal union; NONE = empty).
+      */
+    def parse(s: String): QueryFlags = {
+      val parts = s.split("[|,\\s]+").map(_.trim).filter(_.nonEmpty).toSet
+      QueryFlags(
+        allowPragma = parts.contains("ALLOW_PRAGMA"),
+        allowColumn = parts.contains("ALLOW_COLUMN"),
+        allowUpdate = parts.contains("ALLOW_UPDATE"),
+        allowLeadingNot = parts.contains("ALLOW_LEADING_NOT"))
+    }
+  }
+
   sealed trait Node
+  /** matches every record with score 0 — a blank or `*` query (reference
+    * parses an empty condition as "all records").
+    */
+  case object MatchAll extends Node
   /** full-text match against the match column(s); phrase if quoted. */
   final case class Match(text: String, phrase: Boolean) extends Node
   final case class Prefix(prefix: String) extends Node

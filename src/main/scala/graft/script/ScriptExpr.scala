@@ -96,6 +96,14 @@ object ScriptExpr {
     def call(name: String, args: Seq[TVal]): Option[TVal] =
       ScriptExpr.defaultCall(name, args)
 
+    /** Call with UNevaluated argument ASTs; return None to fall back to
+      * the value-lowered [[call]]. Needed by selector functions whose
+      * first argument is an accessor path rather than a value — e.g.
+      * `sub_filter(comment_index, "...")` names an index column that has
+      * no value form (reference lib/proc.c:5318 resolves it as a scope).
+      */
+    def callRaw(name: String, args: Seq[Ast], lower: Ast => TVal): Option[TVal] = None
+
     /** Match-family operator (`@ @^ @$ @~ *N *S *T`); override to route
       * through an index; the default is the sequential scan semantics.
       */
@@ -461,8 +469,9 @@ object ScriptExpr {
       case CallN(target, args) =>
         val name = pathOf(target).map(_.mkString("."))
           .getOrElse(throw new ScriptError("computed function names unsupported"))
-        env.call(name, args.map(lo)).getOrElse(
-          throw new ScriptError(s"unknown function $name"))
+        env.callRaw(name, args, lo).getOrElse(
+          env.call(name, args.map(lo)).getOrElse(
+            throw new ScriptError(s"unknown function $name")))
       case Un(op, e) =>
         val v = lo(e)
         op match {
@@ -855,6 +864,9 @@ object ScriptExpr {
         case _ =>
           Some(TVal(args.tail.map(_.col === c.col).reduce(_ || _), GBool))
       }
+    case "max" | "min" if args.isEmpty =>
+      // reference: max()/min() without arguments evaluate to 0 (rc stays 0)
+      Some(TVal(lit(0L), GInt(32, signed = true), litv = Some(0L)))
     case "max" =>
       val cs = if (args.size == 1) args ++ args else args
       Some(TVal(greatest(cs.map(_.col): _*), args.head.t))

@@ -365,7 +365,13 @@ object GrnTestRunner {
       /** Declared index columns, for `Lexicon.index_column` accessor paths
         * (reference: an index-column accessor denotes its source column).
         */
-      indexDefs: Seq[IndexDef] = Nil) extends Env {
+      indexDefs: Seq[IndexDef] = Nil,
+      /** Selector function backends — absent in non-selector contexts
+        * (scorer/output), where query() evaluates to false/0 like the
+        * reference does outside a filter.
+        */
+      queryEval: Option[(String, String) => Array[(Long, Double)]] = None,
+      subFilterEval: Option[(Seq[String], String) => Set[Long]] = None) extends Env {
 
     /** Index-routed match operators in script filters: `*N` (near) and
       * `*S` (similar) resolve through the index eagerly — fixture tables
@@ -490,7 +496,49 @@ object GrnTestRunner {
         }
       }
 
+    /** sub_filter's first argument is an accessor PATH (possibly an index
+      * column with no value form) — intercept before value lowering.
+      */
+    override def callRaw(name: String, args: Seq[ScriptExpr.Ast],
+        lower: ScriptExpr.Ast => TVal): Option[TVal] = name match {
+      case "sub_filter" if args.size == 2 =>
+        def pathOf(a: ScriptExpr.Ast): Option[Seq[String]] = a match {
+          case ScriptExpr.Id(n) => Some(Seq(n))
+          case ScriptExpr.Member(o, n) => pathOf(o).map(_ :+ n)
+          case _ => None
+        }
+        val path = pathOf(args(0)).getOrElse(
+          throw new ScriptError("sub_filter needs an accessor path"))
+        val sub = args(1) match {
+          case ScriptExpr.Str(s) => s
+          case _ => throw new ScriptError("sub_filter needs a literal filter")
+        }
+        val f = subFilterEval.getOrElse(
+          throw new ScriptError("sub_filter unavailable in this context"))
+        val ids = f(path, sub)
+        Some(
+          if (ids.isEmpty) TVal(lit(false), GBool, score = Some(lit(0.0)))
+          else TVal(col("docId").isin(ids.toSeq: _*), GBool))
+      case _ => None
+    }
+
     override def call(name: String, args: Seq[TVal]): Option[TVal] = name match {
+      case "query" if args.size >= 2 =>
+        val spec = litStr(args(0), "query")
+        val q = litStr(args(1), "query")
+        Some(queryEval match {
+          case Some(f) =>
+            val scored = f(spec, q)
+            if (scored.isEmpty) TVal(lit(false), GBool, score = Some(lit(0.0)))
+            else {
+              val m = map(scored.toSeq.flatMap { case (id, s) =>
+                Seq(lit(id), lit(s)) }: _*)
+              val sc = element_at(m, col("docId"))
+              TVal(sc.isNotNull, GBool, score = Some(coalesce(sc, lit(0.0))))
+            }
+          // non-selector context (scorer/output): query() is false/0
+          case None => TVal(lit(false), GBool, score = Some(lit(0.0)))
+        })
       case "fuzzy_search" => Some(fuzzy(args))
       case "geo_distance" if args.size == 3 =>
         Some(TVal(call_udf("geo_distance_approx", args.map(_.col): _*), GFloat))
@@ -851,15 +899,15 @@ object GrnTestRunner {
     else if (n.isNull) null
     else n.toString
 
-  private def execSelect(
+  /** Typed docs DataFrame of a fixture table: docId (=_id, 1-based
+    * insertion), _key when keyed, then the declared columns with their
+    * Groonga types mapped to Spark types.
+    */
+  private def typedDocsOf(
       spark: SparkSession,
-      tables: mutable.Map[String, TableDef],
-      indexes: Seq[IndexDef],
-      args: Map[String, String],
-      tableName: String
-  ): ((Long, Seq[Seq[Any]], Seq[String]), Boolean, Seq[DdResult]) = {
+      tables: collection.Map[String, TableDef],
+      tableName: String): DataFrame = {
     val td = tables(tableName)
-    // docs DataFrame: docId (=_id, 1-based insertion), _key?, typed columns
     val colNames = td.columns.keys.toSeq
     val colTypes = colNames.map(c => gtypeOf(td, tables, c))
     val keyNorm = normOf(td)
@@ -878,7 +926,56 @@ object GrnTestRunner {
     val fields = StructField("docId", LongType, nullable = false) +:
       ((if (td.keyed) Seq(StructField("_key", StringType)) else Seq.empty) ++
         colNames.zip(colTypes).map { case (c, t) => StructField(c, sparkTypeOf(t)) })
-    val typedDocs = spark.createDataFrame(rows.asJava, StructType(fields))
+    spark.createDataFrame(rows.asJava, StructType(fields))
+  }
+
+  private def execSelect(
+      spark: SparkSession,
+      tables: mutable.Map[String, TableDef],
+      indexes: Seq[IndexDef],
+      args: Map[String, String],
+      tableName: String
+  ): ((Long, Seq[Seq[Any]], Seq[String]), Boolean, Seq[DdResult]) = {
+    val td = tables(tableName)
+
+    // lexicon auto-population: a keyed table that is the LEXICON of index
+    // columns receives its keys from tokenizing the indexed sources at
+    // load time (reference grn_ii update path) — selects over the lexicon
+    // itself (fuzzy_search over _key, prefix walks) see those rows
+    if (td.keyed && td.rows.isEmpty && indexes.exists(_.lexicon == tableName)) {
+      val seen = mutable.LinkedHashSet[String]()
+      val tok = td.tokenizer.map(t =>
+        graft.analysis.Tokenizers.byName(
+          t + (if (td.normalizer.isEmpty) ":none" else "")))
+      val norm = normOf(td)
+      indexes.filter(_.lexicon == tableName).foreach { ix =>
+        tables.get(ix.srcTable).foreach { src =>
+          src.rows.foreach { m =>
+            val node =
+              if (ix.srcCol == "_key") m.get("_key").orNull else m.get(ix.srcCol).orNull
+            val vals: Seq[String] =
+              if (node == null || node.isNull) Nil
+              else if (node.isArray) node.elements().asScala.map(_.asText).toSeq
+              else if (node.isObject) node.fieldNames().asScala.toSeq
+              else Seq(node.asText)
+            vals.filter(_.nonEmpty).foreach { v =>
+              tok match {
+                case Some(t) =>
+                  t.tokenize(v, graft.analysis.TokenizeMode.Add).foreach(seen += _.term)
+                case None => seen += norm.map(_(v)).getOrElse(v)
+              }
+            }
+          }
+        }
+      }
+      seen.foreach { k =>
+        td.rows += Map("_key" ->
+          com.fasterxml.jackson.databind.node.TextNode.valueOf(k))
+      }
+    }
+
+    val colNames = td.columns.keys.toSeq
+    val typedDocs = typedDocsOf(spark, tables, tableName)
     val docs = typedDocs
 
     // index over the match column, if an index def exists for this table;
@@ -931,7 +1028,7 @@ object GrnTestRunner {
       .orElse(indexes.find(_.srcTable == tableName))
     // *N / *S in a filter route through the index (reference resolves the
     // selector through the column's index even in --filter context)
-    val needIndex = args.contains("query") ||
+    val needIndex = args.contains("query") || args.contains("adjuster") ||
       args.get("filter").exists(f => f.contains("*N") || f.contains("*S"))
     val reader: IndexReader = {
       val ix = if (needIndex) idxDef else None
@@ -1037,17 +1134,125 @@ object GrnTestRunner {
     spark.udf.register("highlight_html", (t: String) =>
       graft.functions.TextFunctions.highlightHtmlOf(t, kws))
 
+    // ---- query() / sub_filter() selector functions inside script filters
+    // (reference lib/proc.c:3321,5318). The fixture tables are tiny, so
+    // both evaluate eagerly on the driver; at scale the same semantics are
+    // a QueryExec run / a left-semi join through the reference column.
+
+    /** Parse a match_columns-style spec into (column, weight, cap). */
+    def parseSpec(scope: TableDef, spec: String): Seq[(String, Double, Option[Double])] =
+      spec.split("\\|\\|").toSeq.map(_.trim).filter(_.nonEmpty).flatMap { part =>
+        val (body, w) = part.split("\\*(?![^(]*\\))").map(_.trim) match {
+          case Array(b) => (b, 1.0)
+          case Array(b, wt) => (b, wt.toDouble)
+          case _ => (part, 1.0)
+        }
+        entryCols(body).map(c => (c, w, None: Option[Double]))
+      }.filter(e => scope.columns.contains(e._1) || e._1 == "_key")
+
+    /** Full-text query over named columns of `scopeName`: builds a
+      * throwaway sectioned index with the scope's declared tokenizer and
+      * runs the query through QueryExec — (docId, score) pairs.
+      */
+    def runQueryOn(scopeName: String, spec: String, q: String): Array[(Long, Double)] = {
+      val sTd = tables(scopeName)
+      val entries = parseSpec(sTd, spec)
+      if (entries.isEmpty)
+        throw new ScriptError(s"query(): no match columns in $spec")
+      val secCols = entries.map(_._1).distinct
+      val lexT = indexes.find(ix => secCols.contains(ix.srcCol) && ix.srcTable == scopeName)
+        .orElse(indexes.find(_.srcTable == scopeName))
+        .map(i => tables(i.lexicon))
+      val tok = lexT.flatMap(_.tokenizer).getOrElse("TokenBigram") +
+        (if (lexT.exists(l => l.tokenizer.isDefined && l.normalizer.isEmpty)) ":none" else "")
+      val dir = java.nio.file.Files.createTempDirectory("graft_compat_qf_").toString
+      val base = typedDocsOf(spark, tables, scopeName)
+      val bi = secCols.foldLeft(base)((d, c) => d.withColumn(c, col(c).cast("string")))
+      graft.index.SectionedIndex.build(spark, bi, dir,
+        IndexConfig(tokenizerName = tok, withPositions = true,
+          nShards = 2, buildPartitions = 2, hotTermDf = 1000000L, nSalts = 1),
+        secCols)
+      val sidx = graft.index.SectionedIndex.open(spark, dir)
+      val sw = entries.map { case (c, w, _) => graft.index.SectionWeight(c, w) }
+      graft.query.QueryExec.runSectioned(sidx, q, sw, 0L)
+        .collect().map(s => (s.docId, s.score))
+    }
+
+    /** sub_filter(path, expr): walk the accessor path from `scopeName` to
+      * its final scope table (data-column hops forward, index-column hops
+      * reverse), evaluate `expr` there, and return the scope docIds with at
+      * least one matching reachable record.
+      */
+    def evalSubFilter(scopeName: String, path: Seq[String], subExpr: String): Set[Long] = {
+      val sTd = tables(scopeName)
+      var cur = sTd
+      var reach: Seq[Set[Long]] = sTd.rows.indices.map(i => Set((i + 1).toLong))
+      def keysOf(node: JsonNode): Seq[String] =
+        if (node == null || node.isNull) Nil
+        else if (node.isArray) node.elements().asScala.map(_.asText).toSeq
+        else if (node.isObject) node.fieldNames().asScala.toSeq
+        else Seq(node.asText)
+      path.foreach { name =>
+        if (cur.columns.contains(name) && tables.contains(cur.columns(name))) {
+          val next = tables(cur.columns(name))
+          val nNorm = normOf(next)
+          val keyToIdx: Map[String, Long] = next.rows.zipWithIndex.flatMap { case (m, i) =>
+            m.get("_key").map(k =>
+              nNorm.map(_(k.asText)).getOrElse(k.asText) -> (i + 1).toLong)
+          }.toMap
+          val rowVals: IndexedSeq[Set[Long]] = cur.rows.toIndexedSeq.map { m =>
+            keysOf(m.get(name).orNull)
+              .flatMap(k => keyToIdx.get(nNorm.map(_(k)).getOrElse(k))).toSet
+          }
+          reach = reach.map(_.flatMap(idx => rowVals(idx.toInt - 1)))
+          cur = next
+        } else {
+          val ix = indexes.find(x => x.lexicon == cur.name && x.name == name)
+            .getOrElse(throw new ScriptError(s"unknown column ${path.mkString(".")}"))
+          val src = tables(ix.srcTable)
+          val cNorm = normOf(cur)
+          val keyOfCur: IndexedSeq[String] = cur.rows.toIndexedSeq.map(m =>
+            m.get("_key").map(k => cNorm.map(_(k.asText)).getOrElse(k.asText)).getOrElse(""))
+          val srcVals: IndexedSeq[Set[String]] = src.rows.toIndexedSeq.map { m =>
+            val node = if (ix.srcCol == "_key") m.get("_key").orNull else m.get(ix.srcCol).orNull
+            keysOf(node).map(k => cNorm.map(_(k)).getOrElse(k)).toSet
+          }
+          reach = reach.map(_.flatMap { idx =>
+            val k = keyOfCur(idx.toInt - 1)
+            srcVals.zipWithIndex.collect { case (ks, i) if ks.contains(k) => (i + 1).toLong }
+          })
+          cur = src
+        }
+      }
+      val fDocs = typedDocsOf(spark, tables, cur.name)
+      val fEnv = new RunnerEnv(cur, tables, () => fDocs, None, indexes,
+        queryEval = Some((sp, q) => runQueryOn(cur.name, sp, q)),
+        subFilterEval = Some((p, e) => evalSubFilter(cur.name, p, e)))
+      val lowered = ScriptExpr.lower(subExpr, fEnv)
+      val matching = fDocs.filter(truthy(lowered.value))
+        .select("docId").collect().map(_.getLong(0)).toSet
+      sTd.rows.indices.collect {
+        case i if reach(i).exists(matching.contains) => (i + 1).toLong
+      }.toSet
+    }
+
     // *N / *S need a REAL content index; a near/similar filter on a table
     // without one is rejected like the reference (rc=-38)
     val env = new RunnerEnv(td, tables, () => reader.docs,
-      if (needIndex && idxDef.isDefined) Some(reader) else None, indexes)
+      if (needIndex && idxDef.isDefined) Some(reader) else None, indexes,
+      queryEval = Some((sp, q) => runQueryOn(tableName, sp, q)),
+      subFilterEval = Some((p, e) => evalSubFilter(tableName, p, e)))
 
     // --filter / --scorer via the script-syntax parser
     val filterLowered = args.get("filter").map(f => ScriptExpr.lower(f, env))
     val filterCol = filterLowered.map(l => truthy(l.value))
     val filterScore = filterLowered.map(l => scoreOf(l.value))
+    // scorer context: selector functions are not available there — the
+    // reference evaluates query() per record to false/0 in a scorer
+    val scorerEnv = new RunnerEnv(td, tables, () => reader.docs,
+      if (needIndex && idxDef.isDefined) Some(reader) else None, indexes)
     val scorerAssigns: Seq[(String, Column)] =
-      args.get("scorer").map(s => ScriptExpr.lower(s, env).assigns).getOrElse(Nil)
+      args.get("scorer").map(s => ScriptExpr.lower(s, scorerEnv).assigns).getOrElse(Nil)
 
     def splitTop(s: String): Seq[String] = {
       // split on commas at paren/bracket depth 0
@@ -1195,14 +1400,44 @@ object GrnTestRunner {
     // _key / _key[i] / _nsubrecs / _sum.., reference output stage)
     val ddResults: Seq[DdResult] = ddSpecs.map { spec =>
       val df = res.drilldowns(spec.label)
-      val projected = df.select(ddOutCols(spec.label).map {
-        case "_key" => col(spec.keys.head)
+      // single-key drilldown on a reference column: the groups are records
+      // of the range table, so its data columns are projectable too
+      val refTd: Option[TableDef] =
+        if (spec.keys.size == 1)
+          td.columns.get(spec.keys.head).flatMap(tables.get)
+        else None
+      val refRows: Map[String, Map[String, JsonNode]] = refTd
+        .map(_.rows.flatMap(m => m.get("_key").map(_.asText -> m)).toMap)
+        .getOrElse(Map.empty)
+      // Left = direct column expr; Right = range-table column resolved
+      // after collect through the group key
+      val plan: Seq[Either[Column, String]] = ddOutCols(spec.label).map {
+        case "_key" => Left(col(spec.keys.head))
         case k if k.matches("_key\\[\\d+\\]") =>
-          col(spec.keys(k.stripPrefix("_key[").stripSuffix("]").toInt))
-        case other => col(other)
+          Left(col(spec.keys(k.stripPrefix("_key[").stripSuffix("]").toInt)))
+        case v if v.startsWith("_value.") =>
+          Left(col(v.stripPrefix("_value.").stripSuffix("._key")))
+        case other if refTd.exists(_.columns.contains(other)) => Right(other)
+        case other => Left(col(other))
+      }
+      val projected = df.select(plan.map {
+        case Left(c) => c
+        case Right(_) => col(spec.keys.head)
       }: _*)
-      DdResult(spec.label, res.drilldownTotals(spec.label),
-        projected.collect().map(_.toSeq.toSeq).toSeq,
+      val rows = projected.collect().map(_.toSeq.toSeq).toSeq.map { r =>
+        r.zip(plan).map {
+          case (v, Left(_)) => v
+          case (v, Right(rc)) =>
+            refRows.get(String.valueOf(v)).flatMap(_.get(rc)).map(jsonToValue)
+              .getOrElse(refTd.flatMap(_.columns.get(rc)) match {
+                // unset column → type default (reference empty bulk)
+                case Some(t) if t.startsWith("Int") || t.startsWith("UInt") ||
+                  t == "Time" || t.startsWith("Float") => 0L
+                case _ => ""
+              })
+        }
+      }
+      DdResult(spec.label, res.drilldownTotals(spec.label), rows,
         ddOrdered(spec.label),
         plain = plainDdLabels.contains(spec.label))
     }
