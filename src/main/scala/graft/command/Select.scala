@@ -109,7 +109,8 @@ object Select {
       q => QueryExec.run(reader, q, sw.map(_.column),
         p.matchEscalationThreshold,
         weight = sw.map(_.weight).getOrElse(1.0),
-        cap = sw.flatMap(_.cap)).toDF("docId", "_score"),
+        cap = sw.flatMap(_.cap),
+        tfIdf = sw.exists(_.tfIdf)).toDF("docId", "_score"),
       p,
       // single-index mode: every adjuster clause resolves to the one index
       // (the caller is responsible for it covering the clause's column)

@@ -15,13 +15,28 @@ final case class SectionWeight(
       * `scorer_tf_at_most(col, max)` entries (reference
       * plugins/scorers/scorer_tf_at_most.c: min(tf, max)).
       */
-    cap: Option[Double] = None)
+    cap: Option[Double] = None,
+    /** `scorer_tf_idf(col)` entries (reference lib/scorers.c:26):
+      * score = max(tf · ln(N / estMatchDocs), 1), truncated.
+      */
+    tfIdf: Boolean = false) {
+
+  /** Render back to the `--match_columns` entry syntax. */
+  def render: String = {
+    val body =
+      if (tfIdf) s"scorer_tf_idf($column)"
+      else cap.fold(column)(x => s"scorer_tf_at_most($column, $x)")
+    if (weight == 1.0) body else s"$body * $weight"
+  }
+}
 
 object MatchColumnsSpec {
-  private val scorerRe = """scorer_tf_at_most\(\s*([\w.]+)\s*,\s*([\d.]+)\s*\)""".r
+  // the column argument may be a subscripted index path (Lexicon.idx[0])
+  private val scorerRe = """scorer_tf_at_most\(\s*([\w.\[\]]+)\s*,\s*([\d.]+)\s*\)""".r
+  private val tfIdfRe = """scorer_tf_idf\(\s*([\w.\[\]]+)\s*\)""".r
 
   /** Parse `"a * 10 || scorer_tf_at_most(b, 3.0) * 2 || c"` → sections with
-    * weights (default 1) and optional score caps.
+    * weights (default 1) and optional score caps / tf-idf scorers.
     */
   def parse(s: String): Seq[SectionWeight] =
     s.split("\\|\\|").toSeq.map(_.trim).filter(_.nonEmpty).map { part =>
@@ -33,6 +48,7 @@ object MatchColumnsSpec {
       }
       body match {
         case scorerRe(c, cap) => SectionWeight(c, w, Some(cap.toDouble))
+        case tfIdfRe(c) => SectionWeight(c, w, tfIdf = true)
         case c => SectionWeight(c, w)
       }
     }
@@ -100,11 +116,11 @@ final class SectionedReader(val spark: SparkSession, val dir: String) extends Se
   def docs: DataFrame = primary.docs
 
   /** Resolve a match_columns spec against this index's sections. */
-  def targets(spec: Seq[SectionWeight]): Seq[(IndexReader, Double, Option[Double])] =
+  def targets(spec: Seq[SectionWeight]): Seq[(IndexReader, SectionWeight)] =
     spec.map { sw =>
       val r = readers.getOrElse(sw.column,
         throw new IllegalArgumentException(
           s"no index section for column ${sw.column} (have: ${sectionNames.mkString(",")})"))
-      (r, sw.weight, sw.cap)
+      (r, sw)
     }
 }

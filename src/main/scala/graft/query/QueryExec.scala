@@ -24,14 +24,16 @@ object QueryExec {
     */
   final case class Ctx(
       docs: DataFrame,
-      sections: Seq[(IndexReader, Double, Option[Double])],
+      sections: Seq[(IndexReader, SectionWeight)],
       byCol: Map[String, IndexReader]
   )
 
   object Ctx {
     def single(reader: IndexReader, matchColumn: Option[String],
-        weight: Double = 1.0, cap: Option[Double] = None): Ctx =
-      Ctx(reader.liveDocs, Seq((reader, weight, cap)),
+        weight: Double = 1.0, cap: Option[Double] = None,
+        tfIdf: Boolean = false): Ctx =
+      Ctx(reader.liveDocs,
+        Seq((reader, SectionWeight(matchColumn.getOrElse(""), weight, cap, tfIdf))),
         matchColumn.map(_ -> reader).toMap)
 
     def sectioned(sidx: SectionedReader, spec: Seq[SectionWeight]): Ctx =
@@ -43,10 +45,11 @@ object QueryExec {
       matchColumn: Option[String] = None,
       escalationThreshold: Long = -1L,
       weight: Double = 1.0,
-      cap: Option[Double] = None): Dataset[ScoredDoc] = {
+      cap: Option[Double] = None,
+      tfIdf: Boolean = false): Dataset[ScoredDoc] = {
     val parsed = QueryParser.parse(q)
     val esc = parsed.escalationThreshold.getOrElse(escalationThreshold)
-    eval(Ctx.single(reader, matchColumn, weight, cap), parsed.root, esc,
+    eval(Ctx.single(reader, matchColumn, weight, cap, tfIdf), parsed.root, esc,
       escalating = true)
   }
 
@@ -58,8 +61,8 @@ object QueryExec {
   }
 
   /** Weighted score-merge across the ctx's sections (OR, scores add). */
-  private def acrossSections(ctx: Ctx)(f: (IndexReader, Double, Option[Double]) => Dataset[ScoredDoc]): Dataset[ScoredDoc] =
-    ctx.sections.map { case (r, w, cap) => f(r, w, cap) }.reduce(Engine.SetOps.or)
+  private def acrossSections(ctx: Ctx)(f: (IndexReader, SectionWeight) => Dataset[ScoredDoc]): Dataset[ScoredDoc] =
+    ctx.sections.map { case (r, sw) => f(r, sw) }.reduce(Engine.SetOps.or)
 
   def eval(ctx: Ctx, node: Node, esc: Long, escalating: Boolean): Dataset[ScoredDoc] = {
     val spark = ctx.docs.sparkSession
@@ -69,23 +72,25 @@ object QueryExec {
       // grn_ii_sel guards on op == GRN_OP_OR) — the first clause and both
       // sides of an OR; never the right side of AND/AND_NOT/ADJUST
       case Match(text, _) if escalating && esc >= 0 =>
-        acrossSections(ctx)((r, w, cap) => Engine.matchScoresEscalating(r, text, esc, w, cap))
+        acrossSections(ctx)((r, sw) =>
+          Engine.matchScoresEscalating(r, text, esc, sw.weight, sw.cap, sw.tfIdf))
       case Match(text, _) =>
-        acrossSections(ctx)((r, w, cap) => Engine.matchScores(r, text, PhraseMatch, w, cap))
+        acrossSections(ctx)((r, sw) =>
+          Engine.matchScores(r, text, PhraseMatch, sw.weight, sw.cap, sw.tfIdf))
       case Prefix(p) =>
-        acrossSections(ctx)((r, w, _) =>
-          Engine.prefixSearch(r, p).map(s => ScoredDoc(s.docId, s.score * w)))
+        acrossSections(ctx)((r, sw) =>
+          Engine.prefixSearch(r, p).map(s => ScoredDoc(s.docId, s.score * sw.weight)))
       case Near(text, maxInterval) =>
-        acrossSections(ctx)((r, w, cap) =>
-          Engine.matchScores(r, text, kind = NearMatch(maxInterval), weight = w,
-            cap = cap))
+        acrossSections(ctx)((r, sw) =>
+          Engine.matchScores(r, text, kind = NearMatch(maxInterval),
+            weight = sw.weight, cap = sw.cap))
       case Similar(text, threshold) =>
         // threshold <= 0 = "use default" (reference
         // DEFAULT_SIMILARITY_THRESHOLD 0 → top (n>>3)+1 terms)
-        acrossSections(ctx)((r, w, _) =>
+        acrossSections(ctx)((r, sw) =>
           Engine.similarSearch(r, text,
             similarityThreshold = math.max(threshold, 0))
-            .map(s => ScoredDoc(s.docId, s.score * w)))
+            .map(s => ScoredDoc(s.docId, s.score * sw.weight)))
       // `col:@word` on an indexed column routes through that column's index
       // (the selector-proc index-resolution of reference lib/expr.c:6018)
       case ColPred(colName, "@", value) if ctx.byCol.contains(colName) =>

@@ -30,7 +30,14 @@ object Engine {
       /** Raw-score ceiling BEFORE the weight — scorer_tf_at_most
         * (reference plugins/scorers, min(tf, max)·w).
         */
-      cap: Option[Double] = None
+      cap: Option[Double] = None,
+      /** scorer_tf_idf (reference lib/scorers.c:26): replace the raw tf with
+        * max(tf · ln(N / estMatchDocs), 1) truncated to an integer score,
+        * where estMatchDocs = Σ estimated posting size / nTokens (the
+        * reference's grn_ii_estimate_size: df + 2, or 1 for an inline
+        * single-posting term — lib/ii.c:4704).
+        */
+      tfIdf: Boolean = false
   ): Dataset[ScoredDoc] = {
     val spark = reader.spark
     import spark.implicits._
@@ -39,13 +46,34 @@ object Engine {
     val withPos = reader.manifest.withPositions
     val terms = qtoks.map(_.term)
     val delB = reader.deletedBroadcast
+    // driver-side per-query constant for the tf-idf scorer (query terms
+    // only; the pruned termStats scan, not a lexicon collect)
+    val idfOpt: Option[Double] =
+      if (!tfIdf) None
+      else {
+        val n = reader.manifest.numDocs.toDouble
+        val stats = reader.termStats(terms)
+        val est = terms.map { t =>
+          stats.get(t) match {
+            case Some((df, cf)) => if (df == 1L && cf == 1L) 1.0 else df + 2.0
+            case None => 0.0
+          }
+        }.sum / terms.size
+        if (est >= n || est <= 0.0) Some(0.0) // idf 0 → min score 1
+        else Some(math.log(n / est))
+      }
+    if (tfIdf) System.err.println(s"TFIDF_DEBUG terms=$terms stats=${reader.termStats(terms)} n=${reader.manifest.numDocs} idf=$idfOpt tok=${reader.manifest.tokenizerName} dir=${reader.dir}")
     reader.segmentsFor(terms)
       .groupByKey(_.shard)
       .flatMapGroups { (_, rows) =>
         Searcher.evalShardMatch(qtoks, rows.toSeq, withPos, kind, delB.value)
           .map { case (d, n, ts) =>
-            val raw = n + ts
-            ScoredDoc(d, cap.fold(raw.toDouble)(c => math.min(raw, c)) * weight)
+            val raw0 = n + ts
+            val raw = idfOpt match {
+              case Some(idf) => math.floor(math.max(raw0 * idf, 1.0))
+              case None => raw0.toDouble
+            }
+            ScoredDoc(d, cap.fold(raw)(c => math.min(raw, c)) * weight)
           }
       }
   }
@@ -132,17 +160,39 @@ object Engine {
       text: String,
       threshold: Long,
       weight: Double = 1.0,
-      cap: Option[Double] = None
+      cap: Option[Double] = None,
+      tfIdf: Boolean = false
   ): Dataset[ScoredDoc] = {
     // bounded size probe: stop counting at threshold+1 (cheap when 0)
     def moreThan(ds: Dataset[ScoredDoc], t: Long): Boolean =
       ds.limit(math.min(t + 1, Int.MaxValue.toLong).toInt).count() > t
-    val exact = matchScores(reader, text, PhraseMatch, weight, cap)
+    val exact = matchScores(reader, text, PhraseMatch, weight, cap, tfIdf)
     if (threshold < 0) return exact
     if (moreThan(exact, threshold)) return exact
     val tokenizer = graft.analysis.Tokenizers.byName(reader.manifest.tokenizerName)
     val wholeKey = tokenizer.normalizer(text).text
-    val withUnsplit = SetOps.or(exact, prefixSearch(reader, wholeKey))
+    // UNSPLIT prefix expansion under the tf-idf scorer: one token_info over
+    // the expansion set — est = Σ estimated sizes / 1 (reference ii.c:6897
+    // n_candidates = ti->size with ntoken-term expansion counted once per
+    // record; scorers.c:26)
+    val unsplit0 = prefixSearch(reader, wholeKey)
+    val unsplit =
+      if (!tfIdf) unsplit0
+      else {
+        val spark = reader.spark
+        import spark.implicits._
+        val exp = reader.termsWithPrefix(wholeKey, 1000)
+        val stats = reader.termStats(exp)
+        val n = reader.manifest.numDocs.toDouble
+        val est = exp.map(t => stats.get(t) match {
+          case Some((df, cf)) => if (df == 1L && cf == 1L) 1.0 else df + 2.0
+          case None => 0.0
+        }).sum
+        val idf = if (est >= n || est <= 0.0) 0.0 else math.log(n / est)
+        unsplit0.map(s => ScoredDoc(s.docId,
+          math.floor(math.max(s.score * idf, 1.0)) * weight))
+      }
+    val withUnsplit = SetOps.or(exact, unsplit)
     if (moreThan(withUnsplit, threshold)) return withUnsplit
     val toks = Searcher.queryTokens(reader, text).map(_.term).distinct
     val partial = toks.map { t =>

@@ -975,52 +975,135 @@ object GrnTestRunner {
     }
 
     val colNames = td.columns.keys.toSeq
-    val typedDocs = typedDocsOf(spark, tables, tableName)
-    val docs = typedDocs
 
     // index over the match column, if an index def exists for this table;
     // an adjuster's target column needs its index even without a query
     val adjusterCol = args.get("adjuster")
       .flatMap(a => "^\\s*([\\w.]+)\\s*@".r.findFirstMatchIn(a).map(_.group(1)))
+
+    // nested reference-path match entries ("comment.content": hop through
+    // reference columns to a text column of the range table — reference
+    // nested-index search, lib/ii.c:8748 section resolution) synthesize a
+    // per-row text column holding the reachable records' text; tf against
+    // it equals the summed tf over the referenced records
+    val nestedSynth = mutable.LinkedHashMap[String, Seq[String]]() // name -> path
+    def isNestedPath(parts: Seq[String]): Boolean = parts.size >= 2 && {
+      var cur = td
+      val hops = parts.init
+      hops.forall { h =>
+        cur.columns.get(h).flatMap(tables.get) match {
+          case Some(next) => cur = next; true
+          case None => false
+        }
+      } && (cur.columns.contains(parts.last) || parts.last == "_key")
+    }
+    def nestedName(parts: Seq[String]): String = {
+      val n = "__nested_" + parts.mkString("_")
+      nestedSynth(n) = parts
+      n
+    }
+    val subRe = """^(\w+)\.(\w+)\[(\d+)\]$""".r
     // resolve one match_columns entry body to its source column(s):
-    // "col", "Lexicon.index" (ALL the index's sources), "Lexicon.index.col"
-    def entryCols(body: String): Seq[String] = body.split("\\.").toList match {
-      case lex :: idx :: Nil
+    // "col", "Lexicon.index" (ALL the index's sources), "Lexicon.index[k]"
+    // (section k), "Lexicon.index.col", nested reference path "a.b"
+    def entryCols(body: String): Seq[String] = body match {
+      case subRe(lex, idx, k)
         if indexes.exists(ix => ix.lexicon == lex && ix.name == idx) =>
-        indexes.filter(ix => ix.lexicon == lex && ix.name == idx)
-          .map(_.srcCol).toSeq
-      case lex :: idx :: c :: Nil
-        if indexes.exists(ix => ix.lexicon == lex && ix.name == idx) =>
-        Seq(c)
-      case _ => Seq(body)
+        val srcs = indexes.filter(ix => ix.lexicon == lex && ix.name == idx)
+        srcs.lift(k.toInt).map(_.srcCol).toSeq
+      case _ => body.split("\\.").toList match {
+        case lex :: idx :: Nil
+          if indexes.exists(ix => ix.lexicon == lex && ix.name == idx) =>
+          indexes.filter(ix => ix.lexicon == lex && ix.name == idx)
+            .map(_.srcCol).toSeq
+        case lex :: idx :: c :: Nil
+          if indexes.exists(ix => ix.lexicon == lex && ix.name == idx) =>
+          Seq(c)
+        case parts if isNestedPath(parts) => Seq(nestedName(parts))
+        case _ => Seq(body)
+      }
     }
     // weighted section entries of the match_columns spec (reference
     // WITH_SECTION weighted match, lib/expr.c:6126-6193); entries may be
-    // scorer calls (`scorer_tf_at_most(col, max)`)
-    val scorerEntryRe = """scorer_tf_at_most\(\s*([\w.]+)\s*,\s*([\d.]+)\s*\)""".r
-    val sectionEntries: Seq[(String, Double, Option[Double])] =
+    // scorer calls (`scorer_tf_at_most(col, max)`, `scorer_tf_idf(col)`)
+    val sectionEntries: Seq[graft.index.SectionWeight] =
       args.get("match_columns").toSeq.flatMap { spec =>
-        spec.split("\\|\\|").toSeq.map(_.trim).filter(_.nonEmpty).flatMap { part =>
-          val (body, w) = part.split("\\*(?![^(]*\\))").map(_.trim) match {
-            case Array(b) => (b, 1.0)
-            case Array(b, wt) => (b, wt.toDouble)
-            case _ => (part, 1.0)
-          }
-          body match {
-            case scorerEntryRe(c, cap) =>
-              entryCols(c).map(col0 => (col0, w, Some(cap.toDouble)))
-            case _ => entryCols(body).map(col0 => (col0, w, None: Option[Double]))
-          }
+        graft.index.MatchColumnsSpec.parse(spec).flatMap { sw =>
+          entryCols(sw.column).map(c => sw.copy(column = c))
         }
       }
-    val matchCol = sectionEntries.headOption.map(_._1)
+
+    // synthesize the nested text columns (driver lookup over the tiny
+    // fixture tables; at scale the same value is a reference join)
+    def nestedWalk[A](path: Seq[String])(leaf: (TableDef, Map[String, JsonNode], String) => Seq[A]): IndexedSeq[Seq[A]] = {
+      def keysOf(node: JsonNode): Seq[String] =
+        if (node == null || node.isNull) Nil
+        else if (node.isArray) node.elements().asScala.map(_.asText).toSeq
+        else if (node.isObject) node.fieldNames().asScala.toSeq
+        else Seq(node.asText)
+      def walk(cur: TableDef, row: Map[String, JsonNode], p: Seq[String]): Seq[A] =
+        p match {
+          case Seq(last) => leaf(cur, row, last)
+          case hop +: rest =>
+            val next = tables(cur.columns(hop))
+            val nNorm = normOf(next)
+            val wanted = keysOf(row.get(hop).orNull)
+              .map(k => nNorm.map(_(k)).getOrElse(k)).toSet
+            next.rows.toSeq.filter(m => m.get("_key").exists(k =>
+              wanted.contains(nNorm.map(_(k.asText)).getOrElse(k.asText))))
+              .flatMap(m => walk(next, m, rest))
+          case _ => Nil
+        }
+      td.rows.toIndexedSeq.map(m => walk(td, m, path))
+    }
+    def nestedValues(path: Seq[String]): IndexedSeq[String] =
+      nestedWalk[String](path) { (_, row, last) =>
+        val node = if (last == "_key") row.get("_key").orNull else row.get(last).orNull
+        if (node == null || node.isNull) Nil
+        else if (node.isArray) node.elements().asScala.map(_.asText).toSeq
+        else if (node.isObject) node.fieldNames().asScala.toSeq
+        else Seq(node.asText)
+      }.map(_.mkString(" "))
+    /** Leaf elements with their stored weights — the nested WITH_WEIGHT
+      * vector case (each element scores (weight+1) per reference
+      * get_weight, lib/ii.c:6189).
+      */
+    def nestedElems(path: Seq[String]): IndexedSeq[Seq[(String, Int)]] =
+      nestedWalk[(String, Int)](path) { (_, row, last) =>
+        val node = if (last == "_key") row.get("_key").orNull else row.get(last).orNull
+        if (node == null || node.isNull) Nil
+        else if (node.isObject)
+          node.fields().asScala.map(e => e.getKey -> e.getValue.asInt).toSeq
+        else if (node.isArray) node.elements().asScala.map(_.asText -> 0).toSeq
+        else Seq(node.asText -> 0)
+      }
+    /** Final (table, column) of a nested path. */
+    def nestedLeaf(path: Seq[String]): (TableDef, String) = {
+      var cur = td
+      path.init.foreach(h => cur = tables(cur.columns(h)))
+      (cur, path.last)
+    }
+
+    val typedDocs0 = typedDocsOf(spark, tables, tableName)
+    val typedDocs = nestedSynth.foldLeft(typedDocs0) { case (df, (name, path)) =>
+      val vals = nestedValues(path)
+      val m =
+        if (vals.isEmpty) map_from_arrays(array().cast("array<bigint>"),
+          array().cast("array<string>"))
+        else map(vals.zipWithIndex.flatMap { case (v, i) =>
+          Seq(lit((i + 1).toLong), lit(v)) }: _*)
+      df.withColumn(name, coalesce(element_at(m, col("docId")), lit("")))
+    }
+    val docs = typedDocs
+
+    val matchCol = sectionEntries.headOption.map(_.column)
       .orElse(adjusterCol)
       .orElse(indexes.find(_.srcTable == tableName).map(_.srcCol))
     // a match_columns spec naming nothing resolvable is rejected
     // (reference rc=-22, fixture match_columns/invalid/table)
     if (args.contains("query") && args.contains("match_columns") &&
         sectionEntries.nonEmpty &&
-        !sectionEntries.exists(e => td.columns.contains(e._1) || e._1 == "_key"))
+        !sectionEntries.exists(e => typedDocs.columns.contains(e.column) || e.column == "_key"))
       throw new ScriptError(
         s"match_columns resolves to no column: ${args("match_columns")}")
     val idxDef = indexes.find(ix => ix.srcTable == tableName &&
@@ -1030,9 +1113,24 @@ object GrnTestRunner {
     // selector through the column's index even in --filter context)
     val needIndex = args.contains("query") || args.contains("adjuster") ||
       args.get("filter").exists(f => f.contains("*N") || f.contains("*S"))
+    // synthetic nested match column: tokenizer of the path TARGET's index
+    // (reference resolves the nested index through the final column)
+    val nestedIdx: Option[IndexDef] = matchCol.filter(nestedSynth.contains).flatMap { n =>
+      val (leafT, leafC) = nestedLeaf(nestedSynth(n))
+      indexes.find(ix => ix.srcTable == leafT.name &&
+        (ix.srcCol == leafC || leafC == "_key"))
+    }
+    // nested path ending in a (possibly weighted) VECTOR column: elements
+    // are whole tokens with stored weights — index from explicit postings
+    val nestedVec: Option[IndexedSeq[Seq[(String, Int)]]] =
+      matchCol.filter(nestedSynth.contains).flatMap { n =>
+        val (leafT, leafC) = nestedLeaf(nestedSynth(n))
+        if (leafT.vectorCols.contains(leafC)) Some(nestedElems(nestedSynth(n)))
+        else None
+      }
     val reader: IndexReader = {
-      val ix = if (needIndex) idxDef else None
-      val lex = ix.map(i => tables(i.lexicon))
+      val ix = if (needIndex) (if (nestedIdx.isDefined) None else idxDef) else None
+      val lex = ix.orElse(nestedIdx).map(i => tables(i.lexicon))
       val tok = lex.flatMap(_.tokenizer).getOrElse(
         // fabricated no-index match: bigrams approximate the reference's
         // sequential substring scan
@@ -1047,6 +1145,30 @@ object GrnTestRunner {
         else ix.map(_.srcCol).orElse(matchCol.filter(c =>
           typedDocs.columns.contains(c) || (c == "_key" && td.keyed)))
       srcCol match {
+        case Some(sc) if nestedVec.isDefined =>
+          // nested weighted-vector leaf: postings from the reachable
+          // elements, weights summed per (doc, element occurrence)
+          val elems = nestedVec.get
+          val postingRows = elems.zipWithIndex.flatMap { case (es, i0) =>
+            val id = (i0 + 1).toLong
+            es.zipWithIndex.groupBy(_._1._1).toSeq.map { case (t, occ) =>
+              Row(t, id, occ.size, occ.map(_._2), occ.map(_._1._2).sum)
+            }
+          }.toSeq
+          val pSchema = StructType(Seq(
+            StructField("term", StringType), StructField("docId", LongType),
+            StructField("tf", IntegerType),
+            StructField("positions", ArrayType(IntegerType)),
+            StructField("weight", IntegerType)))
+          IndexBuilder.buildFromPostings(spark,
+            docs.withColumn(s"__v_$sc", col(sc).cast("string")).drop(sc),
+            spark.createDataFrame(postingRows.asJava, pSchema), dir,
+            IndexConfig(tokenizerName = "TokenDelimit", withPositions = true,
+              withWeights = true, nShards = 2, buildPartitions = 2,
+              hotTermDf = 1000000L, nSalts = 1))
+          new IndexReader(spark, dir) {
+            override lazy val docs: DataFrame = typedDocs
+          }
         case Some(sc) if td.vectorCols.contains(sc) =>
           // vector (possibly weighted) column: each element is one token —
           // build from explicit postings (reference indexes vector elements
@@ -1271,9 +1393,10 @@ object GrnTestRunner {
     val outputExprs: Option[Seq[(String, Column)]] =
       if (outCols == Seq("*")) None
       else Some(outCols.flatMap {
-        // `*` in an explicit list = the DATA columns only (no _key/_id —
-        // reference output_columns star expansion)
-        case "*" => colNames.map(c => c -> col(c))
+        // `*` in an explicit list = the DATA columns only (no _key/_id),
+        // in NAME order — the reference expands `*` by walking the
+        // column-name trie (grn_obj_columns), which iterates sorted
+        case "*" => colNames.sorted.map(c => c -> col(c))
         case "_id" => Seq("_id" -> col("docId"))
         case e =>
           // unknown columns are SKIPPED, not errors (reference ignores
@@ -1356,7 +1479,12 @@ object GrnTestRunner {
     val params = SelectParams(
       query = query,
       drilldowns = ddSpecs,
-      matchColumns = matchCol.toSeq,
+      // a single entry keeps its weight/cap/scorer through the
+      // match_columns spec string (parsed again inside Select.run)
+      matchColumns = sectionEntries match {
+        case Seq(one) => Seq(one.render)
+        case _ => matchCol.toSeq
+      },
       filter = filterCol,
       filterScore = filterScore,
       scorerAssigns = scorerAssigns,
@@ -1371,11 +1499,15 @@ object GrnTestRunner {
     // multi-section match (WITH_SECTION / multi-column match_columns):
     // one sub-index per source column, weighted score-merge (reference
     // lib/expr.c:6126-6193) — the SectionedIndex path
-    val secCols = sectionEntries.map(_._1).distinct
+    val secCols = sectionEntries.map(_.column).distinct
     val res =
-      if (args.contains("query") &&
-          (secCols.size > 1 || sectionEntries.exists(_._3.isDefined)) &&
-          secCols.nonEmpty && secCols.forall(typedDocs.columns.contains)) {
+      if (args.contains("query") && secCols.size > 1 &&
+          !indexes.exists(_.srcTable == tableName) && nestedSynth.isEmpty) {
+        // multi-column match without ANY index: the reference's sequential
+        // fallback handles single columns only — 0 hits, rc=0
+        Select.run(reader, params.copy(query = None, filter = Some(lit(false))))
+      } else if (args.contains("query") && secCols.size > 1 &&
+          secCols.forall(typedDocs.columns.contains)) {
         val lexT = idxDef.map(i => tables(i.lexicon))
         val secTok = lexT.flatMap(_.tokenizer).getOrElse("TokenDelimit") +
           (if (lexT.exists(l => l.tokenizer.isDefined && l.normalizer.isEmpty)) ":none" else "")
@@ -1388,11 +1520,8 @@ object GrnTestRunner {
             nShards = 2, buildPartitions = 2, hotTermDf = 1000000L, nSalts = 1),
           secCols)
         val sidx = graft.index.SectionedIndex.open(spark, secDir)
-        Select.run(sidx, params.copy(matchColumns = sectionEntries.map {
-          case (c, w, cap) =>
-            val body = cap.map(x => s"scorer_tf_at_most($c, $x)").getOrElse(c)
-            if (w == 1.0) body else s"$body * $w"
-        }), Some(typedDocs))
+        Select.run(sidx, params.copy(matchColumns = sectionEntries.map(_.render)),
+          Some(typedDocs))
       } else Select.run(reader, params)
     val hits = res.hits
 
