@@ -288,6 +288,18 @@ object SparkEntry {
         col("_score").cast("long").as("score"))
     }),
 
+    // Groonga script-syntax --filter string lowered through ScriptExpr
+    // over a plain DataFrame schema (grammar lib/grn_ecmascript.lemon:40-303)
+    "sel_script_filter" -> ((s, d) => {
+      graft.script.DataFrameEnv.filter(t(s, d, "documents"),
+        """(lang == "en" || lang == "de") &&
+          | between(n_chars, 100, "include", 2000, "exclude") &&
+          | (text @ "spark" || text @$ "data") &&
+          | (doc_id & 3) != 1""".stripMargin)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
     // ---- training-data pipeline ops over documents/embeddings ----
     "dd_exact" -> ((s, d) => Dedup.exactStats(t(s, d, "documents"))),
 
@@ -625,6 +637,14 @@ object SparkEntry {
          |SELECT d.doc_id, a.tf + 1 AS score
          |FROM a JOIN documents d USING (doc_id)
          |WHERE a.tf > 0 AND d.source = 'src3' ORDER BY doc_id""".stripMargin,
+
+    "sel_script_filter" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE (lang = 'en' OR lang = 'de')
+        |  AND n_chars >= 100 AND n_chars < 2000
+        |  AND (contains(lower(text), 'spark') OR ends_with(lower(text), 'data'))
+        |  AND (doc_id & 3) != 1
+        |ORDER BY doc_id""".stripMargin,
 
     "dd_exact" ->
       "SELECT count(*) AS total, count(DISTINCT md5(text)) AS uniq FROM documents",

@@ -623,26 +623,33 @@ object GrnTestRunner {
     }
 
     /** highlight(col, kw, open, close, ..., {options}) (reference
-      * proc_highlight.c:488): per-keyword tags, options html_escape
-      * (default true) and normalizer (default NormalizerAuto).
+      * func_highlight, proc_highlight.c:240-345): per-keyword tag triples,
+      * OR plain keywords when default_open_tag/default_close_tag options
+      * are set; html_escape defaults FALSE, normalizer NormalizerAuto.
       */
     private def highlightFn(args: Seq[TVal]): TVal = {
       val (opts, kwArgs) =
         if (args.size > 1 && args.last.litv.exists(_.isInstanceOf[Map[_, _]]))
           (optsOf(args.last), args.tail.dropRight(1))
         else (Map.empty[String, Any], args.tail)
-      if (kwArgs.isEmpty || kwArgs.size % 3 != 0)
-        return TVal(lit(null).cast("string"), GText)
       val normalize = normalizeFlag(
         opts.getOrElse("normalizer", "NormalizerAuto").toString)
-      val escape = opts.get("html_escape").forall {
+      val escape = opts.get("html_escape").exists {
         case b: Boolean => b
         case n: Long => n != 0
         case s => s.toString == "true"
       }
-      val groups = kwArgs.grouped(3).map { g =>
-        (litStr(g(0), "keyword"), litStr(g(1), "open tag"), litStr(g(2), "close tag"))
-      }.toSeq
+      val dOpen = opts.get("default_open_tag").map(_.toString)
+      val dClose = opts.get("default_close_tag").map(_.toString)
+      val groups: Seq[(String, String, String)] =
+        if (dOpen.nonEmpty || dClose.nonEmpty)
+          kwArgs.map(k => (litStr(k, "keyword"),
+            dOpen.getOrElse(""), dClose.getOrElse("")))
+        else if (kwArgs.nonEmpty && kwArgs.size % 3 == 0)
+          kwArgs.grouped(3).map { g =>
+            (litStr(g(0), "keyword"), litStr(g(1), "open tag"), litStr(g(2), "close tag"))
+          }.toSeq
+        else return TVal(lit(null).cast("string"), GText)
       val u = udf((t: String) =>
         graft.functions.TextFunctions.highlightOf(t, groups, escape, normalize))
       TVal(u(args.head.col), GText)
@@ -672,6 +679,13 @@ object GrnTestRunner {
       }
       val width = num("width", 200)
       val maxN = num("max_n_results", 3)
+      val skipSpaces = opts.get("skip_leading_spaces").forall {
+        case b: Boolean => b
+        case n: Long => n != 0
+        case s => s.toString == "true"
+      }
+      val prefix = opts.getOrElse("prefix", "").toString
+      val suffix = opts.getOrElse("suffix", "").toString
       val dOpen = opts.getOrElse("default_open_tag", "").toString
       val dClose = opts.getOrElse("default_close_tag", "").toString
       val groups: Seq[(String, String, String)] =
@@ -681,7 +695,8 @@ object GrnTestRunner {
             litStr(g(2), "close"))).toSeq
         else kwArgs.map(k => (litStr(k, "keyword"), dOpen, dClose))
       val u = udf((t: String) =>
-        graft.functions.TextFunctions.snippetTagged(t, groups, width, maxN, escape, normalize))
+        graft.functions.TextFunctions.snippetTagged(t, groups, width, maxN,
+          escape, normalize, skipSpaces, prefix, suffix))
       TVal(u(args.head.col), GVec(GText))
     }
 
@@ -1472,7 +1487,9 @@ object GrnTestRunner {
     }
 
     val expander = args.get("query_expander").orElse(args.get("query_expansion"))
-    val query = (args.get("query"), expander) match {
+    // an empty --query is a soft error in the reference (ALERT log, no
+    // condition): every record matches
+    val query = (args.get("query").filter(_.trim.nonEmpty), expander) match {
       case (Some(q), Some(spec)) => Some(expandQuery(q, spec, tables))
       case (q, _) => q
     }
@@ -1501,12 +1518,12 @@ object GrnTestRunner {
     // lib/expr.c:6126-6193) — the SectionedIndex path
     val secCols = sectionEntries.map(_.column).distinct
     val res =
-      if (args.contains("query") && secCols.size > 1 &&
+      if (query.nonEmpty && secCols.size > 1 &&
           !indexes.exists(_.srcTable == tableName) && nestedSynth.isEmpty) {
         // multi-column match without ANY index: the reference's sequential
         // fallback handles single columns only — 0 hits, rc=0
         Select.run(reader, params.copy(query = None, filter = Some(lit(false))))
-      } else if (args.contains("query") && secCols.size > 1 &&
+      } else if (query.nonEmpty && secCols.size > 1 &&
           secCols.forall(typedDocs.columns.contains)) {
         val lexT = idxDef.map(i => tables(i.lexicon))
         val secTok = lexT.flatMap(_.tokenizer).getOrElse("TokenDelimit") +
