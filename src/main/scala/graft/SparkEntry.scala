@@ -542,12 +542,12 @@ object SparkEntry {
 
     "ft_similar" ->
       s"""WITH $W,
-         |dfx AS (SELECT w, count(DISTINCT doc_id) AS df FROM words GROUP BY w),
+         |cfx AS (SELECT w, count(*) AS cf FROM words GROUP BY w),
          |qq AS (SELECT * FROM (VALUES ('dup',1),('batch',2),('join',3),
          |  ('window',4),('slow',5),('spark',6)) t(w, qpos)),
          |qt AS (SELECT qq.w,
-         |    1 + 1048576 // (CASE WHEN df = 1 THEN 1 ELSE df + 2 END) AS wgt
-         |  FROM qq JOIN dfx USING (w)
+         |    1 + 1048576 // (CASE WHEN cf < 1 THEN 1 ELSE cf END) AS wgt
+         |  FROM qq JOIN cfx USING (w)
          |  ORDER BY wgt DESC, qpos LIMIT 3),
          |tf AS (SELECT doc_id, w, count(*) AS tf FROM words
          |  WHERE w IN (SELECT w FROM qt) GROUP BY doc_id, w)

@@ -65,7 +65,13 @@ final case class SelectParams(
       */
     outputExprs: Option[Seq[(String, Column)]] = None,
     /** Pre-lowered sort keys; takes precedence over `sortby` when set. */
-    sortByCols: Option[Seq[Column]] = None
+    sortByCols: Option[Seq[Column]] = None,
+    /** `--query_flags` (reference grn_proc_expr_query_flags): which query
+      * syntax classes the parser honors; NONE demotes `col:v`/pragmas to
+      * plain text, ALLOW_LEADING_NOT permits a query-initial `-term`.
+      */
+    queryFlags: graft.query.QueryParser.QueryFlags =
+      graft.query.QueryParser.QueryFlags.default
 )
 
 final case class SelectResult(
@@ -110,7 +116,8 @@ object Select {
         p.matchEscalationThreshold,
         weight = sw.map(_.weight).getOrElse(1.0),
         cap = sw.flatMap(_.cap),
-        tfIdf = sw.exists(_.tfIdf)).toDF("docId", "_score"),
+        tfIdf = sw.exists(_.tfIdf),
+        flags = p.queryFlags).toDF("docId", "_score"),
       p,
       // single-index mode: every adjuster clause resolves to the one index
       // (the caller is responsible for it covering the clause's column)
@@ -151,7 +158,7 @@ object Select {
     val spec = graft.index.MatchColumnsSpec.parse(p.matchColumns.mkString(" || "))
     runWith(docsOverride.getOrElse(sidx.primary.liveDocs),
       q => QueryExec.runSectioned(sidx, q, spec,
-        p.matchEscalationThreshold).toDF("docId", "_score"),
+        p.matchEscalationThreshold, flags = p.queryFlags).toDF("docId", "_score"),
       p,
       adjust = p.adjuster.map { sp => (scored: DataFrame) =>
         // adjuster clauses name their target column → that section's index;

@@ -46,16 +46,18 @@ object QueryExec {
       escalationThreshold: Long = -1L,
       weight: Double = 1.0,
       cap: Option[Double] = None,
-      tfIdf: Boolean = false): Dataset[ScoredDoc] = {
-    val parsed = QueryParser.parse(q)
+      tfIdf: Boolean = false,
+      flags: QueryFlags = QueryFlags.default): Dataset[ScoredDoc] = {
+    val parsed = QueryParser.parse(q, flags)
     val esc = parsed.escalationThreshold.getOrElse(escalationThreshold)
     eval(Ctx.single(reader, matchColumn, weight, cap, tfIdf), parsed.root, esc,
       escalating = true)
   }
 
   def runSectioned(sidx: SectionedReader, q: String, spec: Seq[SectionWeight],
-      escalationThreshold: Long = -1L): Dataset[ScoredDoc] = {
-    val parsed = QueryParser.parse(q)
+      escalationThreshold: Long = -1L,
+      flags: QueryFlags = QueryFlags.default): Dataset[ScoredDoc] = {
+    val parsed = QueryParser.parse(q, flags)
     val esc = parsed.escalationThreshold.getOrElse(escalationThreshold)
     eval(Ctx.sectioned(sidx, spec), parsed.root, esc, escalating = true)
   }
@@ -131,6 +133,17 @@ object QueryExec {
         val rs = eval(ctx, r, esc, escalating = false)
           .map(s => ScoredDoc(s.docId, s.score * w))
         Engine.SetOps.adjust(eval(ctx, l, esc, escalating), rs)
+      case MatchAll =>
+        ctx.docs.select(col("docId"), lit(0.0).as("score")).as[ScoredDoc]
+      // leading-NOT's implicit left side: every record, score 1 (reference
+      // ALLOW_LEADING_NOT dummy ALL_RECORDS — fixture expects _score 1)
+      case AllRecords =>
+        ctx.docs.select(col("docId"), lit(1.0).as("score")).as[ScoredDoc]
+      // assignment matches every record (the value write is the caller's
+      // job — our tables are immutable DataFrames, so the runner applies
+      // the update to its row store and re-runs dependent selects)
+      case ColAssign(_, _) =>
+        ctx.docs.select(col("docId"), lit(1.0).as("score")).as[ScoredDoc]
     }
   }
 

@@ -43,6 +43,11 @@ object QueryParser {
     * parses an empty condition as "all records").
     */
   case object MatchAll extends Node
+  /** matches every record with score 1 — the implicit left operand of a
+    * leading NOT under ALLOW_LEADING_NOT (reference grn_expr parse: the
+    * dummy ALL_RECORDS call pushed before the negated clause).
+    */
+  case object AllRecords extends Node
   /** full-text match against the match column(s); phrase if quoted. */
   final case class Match(text: String, phrase: Boolean) extends Node
   final case class Prefix(prefix: String) extends Node
@@ -50,6 +55,11 @@ object QueryParser {
   final case class Similar(text: String, threshold: Int) extends Node
   /** column predicate: op in {"", "!", "<", ">", "<=", ">=", "@", "^", "$", "~"} */
   final case class ColPred(colName: String, op: String, value: String) extends Node
+  /** `col:=value` under ALLOW_UPDATE: assigns the value to every matched
+    * record (no other condition → all records) and matches them all
+    * (reference GRN_EXPR_ALLOW_UPDATE, lib/expr.c get_word assignment arm).
+    */
+  final case class ColAssign(colName: String, value: String) extends Node
   final case class And(l: Node, r: Node) extends Node
   final case class Or(l: Node, r: Node) extends Node
   final case class AndNot(l: Node, r: Node) extends Node
@@ -57,7 +67,10 @@ object QueryParser {
 
   final case class Parsed(root: Node, escalationThreshold: Option[Long])
 
-  private final class P(s: String) {
+  /** Reference rc=-63 GRN_SYNTAX_ERROR (lib/expr.c yyerror). */
+  final class GrnSyntaxError(msg: String) extends IllegalArgumentException(msg)
+
+  private final class P(s: String, flags: QueryFlags) {
     var i = 0
     var escalation: Option[Long] = None
     def eof: Boolean = i >= s.length
@@ -78,12 +91,14 @@ object QueryParser {
           n
         case '"' =>
           Match(quoted(), phrase = true)
-        case '*' =>
-          i += 1
-          require(!eof, "dangling *")
-          val kind = peek
-          i += 1
-          kind match {
+        // `*N`/`*S`/`*E` pragmas only under ALLOW_PRAGMA and only when the
+        // pragma letter follows; a bare `*` (or `*x...`) is a literal term
+        // (reference parse loop: GRN_EXPR_ALLOW_PRAGMA gate; fixture
+        // select/query/asterisk/only matches the literal "*")
+        case '*' if flags.allowPragma && i + 1 < s.length &&
+            "NSE".indexOf(s.charAt(i + 1)) >= 0 =>
+          i += 2
+          s.charAt(i - 1) match {
             case 'N' =>
               val n = number(10)
               ws()
@@ -92,10 +107,9 @@ object QueryParser {
               val n = number(0) // reference DEFAULT_SIMILARITY_THRESHOLD = 0
               ws()
               Similar(clauseText(), n)
-            case 'E' =>
+            case _ => // 'E'
               escalation = Some(number(0).toLong)
               clause() // pragma applies to the whole query; continue
-            case other => throw new IllegalArgumentException(s"unknown pragma *$other")
           }
         case _ => word()
       }
@@ -103,7 +117,7 @@ object QueryParser {
 
     private def clauseText(): String =
       if (!eof && peek == '"') quoted()
-      else { val w = bareWord(); w }
+      else bareWord()._1
 
     private def number(default: Int): Int = {
       val st = i
@@ -125,33 +139,87 @@ object QueryParser {
       sb.toString
     }
 
-    private def bareWord(): String = {
-      val st = i
-      while (!eof && peek != ' ' && peek != '(' && peek != ')') i += 1
-      s.substring(st, i)
+    /** Scan a bare word, unescaping `\x` and remembering which characters
+      * were escaped (reference get_word, lib/expr.c:6690: GRN_QUERY_ESCAPE
+      * makes the next char literal — `\(groonga\)*` is a prefix search for
+      * "(groonga)"). Unescaped parens and quotes terminate the word.
+      */
+    private def bareWord(): (String, Array[Boolean]) = {
+      val sb = new StringBuilder
+      val esc = scala.collection.mutable.ArrayBuffer[Boolean]()
+      var done = false
+      while (!eof && !done) {
+        val c = peek
+        if (c == '\\' && i + 1 < s.length) {
+          sb.append(s.charAt(i + 1)); esc += true; i += 2
+        } else if (c == ' ' || c == '(' || c == ')' || c == '"') done = true
+        else { sb.append(c); esc += false; i += 1 }
+      }
+      (sb.toString, esc.toArray)
+    }
+
+    /** Map every match-style leaf of a group to the column predicate that
+      * prefixed it — `content:@(a OR b)` distributes `content:@` over the
+      * group exactly like the reference parser keeps the pending column
+      * context across a parenthesized expression.
+      */
+    private def distributeCol(colName: String, op: String, n: Node): Node = n match {
+      case Match(t, _) => ColPred(colName, op, t)
+      case Prefix(p) => ColPred(colName, "^", p)
+      case And(l, r) => And(distributeCol(colName, op, l), distributeCol(colName, op, r))
+      case Or(l, r) => Or(distributeCol(colName, op, l), distributeCol(colName, op, r))
+      case AndNot(l, r) => AndNot(distributeCol(colName, op, l), distributeCol(colName, op, r))
+      case Adjust(l, r, w) => Adjust(distributeCol(colName, op, l), distributeCol(colName, op, r), w)
+      case other => other
     }
 
     /** word, possibly `col:opvalue` or trailing-`*` prefix. */
     private def word(): Node = {
-      val w = bareWord()
+      val (w, esc) = bareWord()
       require(w.nonEmpty, s"empty word at $i")
-      val colon = w.indexOf(':')
-      if (colon > 0) {
+      val colon = (0 until w.length).find(j => w.charAt(j) == ':' && !esc(j)).getOrElse(-1)
+      if (flags.allowColumn && colon > 0) {
         val colName = w.substring(0, colon)
         val rest = w.substring(colon + 1)
+        if (rest.startsWith("=")) {
+          if (flags.allowUpdate) return ColAssign(colName, rest.drop(1))
+          // without ALLOW_UPDATE the '=' begins the VALUE term (reference
+          // expand/parse scanners advance 1 past ':' only); a following
+          // quoted phrase is the value: `content:"=groonga storage engine"`
+          if (rest.isEmpty && !eof && peek == '"') return ColPred(colName, "", quoted())
+          return ColPred(colName, "", rest)
+        }
         val (op, v) =
           if (rest.startsWith("<=") || rest.startsWith(">=")) (rest.take(2), rest.drop(2))
           else if (rest.nonEmpty && "!<>@^$~".contains(rest.head)) (rest.take(1), rest.drop(1))
           else ("", rest)
-        ColPred(colName, op, v)
-      } else if (w.length > 1 && w.endsWith("*")) {
+        if (v.isEmpty && !eof && peek == '"') ColPred(colName, op, quoted())
+        else if (v.isEmpty && !eof && peek == '(') {
+          i += 1
+          val g = expr()
+          ws()
+          require(!eof && peek == ')', "expected )")
+          i += 1
+          distributeCol(colName, op, g)
+        } else ColPred(colName, op, v)
+      } else if (w.length > 1 && w.endsWith("*") && !esc(w.length - 1)) {
         Prefix(w.dropRight(1))
       } else Match(w, phrase = false)
     }
 
     /** left-fold of clauses with pending operators (default AND). */
     def expr(): Node = {
-      var acc = clause()
+      ws()
+      // a leading `-` is a syntax error unless ALLOW_LEADING_NOT, which
+      // rewrites it to (all records) AND_NOT clause with score 1 per record
+      // (reference lib/expr.c parse loop: GRN_EXPR_ALLOW_LEADING_NOT)
+      var acc: Node =
+        if (!eof && peek == '-') {
+          if (!flags.allowLeadingNot)
+            throw new GrnSyntaxError(s"Syntax error: <|-|${s.substring(i + 1)}>")
+          i += 1
+          AndNot(AllRecords, clause())
+        } else clause()
       var done = false
       while (!done) {
         ws()
@@ -171,8 +239,8 @@ object QueryParser {
     }
   }
 
-  def parse(q: String): Parsed = {
-    val p = new P(q.trim)
+  def parse(q: String, flags: QueryFlags = QueryFlags.default): Parsed = {
+    val p = new P(q.trim, flags)
     val root = p.expr()
     Parsed(root, p.escalation)
   }

@@ -381,8 +381,12 @@ object Engine {
     val stats = reader.termStats(order.keys.toSeq)
     val maxSize = 1048576L
     val weighted = order.toSeq.zipWithIndex.flatMap { case ((t, qtf), i) =>
-      stats.get(t).map { case (df, _) =>
-        val est = if (df == 1L) 1L else df + 2L
+      stats.get(t).map { case (_, cf) =>
+        // posting-list size estimate ≈ total occurrences (reference
+        // grn_ii_estimate_size, lib/ii.c:4704: 1 for an inline posting,
+        // else the buffer entry size — our collection frequency analogue;
+        // matches the reference's select/query/similar_search scores)
+        val est = math.max(cf, 1L)
         (t, qtf + maxSize / est, i)
       }
     }

@@ -121,8 +121,16 @@ object GrnTestRunner {
               args.sliding(2).collectFirst { case Seq(`f`, v) => v }
             // KEY_NORMALIZE table flag = NormalizerAuto (reference
             // grn_table_create normalizer defaulting, lib/db.c)
+            // a tokenizer name that resolves to nothing leaves the lexicon
+            // untokenized — grn_obj_set_info stores the name, grn_ctx_get
+            // at use time returns NULL silently (fixture
+            // query_expander/column/*/prefix uses nonexistent
+            // TokenBigramSplitAlpha and still gets whole-value keys)
             cmds += CTable(TableDef(name, keyed, keyType,
-              flag("--default_tokenizer"),
+              flag("--default_tokenizer").filter { t =>
+                try { graft.analysis.Tokenizers.byName(t); true }
+                catch { case _: IllegalArgumentException => false }
+              },
               flag("--normalizer").orElse(
                 if (args(2).contains("KEY_NORMALIZE")) Some("NormalizerAuto")
                 else None)))
@@ -791,116 +799,83 @@ object GrnTestRunner {
       throw new IllegalArgumentException(s"nonexistent expander column $cName")
     val norm = normOf(t)
     def keyOf(s: String) = norm.map(_(s)).getOrElse(s)
-    // vector synonym columns OR their elements (reference expanded-term
-    // assembly, lib/expr.c grn_expr_syntax_expand_query)
+    // vector synonym columns OR their elements: n>1 renders as
+    // ((a) OR (b)); a single element splices bare; scalar splices raw text
+    // (reference grn_expr_syntax_expand_term_by_column, lib/expr.c:7758)
     val synonyms: Map[String, String] = t.rows.flatMap { m =>
       for {
         k <- m.get("_key").map(_.asText)
         node <- m.get(cName)
       } yield keyOf(k) -> {
-        if (node.isArray)
-          node.elements().asScala.map { e =>
-            val s = e.asText
-            if (s.exists(_.isWhitespace)) "\"" + s + "\"" else s
-          }.mkString("((", ") OR (", "))")
-        else node.asText
+        if (node.isArray) {
+          val els = node.elements().asScala.map(_.asText).toSeq
+          els match {
+            case Seq() => ""
+            case Seq(one) => one
+            case many => many.mkString("((", ") OR (", "))")
+          }
+        } else node.asText
       }
     }.toMap
 
-    // re-prefix every term of an expansion with a column predicate
-    // ("content:@" distributed over "(a OR b)")
-    def distribute(expansion: String, colPrefix: String): String = {
-      val sb = new StringBuilder
-      var i = 0
-      while (i < expansion.length) {
-        val c = expansion.charAt(i)
-        if (c == '"') {
-          var j = i + 1
-          while (j < expansion.length && expansion.charAt(j) != '"')
-            j += (if (expansion.charAt(j) == '\\') 2 else 1)
-          sb.append(colPrefix).append(expansion.substring(i, math.min(j + 1, expansion.length)))
-          i = j + 1
-        } else if (c.isWhitespace || "()".indexOf(c) >= 0) {
-          sb.append(c); i += 1
-        } else {
-          var j = i
-          while (j < expansion.length && !expansion.charAt(j).isWhitespace &&
-            "()\"".indexOf(expansion.charAt(j)) < 0) j += 1
-          val word = expansion.substring(i, j)
-          if (word == "OR") sb.append(word)
-          else sb.append(colPrefix).append(word)
-          i = j
-        }
-      }
-      sb.toString
-    }
-
-    // one term lookup: the raw term first (operator-bearing keys like
-    // "=mroonga"), then with the operator prefix stripped
-    val colPredRe = """^([A-Za-z_][\w.]*:)([@^$~<>=!]*)(.*)$""".r
+    // Faithful port of the reference term scanner
+    // (grn_expr_syntax_expand_query_terms, lib/expr.c:7804-7917): spaces
+    // and the single-char query operators copy through un-expanded, "OR"
+    // copies through, quoted phrases expand as one term (original span
+    // kept on a miss), a col-predicate prefix `col:op` copies verbatim and
+    // the value restarts as a fresh term; everything else is a term,
+    // replaced by its synonym expansion when the (normalized) term is a
+    // key of the expansion table.
     val sb = new StringBuilder
     var i = 0
-    var pendingCol: Option[(String, String)] = None // (col:, op) awaiting a value
+    def isOpChar(c: Char): Boolean = "+><~-()*".indexOf(c) >= 0
     while (i < q.length) {
       val c = q.charAt(i)
-      if (c == '"') {
-        val end = {
-          var j = i + 1
-          while (j < q.length && q.charAt(j) != '"')
-            j += (if (q.charAt(j) == '\\') 2 else 1)
-          j
+      if (c.isWhitespace) { sb.append(c); i += 1 }
+      else if (isOpChar(c)) { sb.append(c); i += 1 }
+      else if (c == '"') {
+        val start = i
+        i += 1
+        val buf = new StringBuilder
+        var closed = false
+        while (i < q.length && !closed) {
+          val ch = q.charAt(i)
+          if (ch == '"') { i += 1; closed = true }
+          else if (ch == '\\' && i + 1 < q.length) { buf.append(q.charAt(i + 1)); i += 2 }
+          else { buf.append(ch); i += 1 }
         }
-        val phrase = q.substring(i + 1, math.min(end, q.length))
-        val rep = synonyms.get(keyOf(phrase))
-        (pendingCol, rep) match {
-          case (Some((cp, op)), Some(r)) => sb.append(distribute(r, cp + op))
-          case (Some((cp, op)), None) =>
-            sb.append(cp).append(op).append(q.substring(i, math.min(end + 1, q.length)))
-          case (None, Some(r)) => sb.append(r)
-          case (None, None) => sb.append(q.substring(i, math.min(end + 1, q.length)))
+        synonyms.get(keyOf(buf.toString)) match {
+          case Some(r) => sb.append(r)
+          case None => sb.append(q.substring(start, i))
         }
-        pendingCol = None
-        i = end + 1
-      } else if (c.isWhitespace || "()".indexOf(c) >= 0) {
-        sb.append(c); i += 1
+      } else if (c == 'O' && q.startsWith("OR", i) &&
+          (i + 2 == q.length || q.charAt(i + 2).isWhitespace)) {
+        sb.append("OR"); i += 2
       } else {
-        var j = i
-        while (j < q.length && !q.charAt(j).isWhitespace &&
-          "()\"".indexOf(q.charAt(j)) < 0) j += 1
-        val word = q.substring(i, j)
-        val restIsEmpty = q.substring(j).trim.isEmpty
-        word match {
-          case "OR" if !restIsEmpty => sb.append(word) // operator position
-          case colPredRe(cp, op, value) if pendingCol.isEmpty =>
-            if (value.isEmpty && !q.substring(j).trim.startsWith("OR")) {
-              // `content:@ "phrase"` — the value is the next token
-              pendingCol = Some((cp, op)); sb.append("")
-            } else {
-              val (bare, stars) = value.span(_ != '*') match {
-                case (b, s) if s.forall(_ == '*') => (b, s)
-                case _ => (value, "")
-              }
-              synonyms.get(keyOf(op + bare)) // operator-bearing key first
-                .map(r => sb.append(distribute(r, cp)).append(stars))
-                .orElse(synonyms.get(keyOf(bare))
-                  .map(r => sb.append(distribute(r, cp + op)).append(stars)))
-                .getOrElse(sb.append(word))
+        var start = i
+        var broke = false
+        while (i < q.length && !broke) {
+          val ch = q.charAt(i)
+          if (ch.isWhitespace || ch == '(' || ch == ')' || ch == '*') broke = true
+          else if (ch == ':') {
+            // `col:op` prefix: ALLOW_COLUMN is always on for select --query;
+            // ALLOW_UPDATE is not, so `:=` keeps the '=' in the value term
+            var j = i + 1
+            if (j < q.length) q.charAt(j) match {
+              case '!' | '@' | '^' | '$' => j += 1
+              case '<' | '>' => { j += 1; if (j < q.length && q.charAt(j) == '=') j += 1 }
+              case _ => ()
             }
-          case _ =>
-            val (bare, stars) = word.span(_ != '*') match {
-              case (b, s) if s.forall(_ == '*') => (b, s)
-              case _ => (word, "")
-            }
-            val prefix = pendingCol.map { case (cp, op) => cp + op }.getOrElse("")
-            pendingCol = None
-            synonyms.get(keyOf(bare)) match {
-              case Some(r) =>
-                if (prefix.isEmpty) sb.append(r).append(stars)
-                else sb.append(distribute(r, prefix)).append(stars)
-              case None => sb.append(prefix).append(word)
-            }
+            sb.append(q.substring(start, j))
+            i = j
+            start = i
+            broke = true
+          } else i += 1
         }
-        i = j
+        if (start < i) {
+          val term = q.substring(start, i)
+          sb.append(synonyms.getOrElse(keyOf(term), term))
+        }
       }
     }
     sb.toString
@@ -1097,6 +1072,35 @@ object GrnTestRunner {
       var cur = td
       path.init.foreach(h => cur = tables(cur.columns(h)))
       (cur, path.last)
+    }
+
+    val expander = args.get("query_expander").orElse(args.get("query_expansion"))
+    // an empty --query is a soft error in the reference (ALERT log, no
+    // condition): every record matches
+    val query = (args.get("query").filter(_.trim.nonEmpty), expander) match {
+      case (Some(q), Some(spec)) => Some(expandQuery(q, spec, tables))
+      case (q, _) => q
+    }
+    val qFlags = args.get("query_flags")
+      .map(graft.query.QueryParser.QueryFlags.parse)
+      .getOrElse(graft.query.QueryParser.QueryFlags.default)
+    // ALLOW_UPDATE: `col:=value` assigns to every matched record (reference
+    // GRN_EXPR_ALLOW_UPDATE) — apply to the row store before evaluating so
+    // this select and later ones see the new values
+    if (qFlags.allowUpdate) query.foreach { q =>
+      def applyAssigns(n: graft.query.QueryParser.Node): Unit = n match {
+        case graft.query.QueryParser.ColAssign(c, v) =>
+          val node: JsonNode =
+            try mapper.readTree(v)
+            catch { case _: Throwable => mapper.getNodeFactory.textNode(v) }
+          td.rows.indices.foreach(j => td.rows(j) = td.rows(j) + (c -> node))
+        case graft.query.QueryParser.And(l, r) => applyAssigns(l); applyAssigns(r)
+        case graft.query.QueryParser.Or(l, r) => applyAssigns(l); applyAssigns(r)
+        case graft.query.QueryParser.AndNot(l, r) => applyAssigns(l); applyAssigns(r)
+        case graft.query.QueryParser.Adjust(l, r, _) => applyAssigns(l); applyAssigns(r)
+        case _ => ()
+      }
+      applyAssigns(graft.query.QueryParser.parse(q, qFlags).root)
     }
 
     val typedDocs0 = typedDocsOf(spark, tables, tableName)
@@ -1486,13 +1490,6 @@ object GrnTestRunner {
       plain ++ labeled
     }
 
-    val expander = args.get("query_expander").orElse(args.get("query_expansion"))
-    // an empty --query is a soft error in the reference (ALERT log, no
-    // condition): every record matches
-    val query = (args.get("query").filter(_.trim.nonEmpty), expander) match {
-      case (Some(q), Some(spec)) => Some(expandQuery(q, spec, tables))
-      case (q, _) => q
-    }
     val params = SelectParams(
       query = query,
       drilldowns = ddSpecs,
@@ -1511,7 +1508,8 @@ object GrnTestRunner {
       limit = args.get("limit").map(_.toInt).getOrElse(10),
       outputExprs = outputExprs,
       matchEscalationThreshold =
-        args.get("match_escalation_threshold").map(_.toLong).getOrElse(0L))
+        args.get("match_escalation_threshold").map(_.toLong).getOrElse(0L),
+      queryFlags = qFlags)
 
     // multi-section match (WITH_SECTION / multi-column match_columns):
     // one sub-index per source column, weighted score-merge (reference
