@@ -41,7 +41,8 @@ object GrnTestRunner {
       normalizer: Option[String],
       columns: mutable.LinkedHashMap[String, String] = mutable.LinkedHashMap(),
       rows: mutable.ArrayBuffer[Map[String, JsonNode]] = mutable.ArrayBuffer(),
-      vectorCols: mutable.Set[String] = mutable.Set())
+      vectorCols: mutable.Set[String] = mutable.Set(),
+      weightVectorCols: mutable.Set[String] = mutable.Set())
 
   final case class IndexDef(lexicon: String, name: String, srcTable: String,
       srcCol: String, withPosition: Boolean)
@@ -177,6 +178,61 @@ object GrnTestRunner {
     * command is followed by one or more JSON values (load echoes its input
     * first) — the LAST value before the next command is its envelope.
     */
+  /** `--output_type xml` envelope → the JSON envelope shape (reference
+    * XML RESULTSET output, lib/output.c) so select comparisons share one
+    * path. Only the main result set is rendered (the xml fixtures carry
+    * no drilldowns).
+    */
+  private def xmlEnvelope(xml: String): JsonNode = {
+    def unescape(s: String): String = s
+      .replace("&lt;", "<").replace("&gt;", ">")
+      .replace("&quot;", "\"").replace("&apos;", "'").replace("&amp;", "&")
+    val nhits = """NHITS="(\d+)"""".r.findFirstMatchIn(xml).map(_.group(1).toLong).getOrElse(0L)
+    val fieldRe = """<FIELD NAME="([^"]*)">(.*?)</FIELD>""".r
+    val hits = """(?s)<HIT NO="\d+">(.*?)</HIT>""".r.findAllMatchIn(xml).map(_.group(1)).toSeq
+    val f = mapper.getNodeFactory
+    def valueNode(s: String): JsonNode = {
+      val u = unescape(s)
+      if (u.matches("-?\\d+")) f.numberNode(u.toLong)
+      else if (u.matches("-?\\d+\\.\\d+")) f.numberNode(u.toDouble)
+      else if (u.contains(", ")) {
+        // XML joins vectors with ", " — weight vectors as `k:w, k2:w2`
+        // (reference xml output); rebuild the JSON-envelope value shapes
+        val parts = u.split(", ", -1).toSeq
+        if (parts.forall(_.matches("\\S+:-?\\d+"))) {
+          val o = f.objectNode()
+          parts.foreach { p =>
+            val j = p.lastIndexOf(':')
+            o.put(p.substring(0, j), p.substring(j + 1).toLong)
+          }
+          o
+        } else {
+          val a = f.arrayNode()
+          parts.foreach(a.add)
+          a
+        }
+      } else f.textNode(u)
+    }
+    val rs = f.arrayNode()
+    rs.add(f.arrayNode().add(nhits))
+    val schema = f.arrayNode()
+    hits.headOption.foreach { h =>
+      fieldRe.findAllMatchIn(h).foreach { m =>
+        schema.add(f.arrayNode().add(m.group(1)).add("ShortText"))
+      }
+    }
+    rs.add(schema)
+    hits.foreach { h =>
+      val row = f.arrayNode()
+      fieldRe.findAllMatchIn(h).foreach(m => row.add(valueNode(m.group(2))))
+      rs.add(row)
+    }
+    val root = f.arrayNode()
+    root.add(f.arrayNode().add(0).add(0.0).add(0.0))
+    root.add(f.arrayNode().add(rs))
+    root
+  }
+
   def parseExpected(text: String): Seq[(String, JsonNode)] = {
     val out = mutable.ArrayBuffer[(String, JsonNode)]()
     var curCmd: String = null
@@ -184,10 +240,21 @@ object GrnTestRunner {
     val sb = new StringBuilder
     var depth = 0
     var inJson = false
+    var inXml = false
+    val xmlBuf = new StringBuilder
     val joined = text.replace("\\\n", " ")
     joined.split('\n').foreach { line =>
       val t = line.trim
-      if (!inJson && !t.startsWith("[") && !t.startsWith("{")) {
+      if (inXml) {
+        xmlBuf.append(line).append('\n')
+        if (t.startsWith("</SEGMENTS>")) {
+          inXml = false
+          lastJson = xmlEnvelope(xmlBuf.toString)
+        }
+      } else if (!inJson && t.startsWith("<?xml")) {
+        inXml = true
+        xmlBuf.clear()
+      } else if (!inJson && !t.startsWith("[") && !t.startsWith("{")) {
         if (t.nonEmpty && !t.startsWith("#")) {
           if (curCmd != null) out += ((curCmd, lastJson))
           curCmd = t
@@ -239,7 +306,10 @@ object GrnTestRunner {
             }
         } else {
           tables(table).columns(name) = range
-          if (flags.contains("COLUMN_VECTOR")) tables(table).vectorCols += name
+          if (flags.contains("COLUMN_VECTOR")) {
+            tables(table).vectorCols += name
+            if (flags.contains("WITH_WEIGHT")) tables(table).weightVectorCols += name
+          }
         }
       case CLoad(table, loadCols, json) =>
         val arr = mapper.readTree(json)
@@ -900,6 +970,7 @@ object GrnTestRunner {
     val td = tables(tableName)
     val colNames = td.columns.keys.toSeq
     val colTypes = colNames.map(c => gtypeOf(td, tables, c))
+    val wvCols = colNames.filter(td.weightVectorCols.contains)
     val keyNorm = normOf(td)
     val rows = td.rows.zipWithIndex.map { case (m, i) =>
       val id = (i + 1).toLong
@@ -911,11 +982,27 @@ object GrnTestRunner {
         val refNorm = tables.get(td.columns(c)).flatMap(normOf)
         jsonToTyped(m.get(c).orNull, t, refNorm)
       }
-      Row.fromSeq(id +: (if (td.keyed) Seq(key) else Seq.empty) ++: vals)
+      // WITH_WEIGHT vectors carry a shadow render column: the output stage
+      // shows them as {"elem": weight} objects (reference weight-vector
+      // output, lib/output.c), while the plain array column keeps serving
+      // match/filter paths
+      val wvVals = wvCols.map { c =>
+        m.get(c).orNull match {
+          case null => "{}"
+          case n if n.isObject => mapper.writeValueAsString(n)
+          case n if n.isArray =>
+            val o = mapper.getNodeFactory.objectNode()
+            n.elements().asScala.foreach(e => o.put(e.asText, 0))
+            mapper.writeValueAsString(o)
+          case n => s"""{${mapper.writeValueAsString(n.asText)}:0}"""
+        }
+      }
+      Row.fromSeq(id +: (if (td.keyed) Seq(key) else Seq.empty) ++: vals ++: wvVals)
     }.toSeq
     val fields = StructField("docId", LongType, nullable = false) +:
       ((if (td.keyed) Seq(StructField("_key", StringType)) else Seq.empty) ++
-        colNames.zip(colTypes).map { case (c, t) => StructField(c, sparkTypeOf(t)) })
+        colNames.zip(colTypes).map { case (c, t) => StructField(c, sparkTypeOf(t)) } ++
+        wvCols.map(c => StructField("__wv_" + c, StringType)))
     spark.createDataFrame(rows.asJava, StructType(fields))
   }
 
@@ -1415,8 +1502,13 @@ object GrnTestRunner {
         // `*` in an explicit list = the DATA columns only (no _key/_id),
         // in NAME order — the reference expands `*` by walking the
         // column-name trie (grn_obj_columns), which iterates sorted
-        case "*" => colNames.sorted.map(c => c -> col(c))
+        case "*" => colNames.sorted.map(c =>
+          if (td.weightVectorCols.contains(c)) c -> col("__wv_" + c)
+          else c -> col(c))
         case "_id" => Seq("_id" -> col("docId"))
+        // a WITH_WEIGHT vector outputs as its {"elem": weight} object
+        case e if td.weightVectorCols.contains(e) =>
+          Seq(e -> col("__wv_" + e))
         case e =>
           // unknown columns are SKIPPED, not errors (reference ignores
           // nonexistent output_columns entries, rc stays 0)
