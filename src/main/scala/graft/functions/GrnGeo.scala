@@ -138,10 +138,12 @@ object GrnGeo {
     * (the selector-proc registration analogue, reference lib/proc.c:5273).
     */
   def register(spark: SparkSession): Unit = {
+    // an unset GeoPoint is the origin "0x0" (reference grn_obj default)
+    def pt(p: String): String = if (p == null || p.isEmpty) "0x0" else p
     spark.udf.register("geo_distance",
-      (p: String, c: String) => distance(p, c, ""))
+      (p: String, c: String) => distance(pt(p), pt(c), ""))
     spark.udf.register("geo_distance_approx",
-      (p: String, c: String, a: String) => distance(p, c, a))
+      (p: String, c: String, a: String) => distance(pt(p), pt(c), a))
     spark.udf.register("geo_in_circle",
       (p: String, c: String, r: Double) => inCircle(p, c, r, ""))
     spark.udf.register("geo_in_circle_approx",

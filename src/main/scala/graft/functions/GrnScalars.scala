@@ -79,5 +79,7 @@ object GrnScalars {
     spark.udf.register("string_length", (s: String) => if (s == null) 0 else s.codePointCount(0, s.length))
     spark.udf.register("damerau_levenshtein",
       (a: String, b: String) => damerauDistance(a, b))
+    spark.udf.register("prefix_rk_search",
+      (k: String, q: String) => RkText.prefixRkMatch(k, q))
   }
 }

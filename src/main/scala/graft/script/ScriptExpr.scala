@@ -850,12 +850,25 @@ object ScriptExpr {
   def defaultCall(name: String, args: Seq[TVal]): Option[TVal] = name match {
     case "all_records" => Some(TVal(lit(true), GBool))
     case "between" if args.size == 5 =>
-      val Seq(c, lo, loB, hi, hiB) = args
-      val loOp = if (loB.litv.contains("include")) c.col >= lo.col else c.col > lo.col
-      val hiOp = if (hiB.litv.contains("include")) c.col <= hi.col else c.col < hi.col
+      val Seq(c, lo0, loB, hi0, hiB) = args
+      // Time columns accept text bounds ("YYYY-MM-DD hh:mm:ss") —
+      // reference between() casts min/max to the column's type
+      // (lib/proc/proc_between.c grn_obj_cast)
+      def bound(v: TVal): Column = (c.t, v.t) match {
+        case (GTime, GText) => timeLit(v)
+        case _ => v.col
+      }
+      val lo = bound(lo0); val hi = bound(hi0)
+      val loOp = if (loB.litv.contains("include")) c.col >= lo else c.col > lo
+      val hiOp = if (hiB.litv.contains("include")) c.col <= hi else c.col < hi
       Some(TVal(loOp && hiOp, GBool))
     case "between" if args.size == 3 =>
-      Some(TVal(args(0).col.between(args(1).col, args(2).col), GBool))
+      val Seq(c, lo0, hi0) = args
+      def bound(v: TVal): Column = (c.t, v.t) match {
+        case (GTime, GText) => timeLit(v)
+        case _ => v.col
+      }
+      Some(TVal(c.col.between(bound(lo0), bound(hi0)), GBool))
     case "in_values" =>
       val c = args.head
       c.t match {
@@ -875,8 +888,26 @@ object ScriptExpr {
       Some(TVal(least(cs.map(_.col): _*), args.head.t))
     case "vector_size" =>
       Some(TVal(size(args.head.col).cast("long"), GInt(32, signed = false)))
+    case "prefix_rk_search" =>
+      // romaji/kana prefix over readings (reference
+      // grn_pat_prefix_rk_search); vector columns match any element
+      val q = args(1).col.cast("string")
+      val pred = args.head.t match {
+        case GVec(_) =>
+          exists(args.head.col, e => call_udf("prefix_rk_search", e.cast("string"), q))
+        case _ => call_udf("prefix_rk_search", args.head.col.cast("string"), q)
+      }
+      Some(TVal(coalesce(pred, lit(false)), GBool))
     case "edit_distance" =>
-      Some(TVal(levenshtein(args(0).col, args(1).col).cast("long"), GInt(32, signed = true)))
+      // optional 3rd arg with_transposition → Damerau (one-edit adjacent
+      // swap), reference lib/proc/proc_edit_distance.c
+      val trans = args.lift(2).exists(a =>
+        a.litv.exists(v => v == true || v == "true" || v == 1L))
+      val d =
+        if (trans) call_udf("damerau_levenshtein",
+          args(0).col.cast("string"), args(1).col.cast("string"))
+        else levenshtein(args(0).col, args(1).col)
+      Some(TVal(d.cast("long"), GInt(32, signed = true)))
     case "rand" =>
       Some(TVal((rand() * args.headOption.map(_.col).getOrElse(lit(1))).cast("long"),
         GInt(32, signed = true)))

@@ -450,5 +450,19 @@ object Engine {
         .select(col("docId"), (col("s1") + coalesce(col("s2"), lit(0.0))).as("score"))
         .as[ScoredDoc]
     }
+
+    /** Symmetric difference (reference grn_table_difference,
+      * lib/db.c:4309: common keys are removed from BOTH sides — used by
+      * the suggest-correct pipeline). Returns (a∖b, b∖a); two co-keyed
+      * anti-joins, one shuffle each, broadcastable when a side is small.
+      */
+    def difference(a: Dataset[ScoredDoc], b: Dataset[ScoredDoc])
+        : (Dataset[ScoredDoc], Dataset[ScoredDoc]) = {
+      val spark = a.sparkSession
+      import spark.implicits._
+      val l = df(a, "score").join(df(b, "s2"), Seq("docId"), "left_anti").as[ScoredDoc]
+      val r = df(b, "score").join(df(a, "s2"), Seq("docId"), "left_anti").as[ScoredDoc]
+      (l, r)
+    }
   }
 }

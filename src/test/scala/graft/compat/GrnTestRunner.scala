@@ -42,7 +42,8 @@ object GrnTestRunner {
       columns: mutable.LinkedHashMap[String, String] = mutable.LinkedHashMap(),
       rows: mutable.ArrayBuffer[Map[String, JsonNode]] = mutable.ArrayBuffer(),
       vectorCols: mutable.Set[String] = mutable.Set(),
-      weightVectorCols: mutable.Set[String] = mutable.Set())
+      weightVectorCols: mutable.Set[String] = mutable.Set(),
+      withSis: Boolean = false)
 
   final case class IndexDef(lexicon: String, name: String, srcTable: String,
       srcCol: String, withPosition: Boolean)
@@ -127,14 +128,19 @@ object GrnTestRunner {
             // at use time returns NULL silently (fixture
             // query_expander/column/*/prefix uses nonexistent
             // TokenBigramSplitAlpha and still gets whole-value keys)
-            cmds += CTable(TableDef(name, keyed, keyType,
+            val tdNew = TableDef(name, keyed, keyType,
               flag("--default_tokenizer").filter { t =>
                 try { graft.analysis.Tokenizers.byName(t); true }
                 catch { case _: IllegalArgumentException => false }
               },
               flag("--normalizer").orElse(
                 if (args(2).contains("KEY_NORMALIZE")) Some("NormalizerAuto")
-                else None)))
+                else None),
+              withSis = args(2).contains("KEY_WITH_SIS"))
+            // --value_type declares the `_value` pseudo-column
+            // (reference grn_table_create value_type)
+            flag("--value_type").foreach(vt => tdNew.columns("_value") = vt)
+            cmds += CTable(tdNew)
           case "column_create" =>
             // column_create TABLE NAME FLAGS TYPE [SOURCE...]
             cmds += CColumn(args(1), args(2), args(3),
@@ -328,7 +334,60 @@ object GrnTestRunner {
               val vals = obj.elements().asScala.toSeq
               header.getOrElse(Seq.empty).zip(vals).toMap
             } else obj.fields().asScala.map(e => e.getKey -> e.getValue).toMap
-          tables(table).rows += m
+          // keyed tables upsert: a load with an existing _key updates that
+          // record in place (reference grn_table_add semantics)
+          val selfNorm = normOf(tables(table))
+          def selfKey(n: JsonNode): Option[String] =
+            Option(n).filterNot(_.isNull).map(_.asText)
+              .map(s => selfNorm.map(_(s)).getOrElse(s))
+          val existingIdx: Int =
+            if (!tables(table).keyed) -1
+            else (m.get("_key").flatMap(selfKey), tables(table).rows) match {
+              case (Some(k), rows) =>
+                rows.indexWhere(r => r.get("_key").flatMap(selfKey).contains(k))
+              case _ => -1
+            }
+          if (existingIdx >= 0)
+            tables(table).rows(existingIdx) = tables(table).rows(existingIdx) ++ m
+          else tables(table).rows += m
+          // KEY_WITH_SIS auto-registers every proper suffix of the key,
+          // longest first (reference grn_pat semi-infinite strings)
+          if (tables(table).withSis) m.get("_key").filterNot(_.isNull).foreach { kn =>
+            val cps = kn.asText.codePoints().toArray
+            val known = mutable.Set[String](tables(table).rows
+              .flatMap(_.get("_key")).map(_.asText).toSeq: _*)
+            (1 until cps.length).foreach { i =>
+              val sfx = new String(cps, i, cps.length - i)
+              if (!known.contains(sfx)) {
+                known += sfx
+                tables(table).rows += Map("_key" ->
+                  com.fasterxml.jackson.databind.node.TextNode.valueOf(sfx))
+              }
+            }
+          }
+          // loading through a reference column auto-adds missing keys to
+          // the target table (reference grn_obj_cast addp=true path)
+          val td = tables(table)
+          m.foreach { case (c, node) =>
+            td.columns.get(c).flatMap(tables.get).filter(_.keyed).foreach { target =>
+              val vals: Seq[String] =
+                if (node == null || node.isNull) Nil
+                else if (node.isArray) node.elements().asScala.map(_.asText).toSeq
+                else if (node.isObject) node.fieldNames().asScala.toSeq
+                else Seq(node.asText)
+              val tNorm = normOf(target)
+              def nk(s: String) = tNorm.map(_(s)).getOrElse(s)
+              val existing = mutable.Set[String](
+                target.rows.flatMap(_.get("_key")).map(k => nk(k.asText)).toSeq: _*)
+              vals.filter(_.nonEmpty).foreach { v =>
+                if (!existing.contains(nk(v))) {
+                  existing += nk(v)
+                  target.rows += Map("_key" ->
+                    com.fasterxml.jackson.databind.node.TextNode.valueOf(v))
+                }
+              }
+            }
+          }
         }
       case CSelect(args, tableName) =>
         selectN += 1
@@ -449,7 +508,7 @@ object GrnTestRunner {
         * reference does outside a filter.
         */
       queryEval: Option[(String, String) => Array[(Long, Double)]] = None,
-      subFilterEval: Option[(Seq[String], String) => Set[Long]] = None) extends Env {
+      subFilterEval: Option[(Seq[String], String) => Map[Long, Double]] = None) extends Env {
 
     /** Index-routed match operators in script filters: `*N` (near) and
       * `*S` (similar) resolve through the index eagerly — fixture tables
@@ -524,39 +583,54 @@ object GrnTestRunner {
       var curTable = tables.get(td.columns(head)).getOrElse(return None)
       val headIsVec = td.vectorCols(head)
       var cur: Column = col(head)
+      // vector hops nest: `blogs.entries.content` over two vector columns
+      // renders [[...]] (reference accessor output keeps hop shape)
+      var depth = if (headIsVec) 1 else 0
       var curT: GType = gtypeOf(td, tables, head) match {
         case GVec(e) => e
         case t => t
       }
+      def deepAt(c: Column, d: Int, f: Column => Column): Column =
+        if (d == 0) f(c) else transform(c, e => deepAt(e, d - 1, f))
       rest.foreach { name =>
         if (name == "_key") () // the stored value IS the key
         else {
           val ct = curTable.columns.get(name).getOrElse(return None)
-          val valueT = gtypeOf(curTable, tables, name) match {
-            case GVec(_) => return None // vector-of-vector hop unsupported
-            case t => t
+          val (valueT, isVecHop) = gtypeOf(curTable, tables, name) match {
+            case GVec(e) => (e, true)
+            case t => (t, false)
           }
           val norm = normOf(curTable)
+          def valLit(v: Any): Column = v match {
+            case s: Seq[_] => valueT match {
+              case GInt(_, _) => typedLit(s.map { case l: Long => l
+                case x => String.valueOf(x).toLong })
+              case GFloat | GTime => typedLit(s.map { case d: Double => d
+                case l: Long => l.toDouble; case x => String.valueOf(x).toDouble })
+              case _ => typedLit(s.map(String.valueOf(_)))
+            }
+            case x => lit(x)
+          }
           val kv: Seq[(String, Any)] = curTable.rows.toSeq.flatMap { m =>
             m.get("_key").map(_.asText).map(s => norm.map(_(s)).getOrElse(s)).map { k =>
-              k -> jsonToTyped(m.get(name).orNull, valueT,
+              k -> jsonToTyped(m.get(name).orNull,
+                if (isVecHop) GVec(valueT) else valueT,
                 tables.get(ct).flatMap(normOf))
             }
           }.distinctBy(_._1)
           val mapLit =
             if (kv.isEmpty) map_from_arrays(array().cast("array<string>"),
               array().cast("array<string>"))
-            else map(kv.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
-          cur =
-            if (headIsVec) transform(cur, e => element_at(mapLit, e.cast("string")))
-            else element_at(mapLit, cur.cast("string"))
+            else map(kv.flatMap { case (k, v) => Seq(lit(k), valLit(v)) }: _*)
+          cur = deepAt(cur, depth, e => element_at(mapLit, e.cast("string")))
+          if (isVecHop) depth += 1
           curT = valueT
           curTable = tables.get(ct).getOrElse(
             // scalar leaf: further hops impossible; dummy keeps the loop safe
             TableDef("", keyed = false, None, None, None))
         }
       }
-      Some(TVal(cur, if (headIsVec) GVec(curT) else curT))
+      Some(TVal(cur, if (depth > 0) GVec(curT) else curT))
     }
 
     override def record(table: String, key: Any): Option[Map[String, TVal]] =
@@ -593,10 +667,15 @@ object GrnTestRunner {
         }
         val f = subFilterEval.getOrElse(
           throw new ScriptError("sub_filter unavailable in this context"))
-        val ids = f(path, sub)
+        val scored = f(path, sub)
         Some(
-          if (ids.isEmpty) TVal(lit(false), GBool, score = Some(lit(0.0)))
-          else TVal(col("docId").isin(ids.toSeq: _*), GBool))
+          if (scored.isEmpty) TVal(lit(false), GBool, score = Some(lit(0.0)))
+          else {
+            val m = map(scored.toSeq.flatMap { case (id, sc) =>
+              Seq(lit(id), lit(sc)) }: _*)
+            val sc = element_at(m, col("docId"))
+            TVal(sc.isNotNull, GBool, score = Some(coalesce(sc, lit(0.0))))
+          })
       case _ => None
     }
 
@@ -658,9 +737,6 @@ object GrnTestRunner {
       case "string_length" =>
         Some(TVal(call_udf("string_length", args.head.col).cast("long"),
           GInt(32, signed = false)))
-      case "edit_distance" =>
-        Some(TVal(call_udf("edit_distance", args(0).col, args(1).col).cast("long"),
-          GInt(32, signed = true)))
       case _ => super.call(name, args)
     }
 
@@ -808,6 +884,70 @@ object GrnTestRunner {
         case n: Long => n != 0
         case _ => false
       }
+      // index-routed fuzzy (reference proc_fuzzy_search.c selector path):
+      // the query is tokenized by the index lexicon's tokenizer (whole
+      // value when none) and each doc scores by its LAST matching token
+      // in position order — the first query token scores maxd−d+1,
+      // subsequent ones maxd−d, all tokens must match (AND). Verified
+      // against index/vector and index/index_with_tokenizer fixtures.
+      val idxLexOpt: Option[(String, TableDef)] = args.head.path.map(_.head).flatMap { cn =>
+        indexDefs.find(ix => ix.srcTable == td.name && ix.srcCol == cn)
+          .flatMap(ix => tables.get(ix.lexicon)).map(cn -> _)
+      }
+      if (idxLexOpt.isDefined && !opts.contains("max_expansion") && pl == 0) {
+        val (cn, lex) = idxLexOpt.get
+        val lnorm = normOf(lex)
+        def nm(s: String) = lnorm.map(_(s)).getOrElse(s)
+        val tok = lex.tokenizer.map(t => graft.analysis.Tokenizers.byName(
+          t + (if (lex.normalizer.isEmpty) ":none" else "")))
+        def toksOf(s: String): Seq[String] = tok match {
+          case Some(tk) =>
+            if (s == null) Seq.empty
+            else tk.tokenize(s, graft.analysis.TokenizeMode.Add).map(_.term)
+          case None => if (s == null) Seq.empty else Seq(nm(s))
+        }
+        val qTokens = toksOf(qv)
+        def dist(a: String, b: String): Long =
+          (if (trans) GrnScalars.damerauDistance(a, b)
+           else GrnScalars.editDistance(a, b)).toLong
+        def scoreOf(valTokens: Seq[String]): Option[Double] = {
+          var total = 0.0
+          var i = 0
+          qTokens.foreach { qt =>
+            var s = -1L
+            valTokens.foreach { vt =>
+              val d = dist(vt, qt)
+              if (d <= maxd) s = maxd - d + 1
+            }
+            if (s < 0) return None
+            total += (if (i == 0) s.toDouble else (s - 1).toDouble)
+            i += 1
+          }
+          Some(total)
+        }
+        val isVecF = args.head.t match { case GVec(_) => true; case _ => false }
+        val sep = ""
+        // distinct values scored driver-side (the lexicon walk the
+        // reference does), spliced back as a literal when-chain
+        val entries: Seq[(String, Double)] = docsOf()
+          .select(col(cn)).distinct().collect().toSeq.flatMap { r =>
+            if (isVecF) {
+              val es = Option(r.getSeq[String](0)).getOrElse(Seq.empty)
+              scoreOf(es.map(nm)).map(es.mkString(sep) -> _)
+            } else {
+              val v = if (r.isNullAt(0)) null else r.get(0).toString
+              scoreOf(toksOf(v)).map(String.valueOf(v) -> _)
+            }
+          }
+        val keyC: Column =
+          if (isVecF) concat_ws(sep, col(cn)) else col(cn).cast("string")
+        val sc: Column = entries.foldLeft(lit(null).cast("double")) {
+          case (acc, (k, s)) => when(keyC === k, lit(s)).otherwise(acc)
+        }
+        val predT = coalesce(sc.isNotNull, lit(false))
+        return TVal(predT, GBool, score = Some(coalesce(sc, lit(0.0))))
+      }
+
       val big = lit(Long.MaxValue)
       def distC(e: Column): Column = {
         val d =
@@ -957,6 +1097,10 @@ object GrnTestRunner {
     else if (n.isNumber) n.asDouble
     else if (n.isBoolean) n.asBoolean
     else if (n.isNull) null
+    // arrays as Seq so both sides render through the same norm() (a raw
+    // Jackson toString prints whole doubles as 6.9E8 while collected
+    // Spark rows carry Seq[Double])
+    else if (n.isArray) n.elements().asScala.map(jsonToValue).toSeq
     else n.toString
 
   /** Typed docs DataFrame of a fixture table: docId (=_id, 1-based
@@ -980,7 +1124,10 @@ object GrnTestRunner {
         else null
       val vals = colNames.zip(colTypes).map { case (c, t) =>
         val refNorm = tables.get(td.columns(c)).flatMap(normOf)
-        jsonToTyped(m.get(c).orNull, t, refNorm)
+        val node = m.get(c).orNull
+        // an unset GeoPoint renders as the origin (reference "0x0")
+        if ((node == null || node.isNull) && td.columns(c).endsWith("GeoPoint")) "0x0"
+        else jsonToTyped(node, t, refNorm)
       }
       // WITH_WEIGHT vectors carry a shadow render column: the output stage
       // shows them as {"elem": weight} objects (reference weight-vector
@@ -1200,7 +1347,46 @@ object GrnTestRunner {
           Seq(lit((i + 1).toLong), lit(v)) }: _*)
       df.withColumn(name, coalesce(element_at(m, col("docId")), lit("")))
     }
-    val docs = typedDocs
+    // index columns ON the selected table render as the term's postings
+    // estimate (reference grn_ii_estimate_size: an embedded single posting
+    // reads 1, buffered terms size+2 — approximated here as 2×occurrences)
+    val typedDocsIdx = indexes.filter(ix => ix.lexicon == tableName && td.keyed)
+      .foldLeft(typedDocs) { case (df, ix) =>
+        if (df.columns.contains(ix.name)) df
+        else tables.get(ix.srcTable) match {
+          case None => df
+          case Some(src) =>
+            val norm = normOf(td)
+            def nk(s: String) = norm.map(_(s)).getOrElse(s)
+            val tok = td.tokenizer.map(t => graft.analysis.Tokenizers.byName(
+              t + (if (td.normalizer.isEmpty) ":none" else "")))
+            val occ = mutable.Map[String, Long]().withDefaultValue(0L)
+            src.rows.foreach { m =>
+              val node = if (ix.srcCol == "_key") m.get("_key").orNull
+                         else m.get(ix.srcCol).orNull
+              val vals: Seq[String] =
+                if (node == null || node.isNull) Nil
+                else if (node.isArray) node.elements().asScala.map(_.asText).toSeq
+                else if (node.isObject) node.fieldNames().asScala.toSeq
+                else Seq(node.asText)
+              vals.filter(_.nonEmpty).foreach { v =>
+                tok match {
+                  case Some(t) => t.tokenize(v, graft.analysis.TokenizeMode.Add)
+                    .foreach(tk => occ(tk.term) += 1)
+                  case None => occ(nk(v)) += 1
+                }
+              }
+            }
+            val est: Column =
+              if (occ.isEmpty) lit(0L)
+              else coalesce(element_at(
+                map(occ.toSeq.flatMap { case (k, n) =>
+                  Seq(lit(k), lit(if (n == 1L) 1L else 2L * n)) }: _*),
+                col("_key").cast("string")), lit(0L))
+            df.withColumn(ix.name, est)
+        }
+      }
+    val docs = typedDocsIdx
 
     val matchCol = sectionEntries.headOption.map(_.column)
       .orElse(adjusterCol)
@@ -1273,7 +1459,7 @@ object GrnTestRunner {
               withWeights = true, nShards = 2, buildPartitions = 2,
               hotTermDf = 1000000L, nSalts = 1))
           new IndexReader(spark, dir) {
-            override lazy val docs: DataFrame = typedDocs
+            override lazy val docs: DataFrame = typedDocsIdx
           }
         case Some(sc) if td.vectorCols.contains(sc) =>
           // vector (possibly weighted) column: each element is one token —
@@ -1303,7 +1489,7 @@ object GrnTestRunner {
               withWeights = true, nShards = 2, buildPartitions = 2,
               hotTermDf = 1000000L, nSalts = 1))
           new IndexReader(spark, dir) {
-            override lazy val docs: DataFrame = typedDocs
+            override lazy val docs: DataFrame = typedDocsIdx
           }
         case Some(sc) =>
           // the build wants a string `content` column; serve queries from
@@ -1319,7 +1505,7 @@ object GrnTestRunner {
             nShards = 2, buildPartitions = 2, hotTermDf = 1000000L,
             nSalts = 1))
           new IndexReader(spark, dir) {
-            override lazy val docs: DataFrame = typedDocs
+            override lazy val docs: DataFrame = typedDocsIdx
           }
         case None =>
           // no query: plain table scan through the same Select stages —
@@ -1329,7 +1515,7 @@ object GrnTestRunner {
             IndexConfig(tokenizerName = "TokenDelimit", nShards = 1,
               buildPartitions = 1, nSalts = 1))
           new IndexReader(spark, dir) {
-            override lazy val docs: DataFrame = typedDocs
+            override lazy val docs: DataFrame = typedDocsIdx
           }
       }
     }
@@ -1401,7 +1587,11 @@ object GrnTestRunner {
           nShards = 2, buildPartitions = 2, hotTermDf = 1000000L, nSalts = 1),
         secCols)
       val sidx = graft.index.SectionedIndex.open(spark, dir)
-      val sw = entries.map { case (c, w, _) => graft.index.SectionWeight(c, w) }
+      // entries resolving to the SAME source column (two lexicons over one
+      // column, nested_index fixture) merge: weights add on a shared match
+      val sw = entries.groupBy(_._1).toSeq.map { case (c, es) =>
+        graft.index.SectionWeight(c, es.map(_._2).sum)
+      }
       graft.query.QueryExec.runSectioned(sidx, q, sw, 0L)
         .collect().map(s => (s.docId, s.score))
     }
@@ -1411,7 +1601,7 @@ object GrnTestRunner {
       * reverse), evaluate `expr` there, and return the scope docIds with at
       * least one matching reachable record.
       */
-    def evalSubFilter(scopeName: String, path: Seq[String], subExpr: String): Set[Long] = {
+    def evalSubFilter(scopeName: String, path: Seq[String], subExpr: String): Map[Long, Double] = {
       val sTd = tables(scopeName)
       var cur = sTd
       var reach: Seq[Set[Long]] = sTd.rows.indices.map(i => Set((i + 1).toLong))
@@ -1422,6 +1612,12 @@ object GrnTestRunner {
         else Seq(node.asText)
       path.foreach { name =>
         if (cur.columns.contains(name) && tables.contains(cur.columns(name))) {
+          // a forward reference hop needs an index column on it so matches
+          // can map back (reference accessor resolve; without it the
+          // selector-only proc is uncallable, rc=-38, sub_filter/no_index)
+          if (!indexes.exists(ix => ix.srcTable == cur.name && ix.srcCol == name))
+            throw new ScriptError(
+              s"selector only proc can't be called: <sub_filter> (no index on ${cur.name}.$name)")
           val next = tables(cur.columns(name))
           val nNorm = normOf(next)
           val keyToIdx: Map[String, Long] = next.rows.zipWithIndex.flatMap { case (m, i) =>
@@ -1457,11 +1653,19 @@ object GrnTestRunner {
         queryEval = Some((sp, q) => runQueryOn(cur.name, sp, q)),
         subFilterEval = Some((p, e) => evalSubFilter(cur.name, p, e)))
       val lowered = ScriptExpr.lower(subExpr, fEnv)
-      val matching = fDocs.filter(truthy(lowered.value))
-        .select("docId").collect().map(_.getLong(0)).toSet
-      sTd.rows.indices.collect {
-        case i if reach(i).exists(matching.contains) => (i + 1).toLong
-      }.toSet
+      // sub-record scores map back to the scope records (reference
+      // selector res_add: each reachable matching sub record contributes
+      // its score — fixture function/query/nested_index expects 25)
+      val scoreC = lowered.value.score.getOrElse(lit(1.0))
+      val matching: Map[Long, Double] = fDocs.filter(truthy(lowered.value))
+        .select(col("docId"), scoreC.cast("double").as("__s"))
+        .collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) 1.0 else r.getDouble(1)))
+        .toMap
+      sTd.rows.indices.flatMap { i =>
+        val hits = reach(i).toSeq.flatMap(matching.get)
+        if (hits.isEmpty) None else Some((i + 1).toLong -> hits.sum)
+      }.toMap
     }
 
     // *N / *S need a REAL content index; a near/similar filter on a table
@@ -1495,6 +1699,7 @@ object GrnTestRunner {
       if (sb.nonEmpty) out += sb.toString.trim
       out.toSeq
     }
+    val commandVersion = args.get("command_version").map(_.trim.toInt).getOrElse(1)
     val outCols: Seq[String] = args.get("output_columns").map(splitTop).getOrElse(Seq("*"))
     val outputExprs: Option[Seq[(String, Column)]] =
       if (outCols == Seq("*")) None
@@ -1509,11 +1714,25 @@ object GrnTestRunner {
         // a WITH_WEIGHT vector outputs as its {"elem": weight} object
         case e if td.weightVectorCols.contains(e) =>
           Seq(e -> col("__wv_" + e))
+        // command_version 1 drops proc-function output columns entirely
+        // (reference select/cache/command_version fixture: schema [] rows [])
+        case e if commandVersion < 2 && e.matches("""\w+\(.*\)\s*""") =>
+          Seq.empty
+        // html_untag on a record-reference column cannot cast to text —
+        // reference rejects with rc=-22 (html_untag/cast_failure fixture)
+        case e if """\s*html_untag\((\w+)\)\s*""".r.findFirstMatchIn(e)
+            .exists(m => td.columns.get(m.group(1)).exists(tables.contains)) =>
+          throw new ScriptError("failed to cast to text: record reference")
         case e =>
-          // unknown columns are SKIPPED, not errors (reference ignores
-          // nonexistent output_columns entries, rc stays 0)
+          // unknown plain COLUMNS are SKIPPED, not errors (reference
+          // ignores nonexistent output_columns entries, rc stays 0) —
+          // but a failing proc-function expression propagates (rc=-22)
           try Seq(e -> ScriptExpr.lower(e, env).value.col)
-          catch { case _: ScriptError => Seq.empty }
+          catch {
+            case err: ScriptError =>
+              if (e.contains("(")) throw err
+              Seq.empty
+          }
       })
 
     val sortby = args.get("sortby").orElse(args.get("sort_keys"))
@@ -1546,6 +1765,11 @@ object GrnTestRunner {
           .map(_.split("[|,]").toSeq.map(_.trim).filter(_.nonEmpty))
           .getOrElse(Seq("COUNT"))
         keys.map { k =>
+          // a drilldown key of type Text/LongText cannot key the group
+          // table — reference rejects rc=-22 "[table][create] key size
+          // too big" (drilldown/plain/invalid/too_large_type)
+          if (td.columns.get(k).exists(r => r == "Text" || r == "LongText"))
+            throw new ScriptError(s"[table][create] key size too big: <$k>")
           ddOutCols(k) = out
           ddOrdered(k) = sort.isDefined
           plainDdLabels += k
@@ -1562,7 +1786,11 @@ object GrnTestRunner {
       val labeledRe = """drilldown\[(.+)\]\.(\w+)""".r
       val labeled = args.toSeq.collect {
         case (labeledRe(lbl, prop), v) => (lbl, prop, v)
-      }.groupBy(_._1).toSeq.sortBy(_._1).map { case (lbl, es) =>
+      }.groupBy(_._1).toSeq.sortBy(_._1)
+        // empty `keys` → that drilldown is silently skipped (reference
+        // emits an empty labeled object, drilldown/labeled/keys/empty)
+        .filterNot(_._2.exists(e => e._2 == "keys" && e._3.trim.isEmpty))
+        .map { case (lbl, es) =>
         val m = es.map(e => e._2 -> e._3).toMap
         val sort = m.get("sort_keys").orElse(m.get("sortby")).map(splitTop)
         ddOutCols(lbl) = m.get("output_columns").map(splitTop)

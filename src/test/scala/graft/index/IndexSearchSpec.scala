@@ -167,6 +167,12 @@ class IndexSearchSpec extends AnyFunSuite {
 
     val adj = Engine.SetOps.adjust(a, b).collect().map(s => s.docId -> s.score).toMap
     assert(adj == am.map { case (d, s) => d -> (s + bm.getOrElse(d, 0.0)) })
+
+    val (da, db) = Engine.SetOps.difference(a, b)
+    assert(da.collect().map(s => s.docId -> s.score).toMap ==
+      am.view.filterKeys(d => !bm.contains(d)).toMap)
+    assert(db.collect().map(s => s.docId -> s.score).toMap ==
+      bm.view.filterKeys(d => !am.contains(d)).toMap)
   }
 
   test("build is resumable: second run skips all stages, same manifest") {
