@@ -230,7 +230,9 @@ object QueryParser {
           case '>' => i += 1; acc = Adjust(acc, clause(), 2.0)
           case '<' => i += 1; acc = Adjust(acc, clause(), 0.5)
           case '~' => i += 1; acc = Adjust(acc, clause(), -1.0)
-          case 'O' if s.startsWith("OR ", i) || s.substring(i) == "OR" =>
+          // reference parse_query (lib/expr.c:6920-6925) requires a SPACE
+          // after OR — a trailing "OR" at end-of-input is the term "OR"
+          case 'O' if s.startsWith("OR ", i) =>
             i += 2; acc = Or(acc, clause())
           case _ => acc = And(acc, clause())
         }

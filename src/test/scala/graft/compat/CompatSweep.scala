@@ -23,7 +23,8 @@ object CompatSweep {
     val suite = Paths.get("/root/reference/test/command/suite")
     val spark = SparkTestBase.spark
 
-    val supported = Set("table_create", "column_create", "load", "select")
+    val supported = Set("table_create", "column_create", "load", "select",
+      "plugin_register", "register", "log_level", "column_remove", "config_set")
     val fixtures = Files.walk(suite.resolve("select")).iterator().asScala
       .filter(p => p.toString.endsWith(".test"))
       .filter { p =>

@@ -43,7 +43,8 @@ object GrnTestRunner {
       rows: mutable.ArrayBuffer[Map[String, JsonNode]] = mutable.ArrayBuffer(),
       vectorCols: mutable.Set[String] = mutable.Set(),
       weightVectorCols: mutable.Set[String] = mutable.Set(),
-      withSis: Boolean = false)
+      withSis: Boolean = false,
+      isPat: Boolean = false)
 
   final case class IndexDef(lexicon: String, name: String, srcTable: String,
       srcCol: String, withPosition: Boolean)
@@ -53,6 +54,9 @@ object GrnTestRunner {
   final case class CColumn(table: String, name: String, flags: String, range: String, sources: Seq[String]) extends Cmd
   final case class CLoad(table: String, columns: Option[Seq[String]], json: String) extends Cmd
   final case class CSelect(args: Map[String, String], table: String) extends Cmd
+  final case class CColumnRemove(table: String, name: String) extends Cmd
+  final case class CConfigSet(key: String, value: String) extends Cmd
+  final case class CCopyPath(src: String, dst: String) extends Cmd
 
   /** Split a command line into args, honoring quotes. Backslash escapes
     * collapse inside BOTH quote styles (the reference command tokenizer
@@ -109,7 +113,15 @@ object GrnTestRunner {
     val cmds = mutable.ArrayBuffer[Cmd]()
     while (lines.hasNext) {
       val line = lines.next().trim
-      if (line.isEmpty || line.startsWith("#")) ()
+      if (line.startsWith("#@copy-path ")) {
+        // grntest directive: stage a fixture file into the DB dir (used by
+        // the TSV query-expander plugin's synonyms file)
+        line.stripPrefix("#@copy-path ").trim.split("\\s+") match {
+          case Array(src, dst) => cmds += CCopyPath(src, dst)
+          case _ => ()
+        }
+      }
+      else if (line.isEmpty || line.startsWith("#")) ()
       else {
         val args = splitArgs(line)
         args.head match {
@@ -136,7 +148,8 @@ object GrnTestRunner {
               flag("--normalizer").orElse(
                 if (args(2).contains("KEY_NORMALIZE")) Some("NormalizerAuto")
                 else None),
-              withSis = args(2).contains("KEY_WITH_SIS"))
+              withSis = args(2).contains("KEY_WITH_SIS"),
+              isPat = args(2).contains("PAT_KEY"))
             // --value_type declares the `_value` pseudo-column
             // (reference grn_table_create value_type)
             flag("--value_type").foreach(vt => tdNew.columns("_value") = vt)
@@ -173,6 +186,12 @@ object GrnTestRunner {
             }
             if (kv.contains("table")) table = kv("table")
             cmds += CSelect(kv.toMap, table)
+          case "column_remove" if args.size > 2 =>
+            cmds += CColumnRemove(args(1), args(2))
+          case "config_set" if args.size > 2 =>
+            cmds += CConfigSet(args(1), args(2))
+          // plugin_register / register / log_level: no state to model —
+          // the registered proc functions are built in
           case _ => () // unsupported command: ignore (log_level etc.)
         }
       }
@@ -299,9 +318,28 @@ object GrnTestRunner {
     val indexes = mutable.ArrayBuffer[IndexDef]()
     var selectN = -1
     val outcomes = mutable.ArrayBuffer[SelectOutcome]()
+    // `config_set alias.column T.C`: unknown-name resolution table
+    // (reference lib/alias.c grn_obj_resolve_alias)
+    var aliasCfg: Option[(String, String)] = None
+    // synonyms staged by #@copy-path for the TSV query-expander plugin
+    var tsvSynonyms: Map[String, String] = Map.empty
 
     cmds.foreach {
       case CTable(d) => tables(d.name) = d
+      case CColumnRemove(t, n) =>
+        tables.get(t).foreach { d =>
+          d.columns -= n; d.vectorCols -= n; d.weightVectorCols -= n
+        }
+        indexes --= indexes.filter(ix => ix.lexicon == t && ix.name == n)
+      case CConfigSet(k, v) =>
+        if (k == "alias.column") v.split("\\.", 2) match {
+          case Array(a, b) => aliasCfg = Some((a, b))
+          case _ => ()
+        }
+      case CCopyPath(src, dst) =>
+        val p = includeBase.resolve(src)
+        if (dst.endsWith(".tsv") && java.nio.file.Files.exists(p))
+          tsvSynonyms = parseTsvSynonyms(java.nio.file.Files.readString(p))
       case CColumn(table, name, flags, range, sources) =>
         if (flags.contains("COLUMN_INDEX")) {
           // multi-source index ("title,content") = one IndexDef per source
@@ -406,7 +444,8 @@ object GrnTestRunner {
             }
           } catch { case _: Throwable => 0 }
         try {
-          val (got, explicitCols, dds) = execSelect(spark, tables, indexes.toSeq, args, tableName)
+          val (got, explicitCols, dds) = execSelect(spark, tables, indexes.toSeq, args, tableName,
+            aliasCfg, tsvSynonyms)
           outcomes +=
             (if (expRc != 0)
               SelectOutcome(q, ok = false, s"we accepted a query the reference rejects (rc=$expRc)")
@@ -508,7 +547,13 @@ object GrnTestRunner {
         * reference does outside a filter.
         */
       queryEval: Option[(String, String) => Array[(Long, Double)]] = None,
-      subFilterEval: Option[(Seq[String], String) => Map[Long, Double]] = None) extends Env {
+      subFilterEval: Option[(Seq[String], String) => Map[Long, Double]] = None,
+      /** `config_set alias.column` resolution for unknown names
+        * (reference lib/alias.c).
+        */
+      aliasFn: String => Option[Seq[String]] = _ => None,
+      /** Query expansion by expander name, for query()'s third argument. */
+      queryExpand: (String, String) => String = (_, q) => q) extends Env {
 
     /** Index-routed match operators in script filters: `*N` (near) and
       * `*S` (similar) resolve through the index eagerly — fixture tables
@@ -564,6 +609,10 @@ object GrnTestRunner {
       case Seq("_score") => Some(TVal(col("_score"), GFloat))
       case Seq("_nsubrecs") => Some(TVal(col("_nsubrecs"), GInt(32, signed = true)))
       case Seq(c) if colG.contains(c) => Some(TVal(col(c), colG(c)))
+      // an index column declared ON this table reads its postings
+      // estimate (synthesized into the docs frame by execSelect)
+      case Seq(c) if indexDefs.exists(ix => ix.lexicon == td.name && ix.name == c) =>
+        Some(TVal(col(c), GInt(32, signed = false)))
       case head +: rest if colG.contains(head) => nested(head, rest)
       case Seq(lex, idxName) =>
         // an index-column accessor reads through to its source column
@@ -572,6 +621,7 @@ object GrnTestRunner {
           if (ix.srcCol == "_key" && td.keyed) Some(TVal(col("_key"), keyG))
           else colG.get(ix.srcCol).map(t => TVal(col(ix.srcCol), t))
         }
+      case Seq(c) => aliasFn(c).filter(_ != Seq(c)).flatMap(resolve)
       case _ => None
     }
 
@@ -682,7 +732,11 @@ object GrnTestRunner {
     override def call(name: String, args: Seq[TVal]): Option[TVal] = name match {
       case "query" if args.size >= 2 =>
         val spec = litStr(args(0), "query")
-        val q = litStr(args(1), "query")
+        // optional third argument: a query-expander name
+        // (reference proc.c func_query → grn_expr_syntax_expand_query)
+        val q0 = litStr(args(1), "query")
+        val q = if (args.size >= 3) queryExpand(litStr(args(2), "query expander"), q0)
+                else q0
         Some(queryEval match {
           case Some(f) =>
             val scored = f(spec, q)
@@ -735,7 +789,24 @@ object GrnTestRunner {
       case "html_untag" =>
         Some(TVal(call_udf("html_untag", args.head.col), GText))
       case "string_length" =>
+        // plugin functions/string: rejects non-text targets (rc=-22,
+        // reference plugins/functions/string.c func_string_length)
+        args.head.t match {
+          case GText | GVec(GText) => ()
+          case _ => throw new ScriptError(
+            "string_length(): target object must be a text bulk")
+        }
         Some(TVal(call_udf("string_length", args.head.col).cast("long"),
+          GInt(32, signed = false)))
+      case "vector_size" =>
+        // plugin functions/vector (reference plugins/functions/vector.c):
+        // element count of a vector column; non-vector targets reject
+        args.head.t match {
+          case GVec(_) => ()
+          case _ => throw new ScriptError(
+            "vector_size(): target object must be vector")
+        }
+        Some(TVal(coalesce(size(args.head.col), lit(0)).cast("long"),
           GInt(32, signed = false)))
       case _ => super.call(name, args)
     }
@@ -1027,7 +1098,31 @@ object GrnTestRunner {
         } else node.asText
       }
     }.toMap
+    expandQueryTerms(q, synonyms, keyOf)
+  }
 
+  /** query_expanders/tsv synonyms file (reference plugins/query_expanders/
+    * tsv.c): `key TAB word TAB word...` per line, '#' comments; expansion
+    * joins the words as ((w1) OR (w2)).
+    */
+  def parseTsvSynonyms(text: String): Map[String, String] =
+    text.split('\n').iterator
+      .filterNot(l => l.startsWith("#") || l.trim.isEmpty)
+      .flatMap { l =>
+        l.split('\t').toSeq match {
+          case key +: words if words.nonEmpty =>
+            Some(key -> (words match {
+              case Seq(one) => one
+              case many => many.mkString("((", ") OR (", "))")
+            }))
+          case _ => None
+        }
+      }.toMap
+
+  def expandQueryTerms(
+      q: String,
+      synonyms: Map[String, String],
+      keyOf: String => String): String = {
     // Faithful port of the reference term scanner
     // (grn_expr_syntax_expand_query_terms, lib/expr.c:7804-7917): spaces
     // and the single-char query operators copy through un-expanded, "OR"
@@ -1153,14 +1248,115 @@ object GrnTestRunner {
     spark.createDataFrame(rows.asJava, StructType(fields))
   }
 
+  /** Unsigned UTF-8 byte order (reference PAT key order). */
+  private def byteLt(a: String, b: String): Boolean = {
+    val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  /** Reference `grn_table_sort` order for integer sort keys: pack the
+    * cursor stream around the first entry, then the reference's bounded
+    * partial quicksort (median-of-three pivot, inner-swap loop) over only
+    * the [offset, offset+limit) window — the exact comparison/swap
+    * sequence determines which of several TIED entries survive a limit
+    * truncation, observable in select/sort/index. Returns ids in final
+    * array order (entries beyond the window are partially sorted, as in
+    * the reference, and get cut by offset/limit downstream).
+    */
+  private def grnSortOrder(cursor: Seq[Long], value: Map[Long, Long],
+      desc: Boolean, offset: Int, limit: Int): Seq[Long] = {
+    val n = cursor.size
+    if (n == 0) return Nil
+    def compare(a: Long, b: Long): Boolean =
+      if (desc) value(b) > value(a) else value(a) > value(b)
+    val arr = new Array[Long](n)
+    var head = 0; var tail = n - 1
+    val it = cursor.iterator
+    val c0 = it.next()
+    while (it.hasNext) {
+      val e = it.next()
+      if (compare(c0, e)) { arr(head) = e; head += 1 }
+      else { arr(tail) = e; tail -= 1 }
+    }
+    arr(head) = c0
+    val ep = head
+    def swap(i: Int, j: Int): Unit = { val t = arr(i); arr(i) = arr(j); arr(j) = t }
+    def cmp(i: Int, j: Int): Boolean = compare(arr(i), arr(j))
+    // one partition step; returns the pivot's final index, or -1 when the
+    // range was fully ordered by the ≤3-element special cases
+    def part(b0: Int, e0: Int): Int = {
+      var b = b0; var e = e0
+      val d = e - b
+      if (cmp(b, e)) swap(b, e)
+      if (d < 2) return -1
+      var c = b + (d >> 1)
+      if (cmp(b, c)) swap(b, c)
+      else if (cmp(c, e)) swap(c, e)
+      if (d < 3) return -1
+      b += 1
+      swap(b, c); c = b
+      var done = false
+      while (!done) {
+        b += 1
+        while (cmp(c, b)) b += 1
+        e -= 1
+        while (cmp(e, c)) e -= 1
+        if (b >= e) done = true else swap(b, e)
+      }
+      swap(c, e)
+      e
+    }
+    def sortRange(hd: Int, tl: Int, frm: Int, to: Int): Unit =
+      if (hd < tl) {
+        val c = part(hd, tl)
+        if (c >= 0) {
+          val m = c - hd + 1
+          if (frm < m - 1) sortRange(hd, c - 1, frm, to)
+          if (m < to) sortRange(c + 1, tl, frm - m, to - m)
+        }
+      }
+    val eLim = math.min(math.max(offset, 0) + math.max(limit, 0), n)
+    val m = ep + 1
+    if (offset < m - 1) sortRange(0, ep - 1, offset, eLim)
+    if (m < eLim) sortRange(ep + 1, n - 1, offset - m, eLim - m)
+    arr.toSeq
+  }
+
   private def execSelect(
       spark: SparkSession,
       tables: mutable.Map[String, TableDef],
       indexes: Seq[IndexDef],
       args: Map[String, String],
-      tableName: String
+      tableName: String,
+      aliasCfg: Option[(String, String)] = None,
+      tsvSynonyms: Map[String, String] = Map.empty
   ): ((Long, Seq[Seq[Any]], Seq[String]), Boolean, Seq[DdResult]) = {
     val td = tables(tableName)
+
+    // unknown-name alias resolution (reference lib/alias.c): chase
+    // `Table.name` through the configured alias table's rows until a name
+    // that is NOT itself aliased, then resolve that path locally
+    val aliasFn: String => Option[Seq[String]] = name => aliasCfg.flatMap {
+      case (aT, aC) => tables.get(aT).flatMap { at =>
+        def chase(cur: String, depth: Int): Option[Seq[String]] =
+          if (depth > 10) None
+          else at.rows.find(_.get("_key").exists(_.asText == cur))
+            .flatMap(_.get(aC)).map(_.asText).flatMap { real =>
+              chase(real, depth + 1).orElse {
+                val parts = real.split("\\.").toSeq
+                Some(if (parts.headOption.contains(tableName)) parts.tail else parts)
+              }
+            }
+        chase(s"$tableName.$name", 0)
+      }
+    }
 
     // lexicon auto-population: a keyed table that is the LEXICON of index
     // columns receives its keys from tokenizing the indexed sources at
@@ -1312,6 +1508,9 @@ object GrnTestRunner {
     // an empty --query is a soft error in the reference (ALERT log, no
     // condition): every record matches
     val query = (args.get("query").filter(_.trim.nonEmpty), expander) match {
+      // the TSV plugin expander reads its staged synonyms file, exact keys
+      case (Some(q), Some("QueryExpanderTSV")) =>
+        Some(expandQueryTerms(q, tsvSynonyms, identity))
       case (Some(q), Some(spec)) => Some(expandQuery(q, spec, tables))
       case (q, _) => q
     }
@@ -1348,44 +1547,62 @@ object GrnTestRunner {
       df.withColumn(name, coalesce(element_at(m, col("docId")), lit("")))
     }
     // index columns ON the selected table render as the term's postings
-    // estimate (reference grn_ii_estimate_size: an embedded single posting
-    // reads 1, buffered terms size+2 — approximated here as 2×occurrences)
-    val typedDocsIdx = indexes.filter(ix => ix.lexicon == tableName && td.keyed)
-      .foldLeft(typedDocs) { case (df, ix) =>
-        if (df.columns.contains(ix.name)) df
-        else tables.get(ix.srcTable) match {
-          case None => df
-          case Some(src) =>
-            val norm = normOf(td)
-            def nk(s: String) = norm.map(_(s)).getOrElse(s)
-            val tok = td.tokenizer.map(t => graft.analysis.Tokenizers.byName(
-              t + (if (td.normalizer.isEmpty) ":none" else "")))
-            val occ = mutable.Map[String, Long]().withDefaultValue(0L)
-            src.rows.foreach { m =>
-              val node = if (ix.srcCol == "_key") m.get("_key").orNull
-                         else m.get(ix.srcCol).orNull
-              val vals: Seq[String] =
-                if (node == null || node.isNull) Nil
-                else if (node.isArray) node.elements().asScala.map(_.asText).toSeq
-                else if (node.isObject) node.fieldNames().asScala.toSeq
-                else Seq(node.asText)
-              vals.filter(_.nonEmpty).foreach { v =>
-                tok match {
-                  case Some(t) => t.tokenize(v, graft.analysis.TokenizeMode.Add)
-                    .foreach(tk => occ(tk.term) += 1)
-                  case None => occ(nk(v)) += 1
+    // estimate (reference grn_ii_estimate_size, lib/ii.c:4704: an embedded
+    // single posting reads 1; a buffered term reads a[1]+size_in_buffer+2.
+    // size_in_buffer counts one buffer record per (term, source row,
+    // section) put; with the small unflushed buffers these fixtures build,
+    // the observed value is tid + records + 1)
+    val lexIdxNames = indexes.filter(_.lexicon == tableName).map(_.name).distinct
+    val lexEst: Map[String, Map[String, Long]] =
+      if (!td.keyed || lexIdxNames.isEmpty) Map.empty
+      else {
+        val tid: Map[String, Long] = td.rows.toSeq.zipWithIndex.flatMap {
+          case (m, i) => m.get("_key").map(_.asText -> (i + 1).toLong)
+        }.toMap
+        val norm = normOf(td)
+        val tok = td.tokenizer.map(t => graft.analysis.Tokenizers.byName(
+          t + (if (td.normalizer.isEmpty) ":none" else "")))
+        lexIdxNames.map { nm =>
+          val dfc = mutable.Map[String, Long]().withDefaultValue(0L)
+          indexes.filter(ix => ix.lexicon == tableName && ix.name == nm)
+            .foreach { ix =>
+              tables.get(ix.srcTable).foreach { src =>
+                src.rows.foreach { m =>
+                  val node = if (ix.srcCol == "_key") m.get("_key").orNull
+                             else m.get(ix.srcCol).orNull
+                  val vals: Seq[String] =
+                    if (node == null || node.isNull) Nil
+                    else if (node.isArray) node.elements().asScala.map(_.asText).toSeq
+                    else if (node.isObject) node.fieldNames().asScala.toSeq
+                    else Seq(node.asText)
+                  val terms = mutable.Set[String]()
+                  vals.filter(_.nonEmpty).foreach { v =>
+                    tok match {
+                      case Some(t) => t.tokenize(v, graft.analysis.TokenizeMode.Add)
+                        .foreach(tk => terms += tk.term)
+                      case None => terms += norm.map(_(v)).getOrElse(v)
+                    }
+                  }
+                  terms.foreach(t => dfc(t) += 1)
                 }
               }
             }
-            val est: Column =
-              if (occ.isEmpty) lit(0L)
-              else coalesce(element_at(
-                map(occ.toSeq.flatMap { case (k, n) =>
-                  Seq(lit(k), lit(if (n == 1L) 1L else 2L * n)) }: _*),
-                col("_key").cast("string")), lit(0L))
-            df.withColumn(ix.name, est)
-        }
+          nm -> dfc.toMap.map { case (k, d) =>
+            k -> (if (d <= 1L) 1L else tid.getOrElse(k, 0L) + d + 1L)
+          }
+        }.toMap
       }
+    val typedDocsIdx = lexEst.foldLeft(typedDocs) { case (dfr, (nm, est)) =>
+      if (dfr.columns.contains(nm)) dfr
+      else {
+        val c: Column =
+          if (est.isEmpty) lit(0L)
+          else coalesce(element_at(
+            map(est.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*),
+            col("_key").cast("string")), lit(0L))
+        dfr.withColumn(nm, c)
+      }
+    }
     val docs = typedDocsIdx
 
     val matchCol = sectionEntries.headOption.map(_.column)
@@ -1673,7 +1890,26 @@ object GrnTestRunner {
     val env = new RunnerEnv(td, tables, () => reader.docs,
       if (needIndex && idxDef.isDefined) Some(reader) else None, indexes,
       queryEval = Some((sp, q) => runQueryOn(tableName, sp, q)),
-      subFilterEval = Some((p, e) => evalSubFilter(tableName, p, e)))
+      subFilterEval = Some((p, e) => evalSubFilter(tableName, p, e)),
+      aliasFn = aliasFn,
+      queryExpand = (spec, q) =>
+        if (spec == "QueryExpanderTSV") expandQueryTerms(q, tsvSynonyms, identity)
+        else expandQuery(q, spec, tables))
+
+    // a BARE geo_in_rectangle/geo_in_circle call as the whole --filter runs
+    // as a SELECTOR in the reference, which requires a geo index over the
+    // target column (rc=-22 "index column is missing", fixture
+    // geo_in_rectangle/no_index); wrapped in a comparison (`... > 0`) it
+    // evaluates sequentially per record instead
+    args.get("filter").foreach { f =>
+      val bareGeo = """^\s*geo_in_(rectangle|circle)\s*\(\s*([\w.]+)\s*,.*\)\s*$""".r
+      f match {
+        case bareGeo(kind, target) if !indexes.exists(ix =>
+            ix.srcTable == tableName && ix.srcCol == target) =>
+          throw new ScriptError(s"geo_in_$kind(): index column is missing")
+        case _ => ()
+      }
+    }
 
     // --filter / --scorer via the script-syntax parser
     val filterLowered = args.get("filter").map(f => ScriptExpr.lower(f, env))
@@ -1735,17 +1971,52 @@ object GrnTestRunner {
           }
       })
 
+    // default result order without sort keys: a filtered/queried select
+    // iterates the match result set (id order); a bare full-table select
+    // walks the table cursor — KEY order for TABLE_PAT_KEY (reference
+    // grn_table_cursor_open default GRN_CURSOR_ASCENDING, lib/pat.c)
+    val bareScan = !args.contains("query") && !args.contains("filter")
     val sortby = args.get("sortby").orElse(args.get("sort_keys"))
-      .map(splitTop).getOrElse(Seq("_id"))
-    val sortByCols: Seq[Column] = sortby.map { k =>
-      val (neg, body0) =
-        if (k.startsWith("-")) (true, k.drop(1)) else (false, k.stripPrefix("+"))
-      val body = body0.trim
-      val c = body match {
-        case "_id" => col("docId")
-        case _ => ScriptExpr.lower(body, env).value.col
+      .map(splitTop)
+      .getOrElse(if (td.isPat && td.keyed && bareScan) Seq("_key") else Seq("_id"))
+    // sorting BY an index column orders by the postings estimate with the
+    // reference's pack/partial-quicksort tie order (grn_table_sort,
+    // lib/db.c — validated against select/sort/index): emulate driver-side
+    // over the tiny lexicon and sort by position in the resulting order
+    val idxSortOrder: Option[Seq[Long]] = sortby match {
+      case Seq(k) =>
+        val (desc, name) = if (k.startsWith("-")) (true, k.drop(1).trim)
+                           else (false, k.stripPrefix("+").trim)
+        lexEst.get(name).filter(_ => td.keyed).map { est =>
+          val rows = td.rows.toSeq.zipWithIndex.flatMap { case (m, i) =>
+            m.get("_key").map(n => (n.asText, (i + 1).toLong))
+          }
+          // table-cursor input order: PAT walks keys byte-ascending,
+          // other tables id-ascending
+          val cursor: Seq[Long] =
+            if (td.isPat) rows.sortWith((a, b) => byteLt(a._1, b._1)).map(_._2)
+            else rows.map(_._2)
+          val byId = rows.map { case (kk, id) => id -> est.getOrElse(kk, 0L) }.toMap
+          val off = args.get("offset").map(_.toInt).getOrElse(0)
+          val lim0 = args.get("limit").map(_.toInt).getOrElse(10)
+          val lim = if (lim0 < 0) rows.size else lim0
+          grnSortOrder(cursor, byId, desc, off, lim)
+        }
+      case _ => None
+    }
+    val sortByCols: Seq[Column] = idxSortOrder match {
+      case Some(order) =>
+        Seq(array_position(typedLit(order), col("docId")).asc)
+      case None => sortby.map { k =>
+        val (neg, body0) =
+          if (k.startsWith("-")) (true, k.drop(1)) else (false, k.stripPrefix("+"))
+        val body = body0.trim
+        val c = body match {
+          case "_id" => col("docId")
+          case _ => ScriptExpr.lower(body, env).value.col
+        }
+        if (neg) c.desc else c.asc
       }
-      if (neg) c.desc else c.asc
     }
 
     // ---- drilldowns: plain `--drilldown keys` (one drilldown per key) and
