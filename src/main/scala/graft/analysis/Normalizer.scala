@@ -151,6 +151,54 @@ object Normalizer {
     new Normalized(scr.cps, scr.types, scr.blanks, scr.offsets, out)
   }
 
+  /** [[auto]] with blanks KEPT as codepoints — the `normalize` command's
+    * default behavior (reference proc normalize: grn_string_open without
+    * GRN_STRING_REMOVE_BLANK keeps whitespace in the normalized text).
+    * Blanks classify as [[CharType.Others]] like the reference's tables.
+    */
+  def autoKeepBlank(s: String): Normalized = {
+    val n = s.length
+    val scr = new Scratch
+    scr.ensure(n + 8)
+    var out = 0
+    var i = 0
+    var cpIdx = 0
+    while (i < n) {
+      val cp = s.codePointAt(i)
+      if (isBlank(cp)) {
+        scr.ensure(out + 1)
+        scr.cps(out) = cp; scr.types(out) = CharType.Others
+        scr.blanks(out) = true; scr.offsets(out) = cpIdx
+        out += 1
+      } else {
+        val mapped = nfkcOne(cp)
+        if (mapped == null) {
+          val lc = Character.toLowerCase(cp)
+          scr.ensure(out + 1)
+          scr.cps(out) = lc; scr.types(out) = classify(lc)
+          scr.blanks(out) = false; scr.offsets(out) = cpIdx
+          out += 1
+        } else {
+          var j = 0
+          while (j < mapped.length) {
+            val mcp = mapped.codePointAt(j)
+            val blank = isBlank(mcp)
+            val lc = if (blank) mcp else Character.toLowerCase(mcp)
+            scr.ensure(out + 1)
+            scr.cps(out) = lc
+            scr.types(out) = if (blank) CharType.Others else classify(lc)
+            scr.blanks(out) = blank; scr.offsets(out) = cpIdx
+            out += 1
+            j += Character.charCount(mcp)
+          }
+        }
+      }
+      i += Character.charCount(cp)
+      cpIdx += 1
+    }
+    new Normalized(scr.cps, scr.types, scr.blanks, scr.offsets, out)
+  }
+
   /** Raw mode = lexicon without a normalizer, n-gram flavor: the reference's
     * grn_string_open without a normalizer yields the original text with NO
     * char types and NO blank removal (reference lib/string.c), so the n-gram

@@ -18,9 +18,32 @@ object TokenFilters {
   def stopWord(stops: Set[String])(toks: Vector[Token]): Vector[Token] =
     toks.filterNot(t => stops.contains(t.term))
 
-  /** TokenFilterStem: Porter-stem each token's term. */
-  def stem(toks: Vector[Token]): Vector[Token] =
-    toks.map(t => t.copy(term = PorterStemmer.stem(t.term)))
+  /** TokenFilterStem: Porter-stem each token's term. Reference semantics
+    * (plugins/token_filters/stem.c is_stemmable/unfold): only terms of
+    * ASCII alpha/digit/'-'/'\'' stem; an ALL-UPPER term stems through its
+    * lowercase form and folds back to upper; trailing possessive
+    * apostrophes strip first (libstemmer english step 0).
+    */
+  def stem(toks: Vector[Token]): Vector[Token] = toks.map { t =>
+    val term = t.term
+    var hasLower = false; var hasUpper = false
+    var stemmable = term.nonEmpty
+    term.foreach { c =>
+      if (c >= 'a' && c <= 'z') hasLower = true
+      else if (c >= 'A' && c <= 'Z') hasUpper = true
+      else if ((c >= '0' && c <= '9') || c == '-' || c == '\'') ()
+      else stemmable = false
+    }
+    def step0(w: String): String =
+      if (w.endsWith("'s'")) w.dropRight(3)
+      else if (w.endsWith("'s")) w.dropRight(2)
+      else if (w.endsWith("'")) w.dropRight(1)
+      else w
+    if (!stemmable) t
+    else if (hasUpper && !hasLower)
+      t.copy(term = PorterStemmer.stem(step0(term.toLowerCase)).toUpperCase)
+    else t.copy(term = PorterStemmer.stem(step0(term)))
+  }
 }
 
 /** Compact Porter stemmer (M.F. Porter, 1980, public algorithm). Operates
@@ -127,10 +150,20 @@ object PorterStemmer {
 /** A tokenizer with token filters appended; registered through
   * [[Tokenizers.byName]] with the `Base+Stem` naming convention so the
   * manifest round-trips the full analysis chain as one string.
+  *
+  * `getFilters` run only in GET (query) mode — the stop-word filter skips
+  * query tokens but leaves indexed postings intact (reference
+  * plugins/token_filters/stop_word.c checks the cursor mode).
   */
-final class FilteredTokenizer(base: GTokenizer, filters: Seq[Vector[Token] => Vector[Token]])
+final class FilteredTokenizer(
+    base: GTokenizer,
+    filters: Seq[Vector[Token] => Vector[Token]],
+    getFilters: Seq[Vector[Token] => Vector[Token]] = Nil)
   extends GTokenizer {
   def normalizer: String => Normalized = base.normalizer
-  def tokenizeNormalized(n: Normalized, mode: TokenizeMode): Vector[Token] =
-    filters.foldLeft(base.tokenizeNormalized(n, mode))((ts, f) => f(ts))
+  def tokenizeNormalized(n: Normalized, mode: TokenizeMode): Vector[Token] = {
+    val ts = filters.foldLeft(base.tokenizeNormalized(n, mode))((ts, f) => f(ts))
+    if (mode == TokenizeMode.Get) getFilters.foldLeft(ts)((ts, f) => f(ts))
+    else ts
+  }
 }

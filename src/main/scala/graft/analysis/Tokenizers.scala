@@ -171,6 +171,15 @@ final class NgramTokenizer(
         if (p == r || nextIdx >= e) status |= Last
         if (r == e) status |= ReachEnd
 
+        // a token longer than the max lexicon key (4096 bytes) is dropped
+        // at the CURSOR level — no position is consumed (reference
+        // token_cursor "ignore too long token"; lexicon keys cap at
+        // GRN_TABLE_MAX_KEY_SIZE). Only uni-runs can exceed it.
+        if (r - p > 1024 && Tokenizers.utf8Bytes(nz, p, r) > 4096) {
+          nextIdx = r
+          if (nextIdx >= e) done = true
+        } else {
+
         // --- cursor-level handling (lib/token_cursor.c) ---
         posCtr += 1
         var emit = len > 0
@@ -183,6 +192,7 @@ final class NgramTokenizer(
         if (emit) f(p, r, posCtr, forcePrefix)
         if ((status & Last) != 0) done = true
         else if (mode == TokenizeMode.Get && (status & ReachEnd) != 0) done = true
+        }
       }
     }
   }
@@ -217,8 +227,11 @@ final class DelimitTokenizer(val normalizer: String => Normalized) extends GToke
         else j += 1
       }
       val end = if (stop) j else e
-      f(i, end, pos)
-      pos += 1
+      // drop tokens over the 4096-byte lexicon key cap, no position consumed
+      if (!(end - i > 1024 && Tokenizers.utf8Bytes(nz, i, end) > 4096)) {
+        f(i, end, pos)
+        pos += 1
+      }
       i = end
     }
   }
@@ -227,6 +240,19 @@ final class DelimitTokenizer(val normalizer: String => Normalized) extends GToke
 /** Registry mirroring reference lib/tokenizers.c:798-843. */
 object Tokenizers {
   private def auto: String => Normalized = Normalizer.AutoFn
+
+  /** UTF-8 byte length of a codepoint span of a [[Normalized]]. */
+  private[analysis] def utf8Bytes(nz: Normalized, from: Int, until: Int): Int = {
+    var n = 0
+    var i = from
+    while (i < until) {
+      val cp = nz.cps(i)
+      n += (if (cp < 0x80) 1 else if (cp < 0x800) 2
+            else if (cp < 0x10000) 3 else 4)
+      i += 1
+    }
+    n
+  }
 
   lazy val TokenBigram = new NgramTokenizer(2, true, true, true, false, auto)
   lazy val TokenUnigram = new NgramTokenizer(1, true, true, true, false, auto)
@@ -240,16 +266,88 @@ object Tokenizers {
   lazy val TokenBigramIgnoreBlankSplitSymbolAlphaDigit = new NgramTokenizer(2, false, false, false, true, auto)
   lazy val TokenDelimit = new DelimitTokenizer(auto)
 
+  /** TokenRegexp (reference lib/tokenizers.c regexp tokenizer): raw
+    * overlapping bigrams over ALL character classes, with text marks —
+    * ADD mode wraps the stream in begin (U+FFEF) / end (U+FFF0) marks and
+    * emits a trailing unigram per blank-delimited run; GET mode walks
+    * non-overlapping pairs per run, stepping BACK one char for an odd
+    * tail (the last two chars re-pair instead of an unmatured single),
+    * and honors explicit begin/end marks in the query text. This is what
+    * makes index-backed regexp search exact: every 2-gram of the source,
+    * plus anchors, is a lexicon key.
+    */
+  final class RegexpTokenizer(val normalizer: String => Normalized) extends GTokenizer {
+    private final val Begin = 0xFFEF
+    private final val End = 0xFFF0
+    def tokenizeNormalized(n: Normalized, mode: TokenizeMode): Vector[Token] = {
+      val len = n.length
+      val out = Vector.newBuilder[Token]
+      def term(from: Int, until: Int): String = n.slice(from, until)
+      mode match {
+        case TokenizeMode.Add =>
+          var blanksBefore = 0
+          out += Token("\uFFEF", 0, forcePrefix = false, 0, 0)
+          var i = 0
+          while (i < len) {
+            val runBreak = n.blanks(i) || i + 1 >= len
+            val t = if (runBreak) term(i, i + 1) else term(i, i + 2)
+            out += Token(t, 1 + i + blanksBefore, forcePrefix = false, i,
+              i + (if (runBreak) 1 else 2))
+            if (n.blanks(i)) blanksBefore += 1
+            i += 1
+          }
+          out += Token("\uFFF0", 1 + len + blanksBefore, forcePrefix = false, len, len)
+        case TokenizeMode.Get =>
+          var i = 0
+          if (len > 0 && n.cps(0) == Begin) {
+            out += Token("\uFFEF", 0, forcePrefix = false, 0, 0)
+            i = 1
+          }
+          val end = if (len > 0 && n.cps(len - 1) == End) len - 1 else len
+          while (i < end) {
+            // run = maximal span with no blank boundary inside
+            var e = i
+            while (e < end && !n.blanks(e)) e += 1
+            if (e < end) e += 1 // include the char carrying the blank flag
+            var p = i
+            while (e - p >= 2) {
+              out += Token(term(p, p + 2), p, forcePrefix = false, p, p + 2)
+              p += 2
+            }
+            if (p < e) {
+              if (e - i >= 2)
+                out += Token(term(e - 2, e), e - 2, forcePrefix = false, e - 2, e)
+              else
+                out += Token(term(p, p + 1), p,
+                  forcePrefix = e == len && end == len, p, p + 1)
+            }
+            i = e
+          }
+          if (end < len) out += Token("\uFFF0", end, forcePrefix = false, end, end)
+      }
+      out.result()
+    }
+  }
+
+  lazy val TokenRegexp = new RegexpTokenizer(auto)
+
   def byName(name: String): GTokenizer = {
-    // "Base+Stem" chain naming: filters append to the base tokenizer
+    // "Base+Stem+StopWord=w1,w2" chain naming: filters append to the base
+    // tokenizer; StopWord filters apply in GET mode only (reference
+    // plugins/token_filters/stop_word.c)
     if (name.contains('+')) {
       val parts = name.split('+')
       val base = byName(parts.head)
-      val filters: Seq[Vector[Token] => Vector[Token]] = parts.tail.toSeq.map {
-        case "Stem" => TokenFilters.stem _
+      val filters = Seq.newBuilder[Vector[Token] => Vector[Token]]
+      val getFilters = Seq.newBuilder[Vector[Token] => Vector[Token]]
+      parts.tail.foreach {
+        case "Stem" => filters += TokenFilters.stem _
+        case s if s.startsWith("StopWord=") =>
+          val stops = s.stripPrefix("StopWord=").split(',').filter(_.nonEmpty).toSet
+          if (stops.nonEmpty) getFilters += TokenFilters.stopWord(stops) _
         case f => throw new IllegalArgumentException(s"unknown token filter: $f")
       }
-      new FilteredTokenizer(base, filters)
+      new FilteredTokenizer(base, filters.result(), getFilters.result())
     } else byNameBase(name)
   }
 
@@ -268,6 +366,7 @@ object Tokenizers {
             new NgramTokenizer(ng.unit, ng.uniAlpha, ng.uniDigit, ng.uniSymbol,
               ng.ignoreBlank, Normalizer.raw)
           case _: DelimitTokenizer => new DelimitTokenizer(Normalizer.none)
+          case _: RegexpTokenizer => new RegexpTokenizer(Normalizer.raw)
           case other => other
         }
       })
@@ -285,6 +384,7 @@ object Tokenizers {
     case "TokenBigramIgnoreBlankSplitSymbolAlpha" => TokenBigramIgnoreBlankSplitSymbolAlpha
     case "TokenBigramIgnoreBlankSplitSymbolAlphaDigit" => TokenBigramIgnoreBlankSplitSymbolAlphaDigit
     case "TokenDelimit" => TokenDelimit
+    case "TokenRegexp" => TokenRegexp
     case other => throw new IllegalArgumentException(s"unknown tokenizer: $other")
   }
 }

@@ -66,6 +66,18 @@ object QueryExec {
   private def acrossSections(ctx: Ctx)(f: (IndexReader, SectionWeight) => Dataset[ScoredDoc]): Dataset[ScoredDoc] =
     ctx.sections.map { case (r, sw) => f(r, sw) }.reduce(Engine.SetOps.or)
 
+  /** True when a match clause's query text survives GET tokenization with
+    * ZERO tokens (every token stop-filtered): such a clause must act as
+    * the identity on the accumulated result set.
+    */
+  private def tokenless(ctx: Ctx, node: Node): Boolean = node match {
+    case Match(text, _) =>
+      text.nonEmpty && ctx.sections.forall { case (r, _) =>
+        graft.search.Searcher.queryTokens(r, text).isEmpty
+      }
+    case _ => false
+  }
+
   def eval(ctx: Ctx, node: Node, esc: Long, escalating: Boolean): Dataset[ScoredDoc] = {
     val spark = ctx.docs.sparkSession
     import spark.implicits._
@@ -120,6 +132,15 @@ object QueryExec {
         }
         ctx.docs.filter(pred).select(col("docId").as("docId"), lit(1.0).as("score"))
           .as[ScoredDoc]
+      // a RIGHT-side match clause whose GET tokens were all filtered away
+      // (stop words) leaves the result set untouched in the reference
+      // (grn_ii_select builds no token infos and returns) — identity in
+      // the set algebra, NOT the empty set. Left-side/first clauses need
+      // no special case: OR with an empty set and AND onto an empty
+      // result already match the reference's sequential-res semantics.
+      case And(l, r) if tokenless(ctx, r) => eval(ctx, l, esc, escalating)
+      case AndNot(l, r) if tokenless(ctx, r) => eval(ctx, l, esc, escalating)
+      case Adjust(l, r, _) if tokenless(ctx, r) => eval(ctx, l, esc, escalating)
       case And(l, r) =>
         Engine.SetOps.and(eval(ctx, l, esc, escalating),
           eval(ctx, r, esc, escalating = false))

@@ -24,17 +24,25 @@ object CompatSweep {
     val spark = SparkTestBase.spark
 
     val supported = Set("table_create", "column_create", "load", "select",
-      "plugin_register", "register", "log_level", "column_remove", "config_set")
-    val fixtures = Files.walk(suite.resolve("select")).iterator().asScala
+      "plugin_register", "register", "log_level", "column_remove", "config_set",
+      "tokenize", "normalize", "table_tokenize")
+    val roots = Seq("select", "tokenize", "normalize", "table_tokenize",
+      "token_filters", "tokenizers")
+    val fixtures = roots.iterator.flatMap(r =>
+        Files.walk(suite.resolve(r)).iterator().asScala)
       .filter(p => p.toString.endsWith(".test"))
       .filter { p =>
         // command lines start with a lowercase identifier; everything else
         // (load JSON rows, comments, directives) is not a command
-        val cmds = Files.readString(p).replace("\\\n", " ").split('\n')
+        val text = Files.readString(p)
+        val cmds = text.replace("\\\n", " ").split('\n')
           .map(_.trim)
           .filter(l => l.nonEmpty && l.head.isLetter)
           .map(_.takeWhile(c => c.isLetter || c == '_')).toSet
-        cmds.nonEmpty && cmds.subsetOf(supported)
+        cmds.nonEmpty && cmds.subsetOf(supported) &&
+          // external JP morphology plugins (documented unsupported,
+          // SURVEY §2.11); guarded fixtures self-omit via #@on-error
+          !text.contains("TokenMecab") && !text.contains("TokenKytea")
       }
       .map(p => suite.relativize(p).toString.stripSuffix(".test"))
       .filter(_.startsWith(prefix))
@@ -59,11 +67,16 @@ object CompatSweep {
             }
           }
         } catch {
+          // `#@on-error omit` fixture (optional plugin absent): grntest
+          // drops it from the run — report separately, not a failure
+          case o: GrnTestRunner.OmittedFixture =>
+            ("omit", String.valueOf(o.getMessage).replace('\n', ' ').take(200))
           case e: Throwable => ("error", s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).replace('\n', ' ').take(200)}")
         }
       status._1 match {
         case "pass" => pass += 1
         case "fail" => fail += 1
+        case "omit" => ()
         case _ => err += 1
       }
       out.append(s"${status._1}\t$fx\t${status._2}\n")

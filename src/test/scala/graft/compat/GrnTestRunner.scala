@@ -44,7 +44,8 @@ object GrnTestRunner {
       vectorCols: mutable.Set[String] = mutable.Set(),
       weightVectorCols: mutable.Set[String] = mutable.Set(),
       withSis: Boolean = false,
-      isPat: Boolean = false)
+      isPat: Boolean = false,
+      tokenFilters: Seq[String] = Nil)
 
   final case class IndexDef(lexicon: String, name: String, srcTable: String,
       srcCol: String, withPosition: Boolean)
@@ -57,6 +58,17 @@ object GrnTestRunner {
   final case class CColumnRemove(table: String, name: String) extends Cmd
   final case class CConfigSet(key: String, value: String) extends Cmd
   final case class CCopyPath(src: String, dst: String) extends Cmd
+  final case class CTokenize(args: Seq[String]) extends Cmd
+  final case class CNormalize(args: Seq[String]) extends Cmd
+  final case class CTableTokenize(table: String, str: String,
+      flags: Seq[String], kv: Map[String, String]) extends Cmd
+  final case class COnError(omit: Boolean) extends Cmd
+
+  /** Thrown when a command fails inside a `#@on-error omit` window — the
+    * grntest driver drops the whole fixture from the run (used to guard
+    * optional plugins like TokenMecab).
+    */
+  final class OmittedFixture(msg: String) extends RuntimeException(msg)
 
   /** Split a command line into args, honoring quotes. Backslash escapes
     * collapse inside BOTH quote styles (the reference command tokenizer
@@ -74,7 +86,13 @@ object GrnTestRunner {
       if (quote != 0) {
         if (c == quote) quote = 0
         else if (c == '\\' && i + 1 < line.length) {
-          i += 1; sb.append(line.charAt(i))
+          // reference grn_text_unesc_tok (lib/str.c:2296): \b \f \n \r \t
+          // decode to control chars, any other escaped char is literal
+          i += 1
+          sb.append(line.charAt(i) match {
+            case 'b' => '\b'; case 'f' => '\f'; case 'n' => '\n'
+            case 'r' => '\r'; case 't' => '\t'; case o => o
+          })
         } else sb.append(c)
       } else if (c == '\'' || c == '"') { quote = c; sawQuote = true }
       else if (c == ' ') {
@@ -113,7 +131,10 @@ object GrnTestRunner {
     val cmds = mutable.ArrayBuffer[Cmd]()
     while (lines.hasNext) {
       val line = lines.next().trim
-      if (line.startsWith("#@copy-path ")) {
+      if (line.startsWith("#@on-error ")) {
+        cmds += COnError(line.stripPrefix("#@on-error ").trim == "omit")
+      }
+      else if (line.startsWith("#@copy-path ")) {
         // grntest directive: stage a fixture file into the DB dir (used by
         // the TSV query-expander plugin's synonyms file)
         line.stripPrefix("#@copy-path ").trim.split("\\s+") match {
@@ -149,7 +170,9 @@ object GrnTestRunner {
                 if (args(2).contains("KEY_NORMALIZE")) Some("NormalizerAuto")
                 else None),
               withSis = args(2).contains("KEY_WITH_SIS"),
-              isPat = args(2).contains("PAT_KEY"))
+              isPat = args(2).contains("PAT_KEY"),
+              tokenFilters = flag("--token_filters").toSeq
+                .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty))
             // --value_type declares the `_value` pseudo-column
             // (reference grn_table_create value_type)
             flag("--value_type").foreach(vt => tdNew.columns("_value") = vt)
@@ -186,6 +209,19 @@ object GrnTestRunner {
             }
             if (kv.contains("table")) table = kv("table")
             cmds += CSelect(kv.toMap, table)
+          case "tokenize" => cmds += CTokenize(args.drop(1))
+          case "normalize" => cmds += CNormalize(args.drop(1))
+          case "table_tokenize" if args.size > 2 =>
+            // table_tokenize TABLE STRING [FLAGS [MODE]] [--mode M] ...
+            val kv = mutable.Map[String, String]()
+            var i = 3
+            val pos = mutable.ArrayBuffer[String]()
+            while (i < args.size) {
+              if (args(i).startsWith("--") && i + 1 < args.size) {
+                kv(args(i).drop(2)) = args(i + 1); i += 2
+              } else { pos += args(i); i += 1 }
+            }
+            cmds += CTableTokenize(args(1), args(2), pos.toSeq, kv.toMap)
           case "column_remove" if args.size > 2 =>
             cmds += CColumnRemove(args(1), args(2))
           case "config_set" if args.size > 2 =>
@@ -312,7 +348,12 @@ object GrnTestRunner {
   def run(spark: SparkSession, testPath: String, expectedPath: String): Seq[SelectOutcome] = {
     val cmds = parseTest(java.nio.file.Files.readString(java.nio.file.Paths.get(testPath)))
     val expected = parseExpected(java.nio.file.Files.readString(java.nio.file.Paths.get(expectedPath)))
-    val selectEnvelopes = expected.collect { case (c, j) if c.startsWith("select") => j }
+    // envelopes of every COMPARED command, in file order (select results,
+    // tokenize/normalize/table_tokenize outputs)
+    val comparedCmds = Set("select", "tokenize", "normalize", "table_tokenize")
+    val selectEnvelopes = expected.collect {
+      case (c, j) if comparedCmds(c.takeWhile(ch => ch.isLetter || ch == '_')) => j
+    }
 
     val tables = mutable.Map[String, TableDef]()
     val indexes = mutable.ArrayBuffer[IndexDef]()
@@ -321,11 +362,55 @@ object GrnTestRunner {
     // `config_set alias.column T.C`: unknown-name resolution table
     // (reference lib/alias.c grn_obj_resolve_alias)
     var aliasCfg: Option[(String, String)] = None
+    // inside a `#@on-error omit` window, a failing command omits the fixture
+    var onErrorOmit = false
     // synonyms staged by #@copy-path for the TSV query-expander plugin
     var tsvSynonyms: Map[String, String] = Map.empty
 
+    // compare a non-select command's JSON output against its envelope
+    // (tokenize / normalize / table_tokenize share the select queue)
+    def compareJson(label: String)(body: => JsonNode): Unit = {
+      selectN += 1
+      val exp = if (selectN < selectEnvelopes.size) selectEnvelopes(selectN) else null
+      val expRc: Int =
+        try {
+          if (exp == null) 0
+          else {
+            val h = exp.get(0).get(0)
+            if (h.isArray) h.get(0).asInt else h.asInt
+          }
+        } catch { case _: Throwable => 0 }
+      try {
+        val got = body
+        outcomes +=
+          (if (expRc != 0)
+            SelectOutcome(label, ok = false,
+              s"we accepted a command the reference rejects (rc=$expRc)")
+          else {
+            val want = if (exp == null) null else exp.get(1)
+            if (jsonEq(got, want)) SelectOutcome(label, ok = true, "ok")
+            else SelectOutcome(label, ok = false,
+              s"mismatch: got ${got.toString.take(160)} want ${String.valueOf(want).take(160)}")
+          })
+      } catch {
+        case e: Throwable =>
+          if (onErrorOmit && expRc == 0)
+            throw new OmittedFixture(s"$label: ${e.getMessage}")
+          outcomes +=
+            (if (expRc != 0) SelectOutcome(label, ok = true, s"both reject (rc=$expRc)")
+            else SelectOutcome(label, ok = false, s"exception: ${e.getMessage}"))
+      }
+    }
+
     cmds.foreach {
       case CTable(d) => tables(d.name) = d
+      case COnError(b) => onErrorOmit = b
+      case CTokenize(a) =>
+        compareJson(("tokenize " + a.mkString(" ")).trim)(tokenizeCmd(a))
+      case CNormalize(a) =>
+        compareJson(("normalize " + a.mkString(" ")).trim)(normalizeCmd(a))
+      case CTableTokenize(t, s, pos, kv) =>
+        compareJson(s"table_tokenize $t $s")(tableTokenizeCmd(tables, t, s, pos, kv))
       case CColumnRemove(t, n) =>
         tables.get(t).foreach { d =>
           d.columns -= n; d.vectorCols -= n; d.weightVectorCols -= n
@@ -1248,6 +1333,226 @@ object GrnTestRunner {
     spark.createDataFrame(rows.asJava, StructType(fields))
   }
 
+  // ----------------------------------------- tokenize / normalize commands
+
+  /** Structural JSON equality with numeric widening (parsed IntNode vs
+    * built LongNode must compare equal).
+    */
+  private def jsonEq(a: JsonNode, b: JsonNode): Boolean = {
+    if (a == null || b == null) a == b
+    else if (a.isNumber && b.isNumber) {
+      if (a.isIntegralNumber && b.isIntegralNumber) a.asLong == b.asLong
+      else math.abs(a.asDouble - b.asDouble) < 1e-9
+    }
+    else if (a.isArray && b.isArray)
+      a.size == b.size && (0 until a.size).forall(i => jsonEq(a.get(i), b.get(i)))
+    else if (a.isObject && b.isObject) {
+      val an = a.fieldNames().asScala.toSet
+      an == b.fieldNames().asScala.toSet && an.forall(k => jsonEq(a.get(k), b.get(k)))
+    }
+    else a == b
+  }
+
+  private val normNameRe = "^Normalizer(Auto|NFKC\\d+)$".r
+
+  private def tokensJson(toks: Seq[graft.analysis.Token]): JsonNode = {
+    val f = mapper.getNodeFactory
+    val arr = f.arrayNode()
+    toks.foreach { t =>
+      val o = f.objectNode()
+      o.put("value", t.term)
+      o.put("position", t.pos)
+      o.put("force_prefix", t.forcePrefix)
+      arr.add(o)
+    }
+    arr
+  }
+
+  private def parseTokenizeFlags(s: String): Set[String] = {
+    val fs = s.split('|').map(_.trim).filter(f => f.nonEmpty && f != "NONE").toSet
+    fs.foreach {
+      case "ENABLE_TOKENIZED_DELIMITER" => ()
+      case other => throw new ScriptError(s"[tokenize] invalid flag: <$other>")
+    }
+    fs
+  }
+
+  /** ENABLE_TOKENIZED_DELIMITER: U+FFFE is THE token boundary — each
+    * non-empty segment between delimiters is one whole token, normalized
+    * with blanks kept (reference grn_tokenizer_tokenized_delimiter path;
+    * fixture tokenize/flags shows "cde 1" as one token).
+    */
+  private def tokenizeWith(tok: graft.analysis.GTokenizer, str: String,
+      normalized: Boolean, flags: Set[String],
+      mode: graft.analysis.TokenizeMode): Seq[graft.analysis.Token] =
+    if (flags("ENABLE_TOKENIZED_DELIMITER"))
+      str.split('\uFFFE').toSeq.filter(_.nonEmpty).zipWithIndex.map {
+        case (seg, i) =>
+          val v = if (normalized) Normalizer.autoKeepBlank(seg).text else seg
+          graft.analysis.Token(v, i, forcePrefix = false, 0, 0)
+      }
+    else tok.tokenize(str, mode)
+
+  /** `tokenize TOKENIZER STRING [NORMALIZER [FLAGS [MODE [TOKEN_FILTERS]]]]`
+    * — positional or `--name value` form (reference proc_tokenize.c): the
+    * token stream as {value, position, force_prefix}.
+    */
+  private def tokenizeCmd(a: Seq[String]): JsonNode = {
+    val kv = mutable.Map[String, String]()
+    val pos = mutable.ArrayBuffer[String]()
+    var i = 0
+    while (i < a.size) {
+      if (a(i).startsWith("--") && i + 1 < a.size) {
+        kv(a(i).drop(2)) = a(i + 1); i += 2
+      } else { pos += a(i); i += 1 }
+    }
+    val names = Seq("tokenizer", "string", "normalizer", "flags", "mode",
+      "token_filters")
+    val args: Map[String, String] =
+      names.zip(pos).toMap ++ kv
+    val tokName = args.getOrElse("tokenizer",
+      throw new ScriptError("[tokenize] tokenizer name is missing"))
+    val str = args.getOrElse("string",
+      throw new ScriptError("[tokenize] string is missing"))
+    val normName = args.getOrElse("normalizer", "")
+    if (normName.nonEmpty && normNameRe.findFirstIn(normName).isEmpty)
+      throw new ScriptError(s"[tokenize] nonexistent normalizer: <$normName>")
+    val flags = parseTokenizeFlags(args.getOrElse("flags", "NONE"))
+    val mode = args.getOrElse("mode", "ADD") match {
+      case "ADD" => graft.analysis.TokenizeMode.Add
+      case "GET" => graft.analysis.TokenizeMode.Get
+      case other => throw new ScriptError(s"[tokenize] invalid mode: <$other>")
+    }
+    val filterSuffix = args.getOrElse("token_filters", "")
+      .split("[|,]").map(_.trim).filter(_.nonEmpty).map {
+        case "TokenFilterStem" => "+Stem"
+        case other => throw new ScriptError(s"[tokenize] unknown token filter: <$other>")
+      }.mkString
+    val tok = graft.analysis.Tokenizers.byName(
+      tokName + (if (normName.isEmpty) ":none" else "") + filterSuffix)
+    tokensJson(tokenizeWith(tok, str, normName.nonEmpty, flags, mode))
+  }
+
+  private def utf8Len(cp: Int): Int =
+    if (cp < 0x80) 1 else if (cp < 0x800) 2 else if (cp < 0x10000) 3 else 4
+
+  /** `normalize NORMALIZER STRING [FLAGS]` (reference proc_normalize.c):
+    * returns {normalized, types, checks}. Blanks stay in the text unless
+    * REMOVE_BLANK; `checks` counts, per normalized byte, the source bytes
+    * consumed by the first byte of each normalized char (-1 on chars
+    * expanded from the same source char, 0 on continuation bytes).
+    */
+  private def normalizeCmd(a: Seq[String]): JsonNode = {
+    if (a.isEmpty) throw new ScriptError("[normalize] normalizer is missing")
+    if (normNameRe.findFirstIn(a(0)).isEmpty)
+      throw new ScriptError(s"[normalize] nonexistent normalizer: <${a(0)}>")
+    if (a.size < 2) throw new ScriptError("[normalize] string is missing")
+    val flags = a.lift(2).getOrElse("NONE")
+      .split('|').map(_.trim).filter(_.nonEmpty).toSet
+    flags.foreach {
+      case "NONE" | "REMOVE_BLANK" | "WITH_TYPES" | "WITH_CHECKS" |
+           "REMOVE_TOKENIZED_DELIMITER" => ()
+      case other => throw new ScriptError(s"[normalize] invalid flag: <$other>")
+    }
+    val src = if (flags("REMOVE_TOKENIZED_DELIMITER")) a(1).filterNot(_ == '\uFFFE')
+              else a(1)
+    val nz = if (flags("REMOVE_BLANK")) Normalizer.auto(src)
+             else Normalizer.autoKeepBlank(src)
+    val f = mapper.getNodeFactory
+    val o = f.objectNode()
+    o.put("normalized", nz.text)
+    val typesArr = f.arrayNode()
+    if (flags("WITH_TYPES")) {
+      val names = Array("null", "alpha", "digit", "symbol", "hiragana",
+        "katakana", "kanji", "others")
+      (0 until nz.length).foreach { i =>
+        // astral-plane "symbols" (emoji) are GRN_CHAR_OTHERS in the
+        // reference nfkc tables
+        val t = nz.types(i)
+        typesArr.add(
+          if (t == graft.analysis.CharType.Symbol && nz.cps(i) > 0xffff) "others"
+          else names(t))
+      }
+    }
+    o.set[JsonNode]("types", typesArr)
+    val checksArr = f.arrayNode()
+    if (flags("WITH_CHECKS")) {
+      val srcCps = src.codePoints.toArray
+      val after = new Array[Int](srcCps.length)
+      var acc = 0
+      srcCps.indices.foreach { i => acc += utf8Len(srcCps(i)); after(i) = acc }
+      var prevAfter = 0
+      var prevSrc = -1
+      (0 until nz.length).foreach { i =>
+        val so = nz.offsets(i)
+        if (so != prevSrc) {
+          checksArr.add(after(so) - prevAfter)
+          prevAfter = after(so); prevSrc = so
+        } else checksArr.add(-1)
+        var k = utf8Len(nz.cps(i)) - 1
+        while (k > 0) { checksArr.add(0); k -= 1 }
+      }
+    }
+    o.set[JsonNode]("checks", checksArr)
+    o
+  }
+
+  /** Full analysis-chain name of a lexicon table: tokenizer, ':none' when
+    * it has no normalizer, declared token filters (stop words = the keys
+    * flagged is_stop_word, reference plugins/token_filters/stop_word.c).
+    */
+  private def lexTokName(td: TableDef): String = {
+    val base = td.tokenizer.getOrElse("TokenDelimit") +
+      (if (td.tokenizer.isDefined && td.normalizer.isEmpty) ":none" else "")
+    val filters = td.tokenFilters.flatMap {
+      case "TokenFilterStem" => Some("+Stem")
+      case "TokenFilterStopWord" =>
+        val norm = normOf(td)
+        val stops = td.rows.filter(_.get("is_stop_word").exists(n =>
+            n.asBoolean(false) || n.asText == "true"))
+          .flatMap(_.get("_key"))
+          .map(n => norm.map(_(n.asText)).getOrElse(n.asText))
+        Some("+StopWord=" + stops.mkString(","))
+      case _ => None
+    }
+    base + filters.mkString
+  }
+
+  /** `table_tokenize TABLE STRING [FLAGS [MODE]]` (reference
+    * proc_tokenize.c): tokenize with the table's analysis chain; ADD
+    * registers new tokens as table keys, GET reports only tokens already
+    * present as keys.
+    */
+  private def tableTokenizeCmd(tables: mutable.Map[String, TableDef],
+      table: String, str: String, pos: Seq[String],
+      kv: Map[String, String]): JsonNode = {
+    val td = tables.getOrElse(table,
+      throw new ScriptError(s"[table_tokenize] nonexistent table: <$table>"))
+    val flags = parseTokenizeFlags(
+      kv.get("flags").orElse(pos.find(_.contains("DELIMITER"))).getOrElse("NONE"))
+    val mode = kv.get("mode")
+      .orElse(pos.find(p => p == "ADD" || p == "GET")).getOrElse("GET") match {
+      case "ADD" => graft.analysis.TokenizeMode.Add
+      case "GET" => graft.analysis.TokenizeMode.Get
+      case other => throw new ScriptError(s"[table_tokenize] invalid mode: <$other>")
+    }
+    val tok = graft.analysis.Tokenizers.byName(lexTokName(td))
+    val toks = tokenizeWith(tok, str, td.normalizer.isDefined, flags, mode)
+    val keyNorm = normOf(td)
+    val keys = td.rows.flatMap(_.get("_key"))
+      .map(n => keyNorm.map(_(n.asText)).getOrElse(n.asText)).toSet
+    mode match {
+      case graft.analysis.TokenizeMode.Add =>
+        toks.map(_.term).distinct.filterNot(keys.contains).foreach { t =>
+          td.rows += Map("_key" ->
+            com.fasterxml.jackson.databind.node.TextNode.valueOf(t))
+        }
+        tokensJson(toks)
+      case graft.analysis.TokenizeMode.Get =>
+        tokensJson(toks.filter(t => keys.contains(t.term)))
+    }
+  }
+
   /** Unsigned UTF-8 byte order (reference PAT key order). */
   private def byteLt(a: String, b: String): Boolean = {
     val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
@@ -1364,9 +1669,8 @@ object GrnTestRunner {
     // itself (fuzzy_search over _key, prefix walks) see those rows
     if (td.keyed && td.rows.isEmpty && indexes.exists(_.lexicon == tableName)) {
       val seen = mutable.LinkedHashSet[String]()
-      val tok = td.tokenizer.map(t =>
-        graft.analysis.Tokenizers.byName(
-          t + (if (td.normalizer.isEmpty) ":none" else "")))
+      val tok = td.tokenizer.map(_ =>
+        graft.analysis.Tokenizers.byName(lexTokName(td)))
       val norm = normOf(td)
       indexes.filter(_.lexicon == tableName).foreach { ix =>
         tables.get(ix.srcTable).foreach { src =>
@@ -1560,8 +1864,8 @@ object GrnTestRunner {
           case (m, i) => m.get("_key").map(_.asText -> (i + 1).toLong)
         }.toMap
         val norm = normOf(td)
-        val tok = td.tokenizer.map(t => graft.analysis.Tokenizers.byName(
-          t + (if (td.normalizer.isEmpty) ":none" else "")))
+        val tok = td.tokenizer.map(_ =>
+          graft.analysis.Tokenizers.byName(lexTokName(td)))
         lexIdxNames.map { nm =>
           val dfc = mutable.Map[String, Long]().withDefaultValue(0L)
           indexes.filter(ix => ix.lexicon == tableName && ix.name == nm)
@@ -1640,11 +1944,12 @@ object GrnTestRunner {
     val reader: IndexReader = {
       val ix = if (needIndex) (if (nestedIdx.isDefined) None else idxDef) else None
       val lex = ix.orElse(nestedIdx).map(i => tables(i.lexicon))
-      val tok = lex.flatMap(_.tokenizer).getOrElse(
+      val tok = lex match {
+        case Some(l) if l.tokenizer.isDefined => lexTokName(l)
         // fabricated no-index match: bigrams approximate the reference's
         // sequential substring scan
-        if (needIndex && ix.isEmpty) "TokenBigram" else "TokenDelimit") +
-        (if (lex.exists(l => l.tokenizer.isDefined && l.normalizer.isEmpty)) ":none" else "")
+        case _ => if (needIndex && ix.isEmpty) "TokenBigram" else "TokenDelimit"
+      }
       val dir = java.nio.file.Files.createTempDirectory("graft_compat_").toString
       // no declared index but a query over a real column: index it on the
       // fly with TokenBigram — the sequential-scan (contains) analogue
@@ -1794,8 +2099,10 @@ object GrnTestRunner {
       val lexT = indexes.find(ix => secCols.contains(ix.srcCol) && ix.srcTable == scopeName)
         .orElse(indexes.find(_.srcTable == scopeName))
         .map(i => tables(i.lexicon))
-      val tok = lexT.flatMap(_.tokenizer).getOrElse("TokenBigram") +
-        (if (lexT.exists(l => l.tokenizer.isDefined && l.normalizer.isEmpty)) ":none" else "")
+      val tok = lexT match {
+        case Some(l) if l.tokenizer.isDefined => lexTokName(l)
+        case _ => "TokenBigram"
+      }
       val dir = java.nio.file.Files.createTempDirectory("graft_compat_qf_").toString
       val base = typedDocsOf(spark, tables, scopeName)
       val bi = secCols.foldLeft(base)((d, c) => d.withColumn(c, col(c).cast("string")))
@@ -2115,8 +2422,10 @@ object GrnTestRunner {
       } else if (query.nonEmpty && secCols.size > 1 &&
           secCols.forall(typedDocs.columns.contains)) {
         val lexT = idxDef.map(i => tables(i.lexicon))
-        val secTok = lexT.flatMap(_.tokenizer).getOrElse("TokenDelimit") +
-          (if (lexT.exists(l => l.tokenizer.isDefined && l.normalizer.isEmpty)) ":none" else "")
+        val secTok = lexT match {
+          case Some(l) if l.tokenizer.isDefined => lexTokName(l)
+          case _ => "TokenDelimit"
+        }
         val secDir = java.nio.file.Files.createTempDirectory("graft_compat_sec_").toString
         val bi = secCols.foldLeft(typedDocs)((d, c) =>
           d.withColumn(c, col(c).cast("string")))
