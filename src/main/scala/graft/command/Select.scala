@@ -284,15 +284,23 @@ object Select {
         }
         cols.map(c => if (neg) c.desc else c.asc)
       }
+      // ties break in group INSERTION order (__first), the reference's
+      // group-hash id order; keys keep exploded-vector groups deterministic
       val sorted0 = grouped.orderBy(
-        d.sortby.flatMap(ddSort) ++
-          d.keys.map(asc): _*) // key tie-break for determinism
-      // negative drilldown limit = all groups (reference normalize semantics)
-      val sorted = if (d.limit < 0) sorted0 else sorted0.limit(d.offset + d.limit)
-      (label, sorted, grouped)
+        d.sortby.flatMap(ddSort) ++ Seq(asc("__first")) ++ d.keys.map(asc): _*)
+      // negative offset/limit normalize against the group count
+      // (reference grn_normalize_offset_and_limit)
+      val total = grouped.count()
+      val off = math.max(0L,
+        if (d.offset < 0) total + d.offset else d.offset.toLong).toInt
+      val lim = math.max(0L, math.min(Int.MaxValue.toLong,
+        if (d.limit < 0) total + d.limit + 1 else d.limit.toLong)).toInt
+      val sorted =
+        if (off == 0) sorted0.limit(lim) else sorted0.offset(off).limit(lim)
+      (label, sorted, total)
     }
 
     SelectResult(nHits, out, dds.map(t => t._1 -> t._2).toMap,
-      dds.map(t => t._1 -> t._3.count()).toMap)
+      dds.map(t => t._1 -> t._3).toMap)
   }
 }

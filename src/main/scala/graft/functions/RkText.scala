@@ -92,8 +92,17 @@ object RkText {
     val query = query0.trim
     if (query.isEmpty) return true
     val key = toKatakana(key0)
-    if (query.exists(c => isHiragana(c) || isKatakana(c)))
-      key.startsWith(toKatakana(query))
-    else romajiPrefix(key, 0, query.toLowerCase)
+    val q = toKatakana(query)
+    // leading kana run matches the key verbatim; an ascii TAIL continues
+    // as a romaji prefix of the remaining syllables (mixed queries like
+    // さｋ → サ + romaji "k", reference GRN_CURSOR_RK)
+    val kanaLen = q.takeWhile(isKatakana).length
+    if (kanaLen == 0) romajiPrefix(key, 0, q.toLowerCase)
+    else {
+      val tail = q.substring(kanaLen)
+      if (tail.exists(isKatakana)) key.startsWith(q) // kana after ascii: literal
+      else key.startsWith(q.substring(0, kanaLen)) &&
+        (tail.isEmpty || romajiPrefix(key, kanaLen, tail.toLowerCase))
+    }
   }
 }

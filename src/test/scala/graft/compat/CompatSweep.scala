@@ -25,9 +25,11 @@ object CompatSweep {
 
     val supported = Set("table_create", "column_create", "load", "select",
       "plugin_register", "register", "log_level", "column_remove", "config_set",
-      "tokenize", "normalize", "table_tokenize")
+      "tokenize", "normalize", "table_tokenize", "suggest", "range_filter",
+      "logical_count", "logical_select", "logical_range_filter",
+      "logical_shard_list", "logical_parameters")
     val roots = Seq("select", "tokenize", "normalize", "table_tokenize",
-      "token_filters", "tokenizers")
+      "token_filters", "tokenizers", "suggest", "range_filter", "sharding")
     val fixtures = roots.iterator.flatMap(r =>
         Files.walk(suite.resolve(r)).iterator().asScala)
       .filter(p => p.toString.endsWith(".test"))

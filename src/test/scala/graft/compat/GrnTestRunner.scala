@@ -63,6 +63,17 @@ object GrnTestRunner {
   final case class CTableTokenize(table: String, str: String,
       flags: Seq[String], kv: Map[String, String]) extends Cmd
   final case class COnError(omit: Boolean) extends Cmd
+  final case class CSuggestDataset(name: String) extends Cmd
+  final case class CSuggest(kv: Map[String, String]) extends Cmd
+  final case class CRangeFilter(table: String, column: String,
+      kv: Map[String, String]) extends Cmd
+  /** logical_count / logical_select / logical_range_filter share a shape:
+    * LOGICAL_TABLE [SHARD_KEY] plus --kv args (reference plugin sharding).
+    */
+  final case class CLogical(cmd: String, table: String, shardKey: String,
+      kv: Map[String, String]) extends Cmd
+  final case class CLogicalShardList(table: String) extends Cmd
+  final case class CLogicalParameters(kv: Map[String, String]) extends Cmd
 
   /** Thrown when a command fails inside a `#@on-error omit` window — the
     * grntest driver drops the whole fixture from the run (used to guard
@@ -133,6 +144,9 @@ object GrnTestRunner {
       val line = lines.next().trim
       if (line.startsWith("#@on-error ")) {
         cmds += COnError(line.stripPrefix("#@on-error ").trim == "omit")
+      }
+      else if (line.startsWith("#@suggest-create-dataset ")) {
+        cmds += CSuggestDataset(line.stripPrefix("#@suggest-create-dataset ").trim)
       }
       else if (line.startsWith("#@copy-path ")) {
         // grntest directive: stage a fixture file into the DB dir (used by
@@ -222,6 +236,49 @@ object GrnTestRunner {
               } else { pos += args(i); i += 1 }
             }
             cmds += CTableTokenize(args(1), args(2), pos.toSeq, kv.toMap)
+          case "suggest" =>
+            val kv = mutable.Map[String, String]()
+            var i = 1
+            while (i < args.size) {
+              if (args(i).startsWith("--") && i + 1 < args.size) {
+                kv(args(i).drop(2)) = args(i + 1); i += 2
+              } else i += 1
+            }
+            cmds += CSuggest(kv.toMap)
+          case c @ ("logical_count" | "logical_select" | "logical_range_filter") =>
+            val kv = mutable.Map[String, String]()
+            val pos = mutable.ArrayBuffer[String]()
+            var i = 1
+            while (i < args.size) {
+              if (args(i).startsWith("--") && i + 1 < args.size) {
+                kv(args(i).drop(2)) = args(i + 1); i += 2
+              } else { pos += args(i); i += 1 }
+            }
+            val table = kv.getOrElse("logical_table", pos.headOption.getOrElse(""))
+            val shardKey = kv.getOrElse("shard_key", pos.lift(1).getOrElse(""))
+            cmds += CLogical(c, table, shardKey, kv.toMap)
+          case "logical_shard_list" =>
+            val t = args.sliding(2).collectFirst { case Seq("--logical_table", v) => v }
+              .orElse(args.lift(1)).getOrElse("")
+            cmds += CLogicalShardList(t)
+          case "logical_parameters" =>
+            val kv = mutable.Map[String, String]()
+            var i = 1
+            while (i < args.size) {
+              if (args(i).startsWith("--") && i + 1 < args.size) {
+                kv(args(i).drop(2)) = args(i + 1); i += 2
+              } else i += 1
+            }
+            cmds += CLogicalParameters(kv.toMap)
+          case "range_filter" if args.size > 2 =>
+            val kv = mutable.Map[String, String]()
+            var i = 3
+            while (i < args.size) {
+              if (args(i).startsWith("--") && i + 1 < args.size) {
+                kv(args(i).drop(2)) = args(i + 1); i += 2
+              } else i += 1
+            }
+            cmds += CRangeFilter(args(1), args(2), kv.toMap)
           case "column_remove" if args.size > 2 =>
             cmds += CColumnRemove(args(1), args(2))
           case "config_set" if args.size > 2 =>
@@ -350,7 +407,9 @@ object GrnTestRunner {
     val expected = parseExpected(java.nio.file.Files.readString(java.nio.file.Paths.get(expectedPath)))
     // envelopes of every COMPARED command, in file order (select results,
     // tokenize/normalize/table_tokenize outputs)
-    val comparedCmds = Set("select", "tokenize", "normalize", "table_tokenize")
+    val comparedCmds = Set("select", "tokenize", "normalize", "table_tokenize",
+      "suggest", "range_filter", "logical_count", "logical_select",
+      "logical_range_filter", "logical_shard_list", "logical_parameters")
     val selectEnvelopes = expected.collect {
       case (c, j) if comparedCmds(c.takeWhile(ch => ch.isLetter || ch == '_')) => j
     }
@@ -364,6 +423,8 @@ object GrnTestRunner {
     var aliasCfg: Option[(String, String)] = None
     // inside a `#@on-error omit` window, a failing command omits the fixture
     var onErrorOmit = false
+    // sharding plugin parameter state (logical_parameters)
+    var rangeIndexParam = "auto"
     // synonyms staged by #@copy-path for the TSV query-expander plugin
     var tsvSynonyms: Map[String, String] = Map.empty
 
@@ -402,9 +463,174 @@ object GrnTestRunner {
       }
     }
 
+    val suggestDatasets = mutable.Map[String, SuggestDataset]()
+
     cmds.foreach {
       case CTable(d) => tables(d.name) = d
       case COnError(b) => onErrorOmit = b
+      case CSuggestDataset(nm) =>
+        // the dataset DDL of groonga-suggest-create-dataset (reference
+        // src/suggest/groonga_suggest_create_dataset.c:150-215)
+        suggestDatasets(nm) = new SuggestDataset(nm)
+        def ensure(t: TableDef): TableDef =
+          tables.getOrElseUpdate(t.name, t)
+        val item = ensure(TableDef(s"item_$nm", keyed = true, Some("ShortText"),
+          Some("TokenDelimit"), Some("NormalizerAuto"), isPat = true))
+        item.columns ++= Seq("kana" -> "kana", "freq" -> "Int32",
+          "last" -> "Time", "boost" -> "Int32", "freq2" -> "Int32",
+          "buzz" -> "Int32")
+        item.vectorCols += "kana"
+        ensure(TableDef("kana", keyed = true, Some("ShortText"), None,
+          Some("NormalizerAuto"), isPat = true)): Unit
+        ensure(TableDef("event_type", keyed = true, Some("ShortText"), None, None))
+        val pair = ensure(TableDef(s"pair_$nm", keyed = true, Some("UInt64"), None, None))
+        pair.columns ++= Seq("pre" -> s"item_$nm", "post" -> s"item_$nm",
+          "freq0" -> "Int32", "freq1" -> "Int32", "freq2" -> "Int32")
+        ensure(TableDef(s"sequence_$nm", keyed = true, Some("ShortText"), None, None))
+        val ev = ensure(TableDef(s"event_$nm", keyed = false, None, None, None))
+        ev.columns ++= Seq("type" -> "event_type", "time" -> "Time",
+          "item" -> s"item_$nm", "sequence" -> s"sequence_$nm")
+        val cfg = ensure(TableDef("configuration", keyed = true, Some("ShortText"), None, None))
+        cfg.columns("weight") = "UInt32"
+        if (!cfg.rows.exists(_.get("_key").exists(_.asText == nm))) {
+          val f = mapper.getNodeFactory
+          cfg.rows += Map("_key" -> f.textNode(nm),
+            "weight" -> f.numberNode(1))
+        }
+      case CSuggest(kv) =>
+        compareJson("suggest " + kv.mkString(" "))(
+          suggestCmd(spark, tables, suggestDatasets, kv))
+      case CRangeFilter(t, c, kv) =>
+        compareJson(s"range_filter $t $c")(
+          rangeFilterCmd(spark, tables, indexes.toSeq, t, c, kv))
+      case CLogicalShardList(t) =>
+        compareJson(s"logical_shard_list $t") {
+          val f = mapper.getNodeFactory
+          val arr = f.arrayNode()
+          logicalShards(tables, t).foreach { s =>
+            val o = f.objectNode(); o.put("name", s); arr.add(o)
+          }
+          arr
+        }
+      case CLogicalParameters(kv) =>
+        compareJson("logical_parameters") {
+          kv.get("range_index").foreach {
+            case "auto" | "always" | "never" => ()
+            case other => throw new ScriptError(
+              s"[logical_parameters][range_index] must be auto, always or never: <$other>")
+          }
+          val f = mapper.getNodeFactory
+          val o = f.objectNode()
+          // reports the PREVIOUS value, then applies the new one
+          o.put("range_index", rangeIndexParam)
+          kv.get("range_index").foreach(rangeIndexParam = _)
+          o
+        }
+      case CLogical("logical_count", t, key, kv) =>
+        compareJson(s"logical_count $t") {
+          val (mergedName, _) = mergeLogical(tables, t, key, kv)
+          try {
+            val td2 = tables(mergedName)
+            val docs = typedDocsOf(spark, tables, mergedName)
+            val env = new RunnerEnv(td2, tables, () => docs, None, indexes.toSeq)
+            var df = docs
+            kv.get("filter").foreach(fl =>
+              df = df.filter(truthy(ScriptExpr.lower(fl, env).value)))
+            mapper.getNodeFactory.numberNode(df.count())
+          } finally { tables.remove(mergedName): Unit }
+        }
+      case CLogical("logical_range_filter", t, key, kv) =>
+        compareJson(s"logical_range_filter $t") {
+          val descending = kv.getOrElse("order", "ascending") match {
+            case "descending" => true
+            case "ascending" => false
+            case other => throw new ScriptError(
+              s"[logical_range_filter][order] must be ascending or descending: <$other>")
+          }
+          // a FORCED range-index walk cannot evaluate selector-only procs
+          // (reference rc=-38, use_range_index/yes/filter/sub_filter)
+          if (kv.get("use_range_index").contains("yes") &&
+              kv.get("filter").exists(_.contains("sub_filter(")))
+            throw new ScriptError(
+              "selector only proc can't be called with a forced range index")
+          val (mergedName, _) = mergeLogical(tables, t, key, kv)
+          try {
+            val td2 = tables(mergedName)
+            // evaluate through the select machinery (script filters incl.
+            // sub_filter, nested paths); order = shard-key value walk
+            val sortKeys =
+              if (key.isEmpty) (if (descending) "-_id" else "_id")
+              else if (descending) s"-$key,-_id" else s"$key,_id"
+            val selArgs = kv.get("filter").map(f => Map("filter" -> f)).getOrElse(Map.empty) ++
+              Map("sort_keys" -> sortKeys, "offset" -> "0", "limit" -> "-1")
+            val augIx = logicalIndexes(tables, indexes.toSeq, t, mergedName)
+            val (got0, _, _) = execSelect(spark, tables, augIx, selArgs, mergedName)
+            val (rows, cols) = (got0._2, got0._3)
+            val offset = kv.get("offset").map(_.trim.toInt).getOrElse(0)
+            val lim0 = kv.get("limit").map(_.trim.toInt).getOrElse(10)
+            // a negative limit normalizes to an ABSOLUTE end bound against
+            // the matched count (fixture limit/negative/partial_offset:
+            // offset 1 + limit -3 over 5 hits → rows [1, 3))
+            val end = if (lim0 < 0) math.max(0, rows.length + lim0 + 1)
+                      else math.max(offset, 0) + lim0
+            val page = rows.slice(math.max(offset, 0), math.min(rows.length, end))
+            // default output: the DATA columns in name order (no _id)
+            val outCols: Seq[String] = kv.get("output_columns")
+              .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+              .getOrElse(td2.columns.keys.toSeq.sorted)
+            schemaRowsNode(td2, cols, page, outCols)
+          } finally { tables.remove(mergedName): Unit }
+        }
+      case CLogical(_, t, key, kv) => // logical_select
+        selectN += 1
+        val exp = if (selectN < selectEnvelopes.size) selectEnvelopes(selectN) else null
+        val q = s"logical_select $t ${kv.mkString(" ")}"
+        val expRc: Int =
+          try {
+            if (exp == null) 0
+            else {
+              val h = exp.get(0).get(0)
+              if (h.isArray) h.get(0).asInt else h.asInt
+            }
+          } catch { case _: Throwable => 0 }
+        try {
+          val (mergedName, localIds) = mergeLogical(tables, t, key, kv)
+          try {
+            val args2 = kv -- Seq("logical_table", "shard_key", "min", "max",
+              "min_border", "max_border", "order", "use_range_index")
+            val augIx = logicalIndexes(tables, indexes.toSeq, t, mergedName)
+            val (got0, explicitCols, dds) =
+              execSelect(spark, tables, augIx, args2, mergedName)
+            // rows carry per-shard _id values, not merged docIds (both the
+            // default docId column and an explicit "_id" output column)
+            val idIdxs = got0._3.zipWithIndex.collect {
+              case (c, i) if c == "docId" || c == "_id" => i
+            }
+            val rows2 =
+              if (idIdxs.isEmpty) got0._2
+              else got0._2.map { r =>
+                idIdxs.foldLeft(r) { (row, idx) =>
+                  row.updated(idx, row(idx) match {
+                    case l: Long if l >= 1 && l <= localIds.size =>
+                      localIds((l - 1).toInt)
+                    case other => other
+                  })
+                }
+              }
+            outcomes +=
+              (if (expRc != 0)
+                SelectOutcome(q, ok = false,
+                  s"we accepted a command the reference rejects (rc=$expRc)")
+              else compare((got0._1, rows2, got0._3), exp, q, explicitCols, dds))
+          } finally { tables.remove(mergedName): Unit }
+        } catch {
+          case e: Throwable =>
+            if (onErrorOmit && expRc == 0)
+              throw new OmittedFixture(s"$q: ${e.getMessage}")
+            outcomes +=
+              (if (expRc != 0) SelectOutcome(q, ok = true, s"both reject (rc=$expRc)")
+              else SelectOutcome(q, ok = false, s"exception: ${e.getMessage}"))
+        }
       case CTokenize(a) =>
         compareJson(("tokenize " + a.mkString(" ")).trim)(tokenizeCmd(a))
       case CNormalize(a) =>
@@ -511,6 +737,19 @@ object GrnTestRunner {
               }
             }
           }
+          // suggest learner: loading into event_<dataset> runs
+          // suggest_preparer per row (the fixtures' `load --each`)
+          if (table.startsWith("event_"))
+            suggestDatasets.get(table.stripPrefix("event_")).foreach { ds =>
+              val w = tables.get("configuration")
+                .flatMap(_.rows.find(_.get("_key").exists(_.asText == ds.name)))
+                .flatMap(_.get("weight")).map(_.asLong).getOrElse(1L)
+              ds.learn(
+                m.get("item").filterNot(_.isNull).map(_.asText).orNull,
+                m.get("type").filterNot(_.isNull).map(_.asText),
+                m.get("sequence").filterNot(_.isNull).map(_.asText).orNull,
+                m.get("time").map(_.asDouble).getOrElse(0.0), w)
+            }
         }
       case CSelect(args, tableName) =>
         selectN += 1
@@ -537,6 +776,8 @@ object GrnTestRunner {
             else compare(got, exp, q, explicitCols, dds))
         } catch {
           case e: Throwable =>
+            if (onErrorOmit && expRc == 0)
+              throw new OmittedFixture(s"$q: ${e.getMessage}")
             outcomes +=
               (if (expRc != 0) SelectOutcome(q, ok = true, s"both reject (rc=$expRc)")
               else SelectOutcome(q, ok = false, s"exception: ${e.getMessage}"))
@@ -671,6 +912,25 @@ object GrnTestRunner {
           val sc = element_at(m, col("docId"))
           TVal(sc.isNotNull, GBool, score = Some(coalesce(sc, lit(0.0))))
         }
+      } else if ((op == "@" || op == "@^" || op == "@$") && l.t == GVec(GText) &&
+          l.path.exists(_.size > 1)) {
+        // a NESTED reference path to a text column matches through the
+        // leaf column's n-gram index in the reference → substring per
+        // reachable element (sharding nested_reference_vector fixtures);
+        // direct vector columns keep whole-element match semantics
+        val q = r.litv match {
+          case Some(s: String) => s.toLowerCase
+          case _ => throw new ScriptError(s"match operator $op needs a constant query")
+        }
+        val pred = op match {
+          case "@" => exists(l.col, e =>
+            org.apache.spark.sql.functions.lower(e).contains(q))
+          case "@^" => exists(l.col, e =>
+            org.apache.spark.sql.functions.lower(e).startsWith(q))
+          case _ => exists(l.col, e =>
+            org.apache.spark.sql.functions.lower(e).endsWith(q))
+        }
+        TVal(coalesce(pred, lit(false)), GBool)
       } else if (op == "*T") {
         // TERM_EXTRACT (reference grn_ii_term_extract lib/ii.c:6360): keys
         // of the table occurring in the query text (both normalized)
@@ -765,7 +1025,8 @@ object GrnTestRunner {
             TableDef("", keyed = false, None, None, None))
         }
       }
-      Some(TVal(cur, if (depth > 0) GVec(curT) else curT))
+      Some(TVal(cur, if (depth > 0) GVec(curT) else curT,
+        path = Some(head +: rest)))
     }
 
     override def record(table: String, key: Any): Option[Map[String, TVal]] =
@@ -1551,6 +1812,354 @@ object GrnTestRunner {
       case graft.analysis.TokenizeMode.Get =>
         tokensJson(toks.filter(t => keys.contains(t.term)))
     }
+  }
+
+  // ------------------------------------------------ suggest / range_filter
+
+  /** SIMILAR search over item keys through the dataset's `bigram` lexicon
+    * (reference: correct() calls grn_ii_select with GRN_OP_SIMILAR and
+    * optarg.max_size = 2, lib/ii.c:6239 — term weight = qtf +
+    * max_size / grn_ii_estimate_size(term), rarest (n>>3)+1 terms chosen,
+    * doc score = Σ tf·weight). Driver-side over the tiny item set.
+    */
+  private def similarItemScores(items: Seq[String], query: String,
+      maxSize: Long = 2L): Seq[(String, Double)] = {
+    if (items.isEmpty) return Nil
+    val bigram = graft.analysis.Tokenizers.byName("TokenBigram")
+    val tid = mutable.LinkedHashMap[String, Long]() // lexicon insertion order
+    val df = mutable.Map[String, Long]().withDefaultValue(0L)
+    val tf = mutable.Map[(Int, String), Long]().withDefaultValue(0L)
+    items.zipWithIndex.foreach { case (it, i) =>
+      val toks = bigram.tokenize(it, graft.analysis.TokenizeMode.Add)
+      toks.foreach { t =>
+        tid.getOrElseUpdate(t.term, tid.size + 1L)
+        tf((i, t.term)) += 1L
+      }
+      toks.map(_.term).distinct.foreach(t => df(t) += 1L)
+    }
+    val qToks = bigram.tokenize(query, graft.analysis.TokenizeMode.Get).map(_.term)
+    val order = mutable.LinkedHashMap[String, Long]()
+    qToks.foreach(t => order(t) = order.getOrElse(t, 0L) + 1L)
+    val weighted = order.toSeq.zipWithIndex.flatMap { case ((t, qtf), i) =>
+      tid.get(t).map { id =>
+        // grn_ii_estimate_size: 1 for an embedded single posting, else
+        // tid + records + 1 for small unflushed buffers
+        val est = if (df(t) <= 1L) 1L else id + df(t) + 1L
+        (t, qtf + maxSize / est, i)
+      }
+    }
+    val limit = (weighted.size >> 3) + 1
+    val chosen = weighted.sortBy { case (_, w, i) => (-w, i) }.take(limit)
+    items.zipWithIndex.flatMap { case (it, i) =>
+      val s = chosen.map { case (t, w, _) => tf((i, t)) * w.toDouble }.sum
+      if (s > 0) Some(it -> s) else None
+    }
+  }
+
+  /** The `suggest` command (reference plugins/suggest/suggest.c:545):
+    * complete / correct / suggest over a learned [[SuggestDataset]].
+    */
+  private def suggestCmd(
+      spark: SparkSession,
+      tables: mutable.Map[String, TableDef],
+      datasets: mutable.Map[String, SuggestDataset],
+      kv: Map[String, String]): JsonNode = {
+    val table = kv.getOrElse("table",
+      throw new ScriptError("[suggest] table is missing"))
+    val ds = datasets.getOrElse(table.stripPrefix("item_"),
+      throw new ScriptError(s"[suggest] unknown dataset for <$table>"))
+    val td = tables.getOrElse(table,
+      throw new ScriptError(s"[suggest] nonexistent table: <$table>"))
+    // item keys normalize with blanks KEPT (grn_string without REMOVE_BLANK)
+    def norm(s: String) = Normalizer.autoKeepBlank(s).text
+
+    // item attributes from the loaded rows (boost, kana readings)
+    val rowKeys: Seq[String] =
+      td.rows.toSeq.flatMap(_.get("_key")).map(n => norm(n.asText))
+    val attr: Map[String, (Long, Seq[String])] = td.rows.toSeq.flatMap { m =>
+      m.get("_key").map(n => norm(n.asText)).map { k =>
+        val boost = m.get("boost").filterNot(_.isNull).map(_.asLong).getOrElse(0L)
+        val kana: Seq[String] = m.get("kana") match {
+          case Some(n) if n != null && n.isArray =>
+            n.elements().asScala.map(v => norm(v.asText)).toSeq
+          case Some(n) if n != null && !n.isNull => Seq(norm(n.asText))
+          case _ => Nil
+        }
+        k -> (boost, kana)
+      }
+    }.toMap
+    def boost(k: String): Long = attr.get(k).map(_._1).getOrElse(0L)
+    // item registration order: loaded rows, then learner-added keys
+    val allItems: Seq[String] = (rowKeys ++ ds.items.keys).distinct
+    val itemSet = allItems.toSet
+
+    val q = norm(kv.getOrElse("query", ""))
+    val ft = kv.get("frequency_threshold").map(_.trim.toInt).getOrElse(100)
+    val cpt = kv.get("conditional_probability_threshold")
+      .map(_.trim.toDouble).getOrElse(0.2)
+    val limit0 = kv.get("limit").map(_.trim.toInt).getOrElse(10)
+    val offset = kv.get("offset").map(_.trim.toInt).getOrElse(0)
+    val types = kv.getOrElse("types", "").split('|').map(_.trim).filter(_.nonEmpty)
+
+    val f = mapper.getNodeFactory
+    val out = f.objectNode()
+    types.foreach { t =>
+      // insertion order = reference res-hash id order (tie-break in sort)
+      val res = mutable.LinkedHashMap[String, Double]()
+      def completeAdd(k: String): Unit =
+        if (boost(k) >= 0) {
+          val score = 1.0 + ds.freq(k) + boost(k)
+          if (score >= ft) res(k) = res.getOrElse(k, 0.0) + score
+        }
+      def coocc(sel: ds.Pair => Long): Double = {
+        var maxScore = 0.0
+        if (q.nonEmpty && itemSet.contains(q)) {
+          ds.pairs.values.filter(_.pre == q).foreach { p =>
+            val pfreq = sel(p)
+            val ifr = ds.freq(p.post)
+            val ifr2 = ds.freq2(p.post)
+            val cp = if (ifr2 > 0) pfreq.toDouble / ifr2 else 0.0
+            val b = boost(p.post)
+            if (pfreq >= ft && ifr >= ft && cp >= cpt && b >= 0) {
+              val score = pfreq.toDouble
+              if (maxScore < score + b) maxScore = score + b
+              // boost applies once, on first insertion (suggest.c:199-210)
+              if (res.contains(p.post)) res(p.post) += score
+              else res(p.post) = score + b
+            }
+          }
+        }
+        maxScore
+      }
+      t match {
+        case "complete" =>
+          if (q.nonEmpty) {
+            // kana RK+prefix cursor (byte order over kana keys); each hit
+            // walks its posting list = items carrying that kana reading
+            val kanaKeys = attr.values.flatMap(_._2).toSeq.distinct.sortWith(byteLt)
+            kanaKeys.foreach { kk =>
+              if (graft.functions.RkText.prefixRkMatch(kk, q))
+                allItems.filter(ik => attr.get(ik).exists(_._2.contains(kk)))
+                  .foreach(completeAdd)
+            }
+            coocc(_.freq0)
+            val mode = kv.getOrElse("prefix_search", "auto")
+            if (mode == "yes" || (mode != "no" && res.isEmpty))
+              allItems.filter(_.startsWith(q)).sortWith(byteLt).foreach(completeAdd)
+          }
+        case "correct" =>
+          val ms = coocc(_.freq1)
+          val mode = kv.getOrElse("similar_search", "auto")
+          if (q.nonEmpty && (mode == "yes" || (mode != "no" && ms < ft))) {
+            // the bigram _key index covers only RECORD-registered items
+            // (loads + event refs) — items added by the suggest-learn
+            // token cursor have no _key postings
+            similarItemScores(rowKeys.distinct, kv.getOrElse("query", ""))
+              .foreach { case (k, s) => res(k) = res.getOrElse(k, 0.0) + s }
+            // freq pass over EVERY res record (suggest.c:425-445)
+            res.keys.toSeq.foreach { k =>
+              if (boost(k) >= 0) {
+                val fs = 1.0 + (ds.freq2(k) >> 4) + boost(k)
+                res(k) += fs
+                if (fs < ft) res.remove(k)
+              } else res.remove(k)
+            }
+            // then _score -= edit_distance(_key, query) (suggest.c:447-489)
+            res.keys.toSeq.foreach { k =>
+              res(k) -= graft.functions.GrnScalars.editDistance(k, q)
+              if (res(k) < ft) res.remove(k)
+            }
+          }
+        case "suggest" =>
+          coocc(_.freq2): Unit
+        case _ => ()
+      }
+      val sorted = res.toSeq.sortBy { case (_, s) => -s } // stable ties
+      val lim = if (limit0 < 0) sorted.size else limit0
+      val page = sorted.slice(math.max(offset, 0), math.max(offset, 0) + lim)
+      val arr = f.arrayNode()
+      val cnt = f.arrayNode(); cnt.add(res.size); arr.add(cnt)
+      val schema = f.arrayNode()
+      val c1 = f.arrayNode(); c1.add("_key"); c1.add("ShortText"); schema.add(c1)
+      val c2 = f.arrayNode(); c2.add("_score"); c2.add("Int32"); schema.add(c2)
+      arr.add(schema)
+      page.foreach { case (k, s) =>
+        val r = f.arrayNode(); r.add(k); r.add(s.toInt); arr.add(r)
+      }
+      out.set[JsonNode](t, arr)
+    }
+    out
+  }
+
+  /** The `range_filter` command (reference proc range_filter): records
+    * with COLUMN in [min, max] per the include/exclude borders, walked in
+    * column-value order, with optional script --filter, offset/limit, and
+    * column projection. Envelope body = [schema, rows...] (no count).
+    */
+  private def rangeFilterCmd(
+      spark: SparkSession,
+      tables: mutable.Map[String, TableDef],
+      indexes: Seq[IndexDef],
+      tableName: String,
+      column: String,
+      kv: Map[String, String]): JsonNode = {
+    val td = tables.getOrElse(tableName,
+      throw new ScriptError(s"[range_filter] nonexistent table: <$tableName>"))
+    def intArg(name: String, default: Long): Long = kv.get(name) match {
+      case None => default
+      case Some(v) => v.trim.toLongOption.getOrElse(
+        throw new ScriptError(s"[range_filter] invalid $name format: <$v>"))
+    }
+    val offset = intArg("offset", 0L)
+    val limit = intArg("limit", 10L)
+    if (offset < -1) throw new ScriptError(s"[range_filter] too small offset: <$offset>")
+    if (limit < -1) throw new ScriptError(s"[range_filter] too small limit: <$limit>")
+    val docs = typedDocsOf(spark, tables, tableName)
+    val env = new RunnerEnv(td, tables, () => docs, None, indexes)
+    val target = ScriptExpr.lower(column, env).value
+    def bound(v: String): Column = target.t match {
+      case GInt(_, _) => lit(v.trim.toLong)
+      case GFloat => lit(v.trim.toDouble)
+      case _ => lit(v)
+    }
+    var df = docs
+    kv.get("min").foreach { m =>
+      df =
+        if (kv.getOrElse("min_border", "include") == "exclude")
+          df.filter(target.col > bound(m))
+        else df.filter(target.col >= bound(m))
+    }
+    kv.get("max").foreach { m =>
+      df =
+        if (kv.getOrElse("max_border", "include") == "exclude")
+          df.filter(target.col < bound(m))
+        else df.filter(target.col <= bound(m))
+    }
+    kv.get("filter").foreach { fl =>
+      df = df.filter(truthy(ScriptExpr.lower(fl, env).value))
+    }
+    val ordered = df.orderBy(target.col.asc, col("docId").asc)
+    val rows = ordered.collect()
+    if (offset > rows.length)
+      throw new ScriptError(s"[range_filter] too large offset: <$offset>")
+    val off = math.max(offset, 0L).toInt
+    val lim = if (limit < 0) rows.length else limit.toInt
+    val page = rows.slice(off, math.min(rows.length, off + lim))
+    val outCols: Seq[String] = kv.get("output_columns")
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      .getOrElse("_id" +: td.columns.keys.toSeq)
+    schemaRowsNode(td, ordered.columns.toSeq, page.map(_.toSeq), outCols)
+  }
+
+  // --------------------------------------------------- sharding (logical_*)
+
+  /** Shards of a logical table: `<name>_` + digits, walked in name byte
+    * order (reference sharding plugin enumerates the table PAT in key
+    * order; the suffix encodes the shard's time range).
+    */
+  private def logicalShards(tables: mutable.Map[String, TableDef],
+      logical: String): Seq[String] =
+    tables.keys.filter { n =>
+      n.startsWith(logical + "_") && {
+        val sfx = n.stripPrefix(logical + "_")
+        sfx.nonEmpty && sfx.forall(_.isDigit)
+      }
+    }.toSeq.sorted
+
+  /** Merge a logical table's shards (name order) into one synthetic
+    * TableDef, pre-filtered by the shard-key min/max range — the runner
+    * analogue of the sharding plugin's shard enumeration + range cursor
+    * (at scale this is a partition-pruned union: the range prunes whole
+    * shards before any row is read). Returns (mergedName, per-row
+    * ORIGINAL per-shard _id values aligned with merged docIds).
+    */
+  private def mergeLogical(tables: mutable.Map[String, TableDef],
+      logical: String, shardKey: String,
+      kv: Map[String, String]): (String, IndexedSeq[Long]) = {
+    val shards = logicalShards(tables, logical)
+    if (shards.isEmpty)
+      throw new ScriptError(s"[logical] no shard exists: <$logical>")
+    val proto = tables(shards.head)
+    val md = TableDef(s"__logical_$logical", keyed = proto.keyed,
+      proto.keyType, proto.tokenizer, proto.normalizer, isPat = proto.isPat)
+    shards.foreach(s => md.columns ++= tables(s).columns)
+    shards.foreach(s => tables(s).vectorCols.foreach(md.vectorCols += _))
+    def timeish(s: String): Double =
+      s.trim.toDoubleOption.getOrElse(
+        try graft.script.ScriptExpr.parseTime(s)
+        catch { case _: Exception => Double.NaN })
+    val minV = kv.get("min").map(timeish)
+    val maxV = kv.get("max").map(timeish)
+    val minInc = kv.getOrElse("min_border", "include") == "include"
+    val maxInc = kv.getOrElse("max_border", "include") == "include"
+    val ids = IndexedSeq.newBuilder[Long]
+    shards.foreach { s =>
+      tables(s).rows.zipWithIndex.foreach { case (m, i) =>
+        val keep =
+          if (shardKey.isEmpty || (minV.isEmpty && maxV.isEmpty)) true
+          else {
+            val v = m.get(shardKey).map { n =>
+              if (n.isNumber) n.asDouble else timeish(n.asText)
+            }.getOrElse(Double.NaN)
+            !v.isNaN &&
+              minV.forall(mv => if (minInc) v >= mv else v > mv) &&
+              maxV.forall(mv => if (maxInc) v <= mv else v < mv)
+          }
+        if (keep) { md.rows += m; ids += (i + 1).toLong }
+      }
+    }
+    tables(md.name) = md
+    (md.name, ids.result())
+  }
+
+  /** IndexDefs of the shards re-pointed at the merged table, so filter
+    * paths (sub_filter accessor hops, match columns) resolve against it.
+    */
+  private def logicalIndexes(tables: mutable.Map[String, TableDef],
+      indexes: Seq[IndexDef], logical: String, mergedName: String): Seq[IndexDef] = {
+    val shardSet = logicalShards(tables, logical).toSet
+    indexes ++ indexes.collect {
+      case ix if shardSet(ix.srcTable) => ix.copy(srcTable = mergedName)
+    }.distinctBy(ix => (ix.lexicon, ix.name, ix.srcCol))
+  }
+
+  /** `[schema, rows...]` envelope body shared by range_filter and
+    * logical_range_filter.
+    */
+  private def schemaRowsNode(td: TableDef, docsCols: Seq[String],
+      page: Seq[Seq[Any]], outCols: Seq[String]): JsonNode = {
+    val f = mapper.getNodeFactory
+    def valueNode(v: Any): JsonNode = v match {
+      case null => f.nullNode()
+      case l: Long => f.numberNode(l)
+      case i: Int => f.numberNode(i)
+      case d: Double => f.numberNode(d)
+      case b: Boolean => f.booleanNode(b)
+      case s: scala.collection.Seq[_] =>
+        val an = f.arrayNode(); s.foreach(e => an.add(valueNode(e))); an
+      case other => f.textNode(String.valueOf(other))
+    }
+    val arr = f.arrayNode()
+    val schema = f.arrayNode()
+    outCols.foreach { c =>
+      val cn = f.arrayNode(); cn.add(c)
+      cn.add(c match {
+        case "_id" => "UInt32"
+        case "_key" => td.keyType.getOrElse("ShortText")
+        case other => td.columns.getOrElse(other, "Text")
+      })
+      schema.add(cn)
+    }
+    arr.add(schema)
+    page.foreach { r =>
+      val rn = f.arrayNode()
+      outCols.foreach { c =>
+        val idx = docsCols.indexOf(if (c == "_id") "docId" else c)
+        rn.add(valueNode(if (idx >= 0) r(idx) else null))
+      }
+      arr.add(rn)
+    }
+    arr
   }
 
   /** Unsigned UTF-8 byte order (reference PAT key order). */
@@ -2464,11 +3073,38 @@ object GrnTestRunner {
         case other if refTd.exists(_.columns.contains(other)) => Right(other)
         case other => Left(col(other))
       }
+      // reference drilldown sorting is grn_table_sort's partial quicksort:
+      // TIES of a single int sort key come out in pack/qsort order, not
+      // stable insertion order (logical_select drilldown sortby/descending)
+      val qsortKey: Option[(String, Boolean)] = spec.sortby match {
+        case Seq(one) =>
+          val body = one.stripPrefix("-").stripPrefix("+")
+          if (body == "_nsubrecs" && df.columns.contains("__first"))
+            Some((body, one.startsWith("-")))
+          else None
+        case _ => None
+      }
+      val extra: Seq[Column] = qsortKey.toSeq.flatMap { case (b, _) =>
+        Seq(col("__first"), col(b).cast("long").as("__sortv")) }
       val projected = df.select(plan.map {
         case Left(c) => c
         case Right(_) => col(spec.keys.head)
-      }: _*)
-      val rows = projected.collect().map(_.toSeq.toSeq).toSeq.map { r =>
+      } ++ extra: _*)
+      val collected0 = projected.collect().map(_.toSeq.toSeq).toSeq
+      val collected = qsortKey match {
+        case Some((_, desc)) if collected0.size == res.drilldownTotals(spec.label) =>
+          // ids in insertion (__first) order, then the reference sort
+          val byFirst = collected0.sortBy(r =>
+            r(r.size - 2) match { case l: Long => l; case i: Int => i.toLong; case _ => 0L })
+          val vals = byFirst.zipWithIndex.map { case (r, i) =>
+            (i + 1).toLong -> (r.last match {
+              case l: Long => l; case i2: Int => i2.toLong; case _ => 0L })
+          }.toMap
+          grnSortOrder((1L to byFirst.size).toSeq, vals, desc, 0, byFirst.size)
+            .map(id => byFirst((id - 1).toInt))
+        case _ => collected0
+      }
+      val rows = collected.map(r => if (extra.nonEmpty) r.dropRight(2) else r).map { r =>
         r.zip(plan).map {
           case (v, Left(_)) => v
           case (v, Right(rc)) =>
