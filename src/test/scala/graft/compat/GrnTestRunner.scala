@@ -45,7 +45,10 @@ object GrnTestRunner {
       weightVectorCols: mutable.Set[String] = mutable.Set(),
       withSis: Boolean = false,
       isPat: Boolean = false,
-      tokenFilters: Seq[String] = Nil)
+      tokenFilters: Seq[String] = Nil,
+      /** Raw table_create flag word (for dump re-rendering). */
+      tableFlags: String = "",
+      valueType: Option[String] = None)
 
   final case class IndexDef(lexicon: String, name: String, srcTable: String,
       srcCol: String, withPosition: Boolean)
@@ -74,6 +77,8 @@ object GrnTestRunner {
       kv: Map[String, String]) extends Cmd
   final case class CLogicalShardList(table: String) extends Cmd
   final case class CLogicalParameters(kv: Map[String, String]) extends Cmd
+  final case class CPlugin(name: String) extends Cmd
+  final case class CDump(kv: Map[String, String]) extends Cmd
 
   /** Thrown when a command fails inside a `#@on-error omit` window — the
     * grntest driver drops the whole fixture from the run (used to guard
@@ -145,6 +150,11 @@ object GrnTestRunner {
       if (line.startsWith("#@on-error ")) {
         cmds += COnError(line.stripPrefix("#@on-error ").trim == "omit")
       }
+      else if (line.startsWith("#@omit")) {
+        // unconditional grntest omit pragma (fixture documents a known
+        // reference limitation; the .expected is not authoritative)
+        throw new OmittedFixture(line.stripPrefix("#@omit").trim)
+      }
       else if (line.startsWith("#@suggest-create-dataset ")) {
         cmds += CSuggestDataset(line.stripPrefix("#@suggest-create-dataset ").trim)
       }
@@ -186,7 +196,9 @@ object GrnTestRunner {
               withSis = args(2).contains("KEY_WITH_SIS"),
               isPat = args(2).contains("PAT_KEY"),
               tokenFilters = flag("--token_filters").toSeq
-                .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty))
+                .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty),
+              tableFlags = args(2),
+              valueType = flag("--value_type"))
             // --value_type declares the `_value` pseudo-column
             // (reference grn_table_create value_type)
             flag("--value_type").foreach(vt => tdNew.columns("_value") = vt)
@@ -283,8 +295,19 @@ object GrnTestRunner {
             cmds += CColumnRemove(args(1), args(2))
           case "config_set" if args.size > 2 =>
             cmds += CConfigSet(args(1), args(2))
-          // plugin_register / register / log_level: no state to model —
-          // the registered proc functions are built in
+          // plugin_register / register: the proc functions are built in;
+          // the NAME is tracked so `dump` can re-emit the registration
+          case "plugin_register" | "register" if args.size > 1 =>
+            cmds += CPlugin(args(1))
+          case "dump" =>
+            val kv = mutable.Map[String, String]()
+            var i = 1
+            while (i < args.size) {
+              if (args(i).startsWith("--") && i + 1 < args.size) {
+                kv(args(i).drop(2)) = args(i + 1); i += 2
+              } else i += 1
+            }
+            cmds += CDump(kv.toMap)
           case _ => () // unsupported command: ignore (log_level etc.)
         }
       }
@@ -464,9 +487,42 @@ object GrnTestRunner {
     }
 
     val suggestDatasets = mutable.Map[String, SuggestDataset]()
+    // journals for `dump` re-rendering
+    val tableOrder = mutable.ArrayBuffer[String]()
+    val ddlCols = mutable.ArrayBuffer[(String, String, String, String, Seq[String])]()
+    val plugins = mutable.LinkedHashSet[String]()
+    val configs = mutable.LinkedHashMap[String, String]()
 
     cmds.foreach {
-      case CTable(d) => tables(d.name) = d
+      case CTable(d) =>
+        tables(d.name) = d
+        tableOrder -= d.name
+        tableOrder += d.name
+      case CPlugin(nm) => plugins += nm
+      case CDump(kv) =>
+        // dump output is a raw command stream, not a JSON envelope —
+        // compare against everything after the LAST `dump` line of the
+        // .expected (the fixtures end with a single dump command)
+        val q = "dump " + kv.mkString(" ")
+        try {
+          val got = dumpCmd(tables, tableOrder.toSeq, ddlCols.toSeq,
+            plugins.toSeq, configs, indexes.toSeq, kv).trim
+          val expText = {
+            val full = java.nio.file.Files.readString(
+              java.nio.file.Paths.get(expectedPath))
+            val lines = full.split('\n')
+            val i = lines.lastIndexWhere(_.startsWith("dump"))
+            lines.drop(i + 1).mkString("\n").trim
+          }
+          outcomes +=
+            (if (got == expText) SelectOutcome(q, ok = true, "ok")
+            else SelectOutcome(q, ok = false,
+              s"dump differs:\n got: ${got.take(400)}\nwant: ${expText.take(400)}"))
+        } catch {
+          case e: Throwable =>
+            if (onErrorOmit) throw new OmittedFixture(s"$q: ${e.getMessage}")
+            outcomes += SelectOutcome(q, ok = false, s"exception: ${e.getMessage}")
+        }
       case COnError(b) => onErrorOmit = b
       case CSuggestDataset(nm) =>
         // the dataset DDL of groonga-suggest-create-dataset (reference
@@ -643,6 +699,7 @@ object GrnTestRunner {
         }
         indexes --= indexes.filter(ix => ix.lexicon == t && ix.name == n)
       case CConfigSet(k, v) =>
+        configs(k) = v
         if (k == "alias.column") v.split("\\.", 2) match {
           case Array(a, b) => aliasCfg = Some((a, b))
           case _ => ()
@@ -652,6 +709,7 @@ object GrnTestRunner {
         if (dst.endsWith(".tsv") && java.nio.file.Files.exists(p))
           tsvSynonyms = parseTsvSynonyms(java.nio.file.Files.readString(p))
       case CColumn(table, name, flags, range, sources) =>
+        ddlCols += ((table, name, flags, range, sources))
         if (flags.contains("COLUMN_INDEX")) {
           // multi-source index ("title,content") = one IndexDef per source
           sources.flatMap(_.split(",").map(_.trim)).filter(_.nonEmpty)
@@ -2051,6 +2109,168 @@ object GrnTestRunner {
     schemaRowsNode(td, ordered.columns.toSeq, page.map(_.toSeq), outCols)
   }
 
+  // ------------------------------------------------------------------ dump
+
+  /** Render the `dump` command stream (reference lib/proc.c:1830 order:
+    * configs, plugins, schema, records, indexes). Schema emits each table
+    * with its non-reference data columns, then all reference columns as a
+    * second pass; records skip empty tables and index-only lexicons;
+    * index column_creates come last so a replay rebuilds them from the
+    * already-loaded sources.
+    */
+  private def dumpCmd(
+      tables: mutable.Map[String, TableDef],
+      tableOrder: Seq[String],
+      ddlCols: Seq[(String, String, String, String, Seq[String])],
+      plugins: Seq[String],
+      configs: collection.Map[String, String],
+      indexes: Seq[IndexDef],
+      kv: Map[String, String]): String = {
+    def on(flag: String): Boolean = !kv.get(flag).contains("no")
+    val parts = mutable.ArrayBuffer[String]() // blank-line-separated groups
+
+    if (on("dump_configs") && configs.nonEmpty)
+      parts += configs.map { case (k, v) => s"config_set $k $v" }.mkString("\n")
+    if (on("dump_plugins") && plugins.nonEmpty)
+      parts += plugins.map(p => s"plugin_register $p").mkString("\n")
+
+    def tableCreateLine(td: TableDef): String = {
+      val flags = td.tableFlags.split('|').filterNot(_ == "KEY_NORMALIZE")
+        .mkString("|")
+      val b = new StringBuilder(s"table_create ${td.name} $flags")
+      td.keyType.foreach(t => b.append(s" $t"))
+      td.valueType.foreach(t => b.append(s" --value_type $t"))
+      td.tokenizer.foreach(t => b.append(s" --default_tokenizer $t"))
+      td.normalizer.foreach(n => b.append(s" --normalizer $n"))
+      if (td.tokenFilters.nonEmpty)
+        b.append(s" --token_filters ${td.tokenFilters.mkString(",")}")
+      b.toString
+    }
+    def colLine(c: (String, String, String, String, Seq[String])): String = {
+      val (t, n, f, r, srcs) = c
+      s"column_create $t $n $f $r" +
+        (if (srcs.nonEmpty) srcs.mkString(" ", ",", "") else "")
+    }
+    val isIndex = (c: (String, String, String, String, Seq[String])) =>
+      c._3.contains("COLUMN_INDEX")
+    val isRef = (c: (String, String, String, String, Seq[String])) =>
+      !isIndex(c) && tables.contains(c._4)
+
+    if (on("dump_schema")) {
+      tableOrder.foreach { tn =>
+        tables.get(tn).foreach { td =>
+          val lines = tableCreateLine(td) +:
+            ddlCols.filter(c => c._1 == tn && !isIndex(c) && !isRef(c)).map(colLine)
+          parts += lines.mkString("\n")
+        }
+      }
+      val refs = ddlCols.filter(isRef)
+      if (refs.nonEmpty)
+        parts += refs.sortBy(c => tableOrder.indexOf(c._1)).map(colLine).mkString("\n")
+    }
+
+    if (on("dump_records")) {
+      def jstr(s: String): String = mapper.writeValueAsString(s)
+      tableOrder.foreach { tn =>
+        tables.get(tn).foreach { td =>
+          // a lexicon's rows materialize from tokenizing the indexed
+          // sources (reference grn_ii update path) before record dump
+          populateLexicon(td, tables, indexes)
+          val dataCols = ddlCols.filter(c => c._1 == tn && !isIndex(c)).map(_._2)
+          val hasIndexCol = ddlCols.exists(c => c._1 == tn && isIndex(c)) ||
+            indexes.exists(_.lexicon == tn)
+          if (td.rows.nonEmpty && !(hasIndexCol && dataCols.isEmpty)) {
+            val header = (if (td.keyed) "_key" else "_id") +: dataCols
+            val keyNumeric = td.keyType.exists(t =>
+              t.startsWith("Int") || t.startsWith("UInt") || t == "Float")
+            def valJson(m: Map[String, JsonNode], c: String, rowIdx: Int): String = c match {
+              case "_id" => (rowIdx + 1).toString
+              case "_key" =>
+                val n = m.get("_key").orNull
+                if (keyNumeric)
+                  (if (n == null || n.isNull) "0"
+                   else if (n.isNumber) n.asText
+                   else n.asText.trim)
+                else jstr(if (n == null) "" else n.asText)
+              case col =>
+                val node = m.get(col).orNull
+                val gt = gtypeOf(td, tables, col)
+                val isWv = td.weightVectorCols.contains(col)
+                if (isWv) {
+                  // weight vector: [{"elem": w}, ...]
+                  node match {
+                    case null => "[]"
+                    case n if n.isObject =>
+                      n.fields().asScala.map(e =>
+                        s"{${jstr(e.getKey)}:${e.getValue.asLong}}")
+                        .mkString("[", ",", "]")
+                    case n if n.isArray =>
+                      n.elements().asScala.map(e => s"{${jstr(e.asText)}:0}")
+                        .mkString("[", ",", "]")
+                    case n => s"[{${jstr(n.asText)}:0}]"
+                  }
+                } else gt match {
+                  case GVec(et) =>
+                    val els: Seq[JsonNode] =
+                      if (node == null || node.isNull) Nil
+                      else if (node.isArray) node.elements().asScala.toSeq
+                      else Seq(node)
+                    els.map(e => scalarJson(e, et, jstr)).mkString("[", ",", "]")
+                  case t0 => scalarJson(node, t0, jstr)
+                }
+            }
+            // PAT tables dump in key byte order (table cursor order);
+            // HASH/NO_KEY in _id (insertion) order
+            val ordered =
+              if (td.isPat && td.keyed)
+                td.rows.sortWith((a, b) => byteLt(
+                  a.get("_key").map(_.asText).getOrElse(""),
+                  b.get("_key").map(_.asText).getOrElse("")))
+              else td.rows
+            val rowLines = ordered.zipWithIndex.map { case (m, i) =>
+              header.map(c => valJson(m, c, i)).mkString("[", ",", "]")
+            }
+            parts += (s"load --table $tn\n[\n" +
+              (header.map(jstr).mkString("[", ",", "]") +: rowLines)
+                .mkString(",\n") + "\n]")
+          }
+        }
+      }
+    }
+
+    if (on("dump_indexes")) {
+      val ix = ddlCols.filter(isIndex)
+      // each index column once (multi-source defs were split at parse)
+      ix.foreach(c => parts += colLine(c))
+    }
+    parts.mkString("\n\n")
+  }
+
+  /** One scalar value of a dump load row. */
+  private def scalarJson(node: JsonNode, t: GType, jstr: String => String): String =
+    t match {
+      case GInt(_, _) =>
+        if (node == null || node.isNull) "0"
+        else if (node.isNumber) node.asLong.toString
+        else node.asText.trim.toLongOption.getOrElse(0L).toString
+      case GFloat =>
+        if (node == null || node.isNull) "0.0"
+        else node.asDouble.toString
+      case GTime =>
+        val d =
+          if (node == null || node.isNull) 0.0
+          else if (node.isNumber) node.asDouble
+          else try ScriptExpr.parseTime(node.asText) catch { case _: Exception => 0.0 }
+        if (d == d.floor) f"$d%.1f" else d.toString
+      case GBool =>
+        if (node != null && !node.isNull &&
+          (if (node.isBoolean) node.asBoolean else node.asText == "true")) "true"
+        else "false"
+      case _ =>
+        jstr(if (node == null || node.isNull) ""
+             else if (node.isTextual) node.asText else node.toString)
+    }
+
   // --------------------------------------------------- sharding (logical_*)
 
   /** Shards of a logical table: `<name>_` + digits, walked in name byte
@@ -2163,6 +2383,48 @@ object GrnTestRunner {
   }
 
   /** Unsigned UTF-8 byte order (reference PAT key order). */
+  /** Lexicon auto-population: a keyed table that is the LEXICON of index
+    * columns receives its keys from tokenizing the indexed sources at
+    * load time (reference grn_ii update path) — selects over the lexicon
+    * itself (fuzzy_search over _key, prefix walks) and `dump` records see
+    * those rows.
+    */
+  private def populateLexicon(td: TableDef,
+      tables: collection.Map[String, TableDef],
+      indexes: Seq[IndexDef]): Unit = {
+    val tableName = td.name
+    if (td.keyed && td.rows.isEmpty && indexes.exists(_.lexicon == tableName)) {
+      val seen = mutable.LinkedHashSet[String]()
+      val tok = td.tokenizer.map(_ =>
+        graft.analysis.Tokenizers.byName(lexTokName(td)))
+      val norm = normOf(td)
+      indexes.filter(_.lexicon == tableName).foreach { ix =>
+        tables.get(ix.srcTable).foreach { src =>
+          src.rows.foreach { m =>
+            val node =
+              if (ix.srcCol == "_key") m.get("_key").orNull else m.get(ix.srcCol).orNull
+            val vals: Seq[String] =
+              if (node == null || node.isNull) Nil
+              else if (node.isArray) node.elements().asScala.map(_.asText).toSeq
+              else if (node.isObject) node.fieldNames().asScala.toSeq
+              else Seq(node.asText)
+            vals.filter(_.nonEmpty).foreach { v =>
+              tok match {
+                case Some(t) =>
+                  t.tokenize(v, graft.analysis.TokenizeMode.Add).foreach(seen += _.term)
+                case None => seen += norm.map(_(v)).getOrElse(v)
+              }
+            }
+          }
+        }
+      }
+      seen.foreach { k =>
+        td.rows += Map("_key" ->
+          com.fasterxml.jackson.databind.node.TextNode.valueOf(k))
+      }
+    }
+  }
+
   private def byteLt(a: String, b: String): Boolean = {
     val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
     val n = math.min(x.length, y.length)
@@ -2276,36 +2538,7 @@ object GrnTestRunner {
     // columns receives its keys from tokenizing the indexed sources at
     // load time (reference grn_ii update path) — selects over the lexicon
     // itself (fuzzy_search over _key, prefix walks) see those rows
-    if (td.keyed && td.rows.isEmpty && indexes.exists(_.lexicon == tableName)) {
-      val seen = mutable.LinkedHashSet[String]()
-      val tok = td.tokenizer.map(_ =>
-        graft.analysis.Tokenizers.byName(lexTokName(td)))
-      val norm = normOf(td)
-      indexes.filter(_.lexicon == tableName).foreach { ix =>
-        tables.get(ix.srcTable).foreach { src =>
-          src.rows.foreach { m =>
-            val node =
-              if (ix.srcCol == "_key") m.get("_key").orNull else m.get(ix.srcCol).orNull
-            val vals: Seq[String] =
-              if (node == null || node.isNull) Nil
-              else if (node.isArray) node.elements().asScala.map(_.asText).toSeq
-              else if (node.isObject) node.fieldNames().asScala.toSeq
-              else Seq(node.asText)
-            vals.filter(_.nonEmpty).foreach { v =>
-              tok match {
-                case Some(t) =>
-                  t.tokenize(v, graft.analysis.TokenizeMode.Add).foreach(seen += _.term)
-                case None => seen += norm.map(_(v)).getOrElse(v)
-              }
-            }
-          }
-        }
-      }
-      seen.foreach { k =>
-        td.rows += Map("_key" ->
-          com.fasterxml.jackson.databind.node.TextNode.valueOf(k))
-      }
-    }
+    populateLexicon(td, tables, indexes.toSeq)
 
     val colNames = td.columns.keys.toSeq
 
