@@ -92,6 +92,13 @@ object ScriptExpr {
       */
     def record(table: String, key: Any): Option[Map[String, TVal]] = None
 
+    /** Normalizer of the primary table's key, if any — string constants
+      * compared for equality against `_key` normalize through it first
+      * (reference key lookup semantics: grn_table_get normalizes the
+      * probe key before the hash/pat lookup, lib/db.c).
+      */
+    def keyNormalizer: Option[String => String] = None
+
     /** Function call; return None for "unknown function" (an error). */
     def call(name: String, args: Seq[TVal]): Option[TVal] =
       ScriptExpr.defaultCall(name, args)
@@ -508,6 +515,19 @@ object ScriptExpr {
         assigns += name -> stored.col
         shadow(name) = stored
         stored
+      case Bin(op @ ("==" | "!="), l, r) if env.keyNormalizer.isDefined &&
+          (pathOf(l).contains(Seq("_key")) || pathOf(r).contains(Seq("_key"))) =>
+        // equality against `_key` of a normalized table normalizes the
+        // constant side (the stored key IS the normalized form)
+        val f = env.keyNormalizer.get
+        def normLit(v: TVal): TVal = v.litv match {
+          case Some(s: String) => TVal(lit(f(s)), v.t, litv = Some(f(s)))
+          case _ => v
+        }
+        val lv = lo(l); val rv = lo(r)
+        binop(op,
+          if (pathOf(r).contains(Seq("_key"))) normLit(lv) else lv,
+          if (pathOf(l).contains(Seq("_key"))) normLit(rv) else rv, env)
       case Bin(op, l, r) => binop(op, lo(l), lo(r), env)
     }
 

@@ -30,7 +30,7 @@ object CompatSweep {
       "logical_shard_list", "logical_parameters", "dump")
     val roots = Seq("select", "tokenize", "normalize", "table_tokenize",
       "token_filters", "tokenizers", "suggest", "range_filter", "sharding",
-      "dump")
+      "dump", "load")
     val fixtures = roots.iterator.flatMap(r =>
         Files.walk(suite.resolve(r)).iterator().asScala)
       .filter(p => p.toString.endsWith(".test"))

@@ -56,7 +56,8 @@ object GrnTestRunner {
   sealed trait Cmd
   final case class CTable(d: TableDef) extends Cmd
   final case class CColumn(table: String, name: String, flags: String, range: String, sources: Seq[String]) extends Cmd
-  final case class CLoad(table: String, columns: Option[Seq[String]], json: String) extends Cmd
+  final case class CLoad(table: String, columns: Option[Seq[String]], json: String,
+      each: Option[String] = None, fromInclude: Boolean = false) extends Cmd
   final case class CSelect(args: Map[String, String], table: String) extends Cmd
   final case class CColumnRemove(table: String, name: String) extends Cmd
   final case class CConfigSet(key: String, value: String) extends Cmd
@@ -133,7 +134,12 @@ object GrnTestRunner {
       if (t.startsWith("#@include ")) {
         val p = includeBase.resolve(t.stripPrefix("#@include ").trim)
         if (java.nio.file.Files.exists(p))
-          expandIncludes(java.nio.file.Files.readString(p), depth + 1)
+          // marker pair: included commands do NOT appear in the .expected
+          // stream (grntest records only the fixture's own commands), so
+          // the parser must know which loads came from an include
+          "#@__begin_include__\n" +
+            expandIncludes(java.nio.file.Files.readString(p), depth + 1) +
+            "\n#@__end_include__"
         else line
       } else line
     }.mkString("\n")
@@ -145,9 +151,12 @@ object GrnTestRunner {
     val joined = expandIncludes(text).replace("\\\n", " ")
     val lines = joined.split('\n').iterator.buffered
     val cmds = mutable.ArrayBuffer[Cmd]()
+    var includeDepth = 0
     while (lines.hasNext) {
       val line = lines.next().trim
-      if (line.startsWith("#@on-error ")) {
+      if (line == "#@__begin_include__") includeDepth += 1
+      else if (line == "#@__end_include__") includeDepth -= 1
+      else if (line.startsWith("#@on-error ")) {
         cmds += COnError(line.stripPrefix("#@on-error ").trim == "omit")
       }
       else if (line.startsWith("#@omit")) {
@@ -212,18 +221,23 @@ object GrnTestRunner {
             val table = args.sliding(2).collectFirst { case Seq("--table", v) => v }.get
             val loadCols = args.sliding(2).collectFirst { case Seq("--columns", v) => v }
               .map(_.split(",").map(_.trim).toSeq)
-            val sb = new StringBuilder
-            var depth = 0
-            var started = false
-            while (lines.hasNext && (!started || depth > 0)) {
-              val l = lines.next()
-              l.foreach { c =>
-                if (c == '[' || c == '{') { depth += 1; started = true }
-                else if (c == ']' || c == '}') depth -= 1
+            val each = args.sliding(2).collectFirst { case Seq("--each", v) => v }
+            val inlineVals = args.sliding(2).collectFirst { case Seq("--values", v) => v }
+            val json = inlineVals.getOrElse {
+              val sb = new StringBuilder
+              var depth = 0
+              var started = false
+              while (lines.hasNext && (!started || depth > 0)) {
+                val l = lines.next()
+                l.foreach { c =>
+                  if (c == '[' || c == '{') { depth += 1; started = true }
+                  else if (c == ']' || c == '}') depth -= 1
+                }
+                sb.append(l).append('\n')
               }
-              sb.append(l).append('\n')
+              sb.toString
             }
-            cmds += CLoad(table, loadCols, sb.toString)
+            cmds += CLoad(table, loadCols, json, each, includeDepth > 0)
           case "select" =>
             val kv = mutable.Map[String, String]()
             var table = if (args.size > 1 && !args(1).startsWith("--")) args(1) else ""
@@ -432,7 +446,8 @@ object GrnTestRunner {
     // tokenize/normalize/table_tokenize outputs)
     val comparedCmds = Set("select", "tokenize", "normalize", "table_tokenize",
       "suggest", "range_filter", "logical_count", "logical_select",
-      "logical_range_filter", "logical_shard_list", "logical_parameters")
+      "logical_range_filter", "logical_shard_list", "logical_parameters",
+      "load")
     val selectEnvelopes = expected.collect {
       case (c, j) if comparedCmds(c.takeWhile(ch => ch.isLetter || ch == '_')) => j
     }
@@ -724,91 +739,188 @@ object GrnTestRunner {
             if (flags.contains("WITH_WEIGHT")) tables(table).weightVectorCols += name
           }
         }
-      case CLoad(table, loadCols, json) =>
-        val arr = mapper.readTree(json)
-        val elems = arr.elements().asScala.toSeq
-        // array-of-arrays form: values are positional — column names come
-        // from --columns, else from a header row (reference lib/db.c:13568)
-        val (header, dataRows) = loadCols match {
-          case Some(cs) => (Some(cs), elems)
-          case None if elems.nonEmpty && elems.head.isArray =>
-            (Some(elems.head.elements().asScala.map(_.asText).toSeq), elems.tail)
-          case None => (None, elems)
-        }
-        dataRows.foreach { obj =>
-          val m: Map[String, JsonNode] =
-            if (obj.isArray) {
-              val vals = obj.elements().asScala.toSeq
-              header.getOrElse(Seq.empty).zip(vals).toMap
-            } else obj.fields().asScala.map(e => e.getKey -> e.getValue).toMap
-          // keyed tables upsert: a load with an existing _key updates that
-          // record in place (reference grn_table_add semantics)
-          val selfNorm = normOf(tables(table))
-          def selfKey(n: JsonNode): Option[String] =
-            Option(n).filterNot(_.isNull).map(_.asText)
-              .map(s => selfNorm.map(_(s)).getOrElse(s))
-          val existingIdx: Int =
-            if (!tables(table).keyed) -1
-            else (m.get("_key").flatMap(selfKey), tables(table).rows) match {
-              case (Some(k), rows) =>
-                rows.indexWhere(r => r.get("_key").flatMap(selfKey).contains(k))
-              case _ => -1
-            }
-          if (existingIdx >= 0)
-            tables(table).rows(existingIdx) = tables(table).rows(existingIdx) ++ m
-          else tables(table).rows += m
-          // KEY_WITH_SIS auto-registers every proper suffix of the key,
-          // longest first (reference grn_pat semi-infinite strings)
-          if (tables(table).withSis) m.get("_key").filterNot(_.isNull).foreach { kn =>
-            val cps = kn.asText.codePoints().toArray
-            val known = mutable.Set[String](tables(table).rows
-              .flatMap(_.get("_key")).map(_.asText).toSeq: _*)
-            (1 until cps.length).foreach { i =>
-              val sfx = new String(cps, i, cps.length - i)
-              if (!known.contains(sfx)) {
-                known += sfx
-                tables(table).rows += Map("_key" ->
-                  com.fasterxml.jackson.databind.node.TextNode.valueOf(sfx))
-              }
-            }
+      case CLoad(table, loadCols, json, each, fromInclude) =>
+        val q = s"load --table $table"
+        // every top-level load has an envelope ([header, nLoaded]) in the
+        // .expected; included loads don't appear in the stream at all
+        var expRc = 0
+        var expCount = -1L
+        if (!fromInclude) {
+          selectN += 1
+          val exp = if (selectN < selectEnvelopes.size) selectEnvelopes(selectN) else null
+          if (exp != null && exp.isArray && exp.size > 1) {
+            try {
+              val h = exp.get(0).get(0)
+              expRc = if (h.isArray) h.get(0).asInt else h.asInt
+            } catch { case _: Throwable => () }
+            if (exp.get(1).isNumber) expCount = exp.get(1).asLong
           }
-          // loading through a reference column auto-adds missing keys to
-          // the target table (reference grn_obj_cast addp=true path)
-          val td = tables(table)
-          m.foreach { case (c, node) =>
-            td.columns.get(c).flatMap(tables.get).filter(_.keyed).foreach { target =>
-              val vals: Seq[String] =
-                if (node == null || node.isNull) Nil
-                else if (node.isArray) node.elements().asScala.map(_.asText).toSeq
-                else if (node.isObject) node.fieldNames().asScala.toSeq
-                else Seq(node.asText)
-              val tNorm = normOf(target)
-              def nk(s: String) = tNorm.map(_(s)).getOrElse(s)
-              val existing = mutable.Set[String](
-                target.rows.flatMap(_.get("_key")).map(k => nk(k.asText)).toSeq: _*)
-              vals.filter(_.nonEmpty).foreach { v =>
-                if (!existing.contains(nk(v))) {
-                  existing += nk(v)
-                  target.rows += Map("_key" ->
-                    com.fasterxml.jackson.databind.node.TextNode.valueOf(v))
+        }
+        var loaded = 0L
+        var loadErr: String = null
+        try {
+          val td0 = tables(table)
+          // a nonexistent --columns name rejects the whole load
+          // (reference rc -22 "nonexistent column")
+          loadCols.toSeq.flatten.foreach { c =>
+            if (!td0.columns.contains(c) && c != "_key" && c != "_id" && c != "_value")
+              throw new ScriptError(s"nonexistent column: <$c>")
+          }
+          // a duplicated key inside one row object aborts that row
+          // (reference "duplicated '_id' column"); detected by strict re-parse
+          val strict = mapper.copy()
+          strict.enable(
+            com.fasterxml.jackson.core.JsonParser.Feature.STRICT_DUPLICATE_DETECTION)
+          val arr = strict.readTree(json)
+          val elems = arr.elements().asScala.toSeq
+          // array-of-arrays form: values are positional — column names come
+          // from --columns, else from a header row (reference lib/db.c:13568)
+          val (header, dataRows) = loadCols match {
+            case Some(cs) => (Some(cs), elems)
+            case None if elems.nonEmpty && elems.head.isArray =>
+              (Some(elems.head.elements().asScala.map(_.asText).toSeq), elems.tail)
+            case None => (None, elems)
+          }
+          dataRows.foreach { obj =>
+            val mRaw: Map[String, JsonNode] =
+              if (obj.isArray) {
+                val vals = obj.elements().asScala.toSeq
+                header.getOrElse(Seq.empty).zip(vals).toMap
+              } else obj.fields().asScala.map(e => e.getKey -> e.getValue).toMap
+            // cast values into the column types up front (reference
+            // grn_obj_cast at load) — every side effect sees casted values
+            val m0 = mRaw.map { case (c, n) => c -> castLoadNode(td0, tables, c, n) }
+            // a normalized table stores the NORMALIZED key (reference
+            // grn_table_add runs the key through grn_string, blanks kept)
+            val m = m0.get("_key") match {
+              case Some(k) if k != null && k.isTextual && td0.normalizer.isDefined =>
+                m0 + ("_key" -> (com.fasterxml.jackson.databind.node.TextNode
+                  .valueOf(Normalizer.autoKeepBlank(k.asText).text): JsonNode))
+              case _ => m0
+            }
+            // keyed tables upsert: a load with an existing _key updates that
+            // record in place (reference grn_table_add semantics)
+            val selfNorm = normOf(tables(table))
+            def selfKey(n: JsonNode): Option[String] =
+              Option(n).filterNot(_.isNull).map(_.asText)
+                .map(s => selfNorm.map(_(s)).getOrElse(s))
+            // `_id` addresses an existing record in place; a non-integral
+            // or unknown _id rejects the row (reference grn_table_at)
+            var storedIdx = -1
+            val idNode = m.get("_id").orNull
+            if (idNode != null && !idNode.isNull) {
+              if (idNode.isIntegralNumber &&
+                  idNode.asLong >= 1 && idNode.asLong <= tables(table).rows.size) {
+                storedIdx = (idNode.asLong - 1).toInt
+                tables(table).rows(storedIdx) =
+                  tables(table).rows(storedIdx) ++ (m - "_id")
+                loaded += 1
+              }
+            } else {
+              val existingIdx: Int =
+                if (!tables(table).keyed) -1
+                else (m.get("_key").flatMap(selfKey), tables(table).rows) match {
+                  case (Some(k), rows) =>
+                    rows.indexWhere(r => r.get("_key").flatMap(selfKey).contains(k))
+                  case _ => -1
+                }
+              if (existingIdx >= 0) {
+                storedIdx = existingIdx
+                tables(table).rows(existingIdx) = tables(table).rows(existingIdx) ++ m
+              } else {
+                tables(table).rows += m
+                storedIdx = tables(table).rows.size - 1
+              }
+              loaded += 1
+            }
+            if (storedIdx >= 0) {
+            // --each: per-record assignment evaluated after the row lands
+            // (reference load_() each expression); geo_distance assignment
+            // is the only form the fixtures use outside the suggest learner
+            each.foreach { ex =>
+              eachGeoRe.findFirstMatchIn(ex).foreach { mm =>
+                val (dst, src, ref) = (mm.group(1), mm.group(2), mm.group(3))
+                val row = tables(table).rows(storedIdx)
+                row.get(src).filterNot(_.isNull).foreach { loc =>
+                  val d = graft.functions.GrnGeo.distanceRectangle(loc.asText, ref)
+                  val v: JsonNode = typeOfName(tables(table).columns.getOrElse(dst, "")) match {
+                    case GInt(_, _) => mapper.getNodeFactory.numberNode(d.toLong)
+                    case _ => mapper.getNodeFactory.numberNode(d)
+                  }
+                  tables(table).rows(storedIdx) = row + (dst -> v)
                 }
               }
             }
-          }
-          // suggest learner: loading into event_<dataset> runs
-          // suggest_preparer per row (the fixtures' `load --each`)
-          if (table.startsWith("event_"))
-            suggestDatasets.get(table.stripPrefix("event_")).foreach { ds =>
-              val w = tables.get("configuration")
-                .flatMap(_.rows.find(_.get("_key").exists(_.asText == ds.name)))
-                .flatMap(_.get("weight")).map(_.asLong).getOrElse(1L)
-              ds.learn(
-                m.get("item").filterNot(_.isNull).map(_.asText).orNull,
-                m.get("type").filterNot(_.isNull).map(_.asText),
-                m.get("sequence").filterNot(_.isNull).map(_.asText).orNull,
-                m.get("time").map(_.asDouble).getOrElse(0.0), w)
+            // KEY_WITH_SIS auto-registers every proper suffix of the key,
+            // longest first (reference grn_pat semi-infinite strings)
+            if (tables(table).withSis) m.get("_key").filterNot(_.isNull).foreach { kn =>
+              val cps = kn.asText.codePoints().toArray
+              val known = mutable.Set[String](tables(table).rows
+                .flatMap(_.get("_key")).map(_.asText).toSeq: _*)
+              (1 until cps.length).foreach { i =>
+                val sfx = new String(cps, i, cps.length - i)
+                if (!known.contains(sfx)) {
+                  known += sfx
+                  tables(table).rows += Map("_key" ->
+                    com.fasterxml.jackson.databind.node.TextNode.valueOf(sfx))
+                }
+              }
             }
+            // loading through a reference column auto-adds missing keys to
+            // the target table (reference grn_obj_cast addp=true path)
+            val td = tables(table)
+            m.foreach { case (c, node) =>
+              td.columns.get(c).flatMap(tables.get).filter(_.keyed).foreach { target =>
+                val vals: Seq[String] =
+                  if (node == null || node.isNull) Nil
+                  else if (node.isArray) node.elements().asScala.map(_.asText).toSeq
+                  else if (node.isObject) node.fieldNames().asScala.toSeq
+                  else Seq(node.asText)
+                val tNorm = normOf(target)
+                def nk(s: String) = tNorm.map(_(s)).getOrElse(s)
+                val existing = mutable.Set[String](
+                  target.rows.flatMap(_.get("_key")).map(k => nk(k.asText)).toSeq: _*)
+                vals.filter(_.nonEmpty).foreach { v =>
+                  if (!existing.contains(nk(v))) {
+                    existing += nk(v)
+                    target.rows += Map("_key" ->
+                      com.fasterxml.jackson.databind.node.TextNode.valueOf(v))
+                  }
+                }
+              }
+            }
+            // suggest learner: loading into event_<dataset> runs
+            // suggest_preparer per row (the fixtures' `load --each`)
+            if (table.startsWith("event_"))
+              suggestDatasets.get(table.stripPrefix("event_")).foreach { ds =>
+                val w = tables.get("configuration")
+                  .flatMap(_.rows.find(_.get("_key").exists(_.asText == ds.name)))
+                  .flatMap(_.get("weight")).map(_.asLong).getOrElse(1L)
+                ds.learn(
+                  m.get("item").filterNot(_.isNull).map(_.asText).orNull,
+                  m.get("type").filterNot(_.isNull).map(_.asText),
+                  m.get("sequence").filterNot(_.isNull).map(_.asText).orNull,
+                  m.get("time").map(_.asDouble).getOrElse(0.0), w)
+              }
+            }
+          }
+        } catch {
+          // expected rejections: the count comparison below sees loaded=0
+          case _: com.fasterxml.jackson.core.JsonProcessingException => ()
+          case _: ScriptError => ()
+          case e: Throwable =>
+            loadErr = s"${e.getClass.getSimpleName}: ${e.getMessage}"
         }
+        if (!fromInclude) {
+          if (loadErr != null && onErrorOmit)
+            throw new OmittedFixture(s"$q: $loadErr")
+          outcomes +=
+            (if (loadErr != null) SelectOutcome(q, ok = false, s"exception: $loadErr")
+            else if (expCount >= 0 && loaded != expCount)
+              SelectOutcome(q, ok = false, s"load count: got $loaded want $expCount")
+            else SelectOutcome(q, ok = true, "ok"))
+        } else if (loadErr != null && onErrorOmit)
+          throw new OmittedFixture(s"$q: $loadErr")
       case CSelect(args, tableName) =>
         selectN += 1
         val exp = if (selectN < selectEnvelopes.size) selectEnvelopes(selectN) else null
@@ -848,6 +960,92 @@ object GrnTestRunner {
 
   private def normOf(td: TableDef): Option[String => String] =
     td.normalizer.map(_ => (s: String) => if (s == null) null else Normalizer.auto(s).text)
+
+  /** `--each 'dst = geo_distance(src, "POINT")'` assignment form. */
+  private val eachGeoRe =
+    """^\s*(\w+)\s*=\s*geo_distance\(\s*(\w+)\s*,\s*"([^"]+)"\s*\)\s*$""".r
+
+  /** GeoPoint text → canonical "latxlon" in milliseconds, or None when out
+    * of range / unparseable (reference grn_geo bounds: |lat| ≤ 90°,
+    * |lon| < 180°; degree notation converts by round(deg·3600·1000)).
+    */
+  private def geoMsec(s: String): Option[String] = {
+    val t = s.trim
+    val parts = t.split(if (t.contains('x')) "x" else ",")
+    if (parts.length != 2) None
+    else {
+      def msec(p: String): Option[Long] =
+        if (p.contains('.')) p.trim.toDoubleOption.map { d =>
+          val v = d * 3600 * 1000
+          if (v >= 0) math.floor(v + 0.5).toLong else math.ceil(v - 0.5).toLong
+        }
+        else p.trim.toLongOption
+      for {
+        la <- msec(parts(0)); lo <- msec(parts(1))
+        if math.abs(la) <= 324000000L && math.abs(lo) <= 647999999L
+      } yield s"${la}x${lo}"
+    }
+  }
+
+  /** Canonicalize a loaded JSON value per the column's type where the
+    * render path can't recover it later (reference grn_obj_cast at load,
+    * lib/db.c): bool→numeric/time, numeric-string→Time epoch, geo point
+    * degree notation and bounds, scalar text→vector through a
+    * tokenizer-equipped range lexicon, and vector elements whose cast
+    * fails are dropped (reference logs the error and keeps going).
+    */
+  private def castLoadNode(td: TableDef,
+      tables: collection.Map[String, TableDef],
+      c: String, n: JsonNode): JsonNode = {
+    if (n == null || n.isNull || c == "_key" || c == "_id" ||
+        !td.columns.contains(c) || td.weightVectorCols.contains(c)) return n
+    val nf = mapper.getNodeFactory
+    val range = td.columns(c)
+    val baseG: GType = tables.get(range) match {
+      case Some(t) => t.keyType.map(typeOfName).getOrElse(GText)
+      case None => typeOfName(range)
+    }
+    val isGeo = range.endsWith("GeoPoint")
+    val isVec = td.vectorCols(c)
+    def castScalar(e: JsonNode): Option[JsonNode] =
+      if (isGeo) {
+        if (e.isBoolean) Some(nf.textNode("0x0"))
+        else geoMsec(e.asText) match {
+          case Some(p) => Some(nf.textNode(p))
+          case None => if (isVec) None else Some(nf.textNode("0x0"))
+        }
+      } else baseG match {
+        case GInt(_, _) =>
+          if (e.isBoolean) Some(nf.numberNode(if (e.asBoolean) 1L else 0L))
+          else if (e.isNumber) Some(e)
+          else e.asText.trim.toLongOption.map(v => nf.numberNode(v): JsonNode)
+            .orElse(if (isVec) None else Some(e))
+        case GFloat if e.isBoolean =>
+          Some(nf.numberNode(if (e.asBoolean) 1.0 else 0.0))
+        case GTime =>
+          if (e.isBoolean) Some(nf.numberNode(if (e.asBoolean) 1e-6 else 0.0))
+          else if (e.isTextual && e.asText.trim.matches("-?\\d+"))
+            Some(nf.numberNode(e.asText.trim.toDouble))
+          else Some(e)
+        case _ => Some(e)
+      }
+    if (isVec) {
+      if (n.isArray) {
+        val out = nf.arrayNode()
+        n.elements().asScala.foreach(e => castScalar(e).foreach(out.add))
+        out
+      } else if (n.isTextual && tables.get(range).exists(_.tokenizer.isDefined)) {
+        // a scalar string cast to a vector through a tokenizer-equipped
+        // range lexicon tokenizes into one element per token
+        val lex = tables(range)
+        val tok = graft.analysis.Tokenizers.byName(lexTokName(lex))
+        val out = nf.arrayNode()
+        tok.tokenize(n.asText, graft.analysis.TokenizeMode.Add)
+          .foreach(t => out.add(nf.textNode(t.term)))
+        out
+      } else n
+    } else castScalar(n).getOrElse(n)
+  }
 
   /** Groonga type of a column, resolving reference columns to their target
     * table's key type (the stored value IS the key).
@@ -938,6 +1136,13 @@ object GrnTestRunner {
       aliasFn: String => Option[Seq[String]] = _ => None,
       /** Query expansion by expander name, for query()'s third argument. */
       queryExpand: (String, String) => String = (_, q) => q) extends Env {
+
+    /** Stored keys of a normalized table are the normalized form; `_key`
+      * equality normalizes the constant side the same way (blanks kept —
+      * grn_string without REMOVE_BLANK).
+      */
+    override def keyNormalizer: Option[String => String] =
+      td.normalizer.map(_ => (s: String) => Normalizer.autoKeepBlank(s).text)
 
     /** Index-routed match operators in script filters: `*N` (near) and
       * `*S` (similar) resolve through the index eagerly — fixture tables
@@ -3237,6 +3442,13 @@ object GrnTestRunner {
       // match_columns spec string (parsed again inside Select.run)
       matchColumns = sectionEntries match {
         case Seq(one) => Seq(one.render)
+        // several entries over ONE source column (e.g. two separate
+        // lexicons both indexing _key): each index matches independently
+        // and the scores add — with identical analysis that is the
+        // weight-sum on a single match (reference OP_OR score merge)
+        case es if es.size > 1 && es.map(_.column).distinct.size == 1 &&
+            es.forall(e => e.cap.isEmpty && !e.tfIdf) =>
+          Seq(es.head.copy(weight = es.map(_.weight).sum).render)
         case _ => matchCol.toSeq
       },
       filter = filterCol,
