@@ -27,10 +27,11 @@ object CompatSweep {
       "plugin_register", "register", "log_level", "column_remove", "config_set",
       "tokenize", "normalize", "table_tokenize", "suggest", "range_filter",
       "logical_count", "logical_select", "logical_range_filter",
-      "logical_shard_list", "logical_parameters", "dump")
+      "logical_shard_list", "logical_parameters", "dump", "delete",
+      "truncate")
     val roots = Seq("select", "tokenize", "normalize", "table_tokenize",
       "token_filters", "tokenizers", "suggest", "range_filter", "sharding",
-      "dump", "load")
+      "dump", "load", "delete", "truncate")
     val fixtures = roots.iterator.flatMap(r =>
         Files.walk(suite.resolve(r)).iterator().asScala)
       .filter(p => p.toString.endsWith(".test"))

@@ -80,6 +80,8 @@ object GrnTestRunner {
   final case class CLogicalParameters(kv: Map[String, String]) extends Cmd
   final case class CPlugin(name: String) extends Cmd
   final case class CDump(kv: Map[String, String]) extends Cmd
+  final case class CDelete(table: String, kv: Map[String, String]) extends Cmd
+  final case class CTruncate(target: String) extends Cmd
 
   /** Thrown when a command fails inside a `#@on-error omit` window — the
     * grntest driver drops the whole fixture from the run (used to guard
@@ -322,6 +324,23 @@ object GrnTestRunner {
               } else i += 1
             }
             cmds += CDump(kv.toMap)
+          case "delete" =>
+            val kv = mutable.Map[String, String]()
+            var table = if (args.size > 1 && !args(1).startsWith("--")) args(1) else ""
+            var i = 1
+            while (i < args.size) {
+              if (args(i).startsWith("--") && i + 1 < args.size) {
+                kv(args(i).drop(2)) = args(i + 1); i += 2
+              } else i += 1
+            }
+            if (kv.contains("table")) table = kv("table")
+            cmds += CDelete(table, kv.toMap)
+          case "truncate" =>
+            val target = args.sliding(2)
+              .collectFirst { case Seq("--target_name", v) => v }
+              .orElse(args.lift(1).filterNot(_.startsWith("--")))
+              .getOrElse("")
+            cmds += CTruncate(target)
           case _ => () // unsupported command: ignore (log_level etc.)
         }
       }
@@ -396,11 +415,32 @@ object GrnTestRunner {
     var depth = 0
     var inJson = false
     var inXml = false
+    // dump output is a raw command stream (no envelope): swallow it so
+    // its load/table_create lines never pollute the envelope queue
+    var inDump = false
+    var dumpDepth = 0
+    val dumpEmittable = Set("table_create", "column_create", "load",
+      "config_set", "plugin_register", "register")
     val xmlBuf = new StringBuilder
     val joined = text.replace("\\\n", " ")
     joined.split('\n').foreach { line =>
       val t = line.trim
-      if (inXml) {
+      if (inDump) {
+        val tok = t.takeWhile(c => c.isLetter || c == '_')
+        val isCmdLine = dumpDepth == 0 && t.nonEmpty && t.head.isLetter
+        if (isCmdLine && !dumpEmittable.contains(tok)) {
+          inDump = false
+          if (curCmd != null) out += ((curCmd, lastJson))
+          curCmd = t
+          lastJson = null
+          if (tok == "dump") { inDump = true; dumpDepth = 0 }
+        } else if (t.startsWith("[") || t.startsWith("{") || dumpDepth > 0)
+          line.foreach { c =>
+            if (c == '[' || c == '{') dumpDepth += 1
+            else if (c == ']' || c == '}') dumpDepth -= 1
+          }
+      }
+      else if (inXml) {
         xmlBuf.append(line).append('\n')
         if (t.startsWith("</SEGMENTS>")) {
           inXml = false
@@ -414,6 +454,9 @@ object GrnTestRunner {
           if (curCmd != null) out += ((curCmd, lastJson))
           curCmd = t
           lastJson = null
+          if (t.takeWhile(c => c.isLetter || c == '_') == "dump") {
+            inDump = true; dumpDepth = 0
+          }
         }
       } else {
         if (!inJson) { inJson = true; sb.clear() }
@@ -447,7 +490,7 @@ object GrnTestRunner {
     val comparedCmds = Set("select", "tokenize", "normalize", "table_tokenize",
       "suggest", "range_filter", "logical_count", "logical_select",
       "logical_range_filter", "logical_shard_list", "logical_parameters",
-      "load")
+      "load", "delete", "truncate")
     val selectEnvelopes = expected.collect {
       case (c, j) if comparedCmds(c.takeWhile(ch => ch.isLetter || ch == '_')) => j
     }
@@ -455,6 +498,7 @@ object GrnTestRunner {
     val tables = mutable.Map[String, TableDef]()
     val indexes = mutable.ArrayBuffer[IndexDef]()
     var selectN = -1
+    var dumpN = 0
     val outcomes = mutable.ArrayBuffer[SelectOutcome]()
     // `config_set alias.column T.C`: unknown-name resolution table
     // (reference lib/alias.c grn_obj_resolve_alias)
@@ -465,6 +509,9 @@ object GrnTestRunner {
     var rangeIndexParam = "auto"
     // synonyms staged by #@copy-path for the TSV query-expander plugin
     var tsvSynonyms: Map[String, String] = Map.empty
+    // lexicon keys removed by `delete` — their postings are gone, so a
+    // query term equal to one matches nothing (reference grn_ii key removal)
+    val deadLexTerms = mutable.Map[String, Set[String]]()
 
     // compare a non-select command's JSON output against its envelope
     // (tokenize / normalize / table_tokenize share the select queue)
@@ -516,19 +563,15 @@ object GrnTestRunner {
       case CPlugin(nm) => plugins += nm
       case CDump(kv) =>
         // dump output is a raw command stream, not a JSON envelope —
-        // compare against everything after the LAST `dump` line of the
-        // .expected (the fixtures end with a single dump command)
+        // compare against the k-th dump slice of the .expected
         val q = "dump " + kv.mkString(" ")
+        val k = dumpN
+        dumpN += 1
         try {
           val got = dumpCmd(tables, tableOrder.toSeq, ddlCols.toSeq,
             plugins.toSeq, configs, indexes.toSeq, kv).trim
-          val expText = {
-            val full = java.nio.file.Files.readString(
-              java.nio.file.Paths.get(expectedPath))
-            val lines = full.split('\n')
-            val i = lines.lastIndexWhere(_.startsWith("dump"))
-            lines.drop(i + 1).mkString("\n").trim
-          }
+          val expText = dumpExpectedSlice(java.nio.file.Files.readString(
+            java.nio.file.Paths.get(expectedPath)), k)
           outcomes +=
             (if (got == expText) SelectOutcome(q, ok = true, "ok")
             else SelectOutcome(q, ok = false,
@@ -537,6 +580,96 @@ object GrnTestRunner {
           case e: Throwable =>
             if (onErrorOmit) throw new OmittedFixture(s"$q: ${e.getMessage}")
             outcomes += SelectOutcome(q, ok = false, s"exception: ${e.getMessage}")
+        }
+      case CDelete(table, kv) =>
+        compareJson(s"delete $table") {
+          val td = tables.getOrElse(table, throw new ScriptError(
+            s"[table][record][delete] table doesn't exist: <$table>"))
+          val victims: Seq[Int] =
+            if (kv.contains("key")) {
+              val probe0 = kv("key")
+              val probe = if (td.normalizer.isDefined)
+                Normalizer.autoKeepBlank(probe0).text else probe0
+              val i = td.rows.indexWhere(_.get("_key").exists(_.asText == probe))
+              if (i >= 0) Seq(i) else Nil
+            } else if (kv.contains("id")) {
+              kv("id").toLongOption.map(_.toInt - 1)
+                .filter(i => i >= 0 && i < td.rows.size).toSeq
+            } else if (kv.contains("filter")) {
+              // route the victim scan through the select machinery
+              val ((_, rows, _), _, _) = execSelect(spark, tables, indexes.toSeq,
+                Map("filter" -> kv("filter"), "output_columns" -> "_id",
+                  "limit" -> "-1"), table, aliasCfg, tsvSynonyms)
+              rows.map(_.head match {
+                case l: Long => l.toInt
+                case i: Int => i
+                case d: Double => d.toInt
+                case s => s.toString.toDouble.toInt
+              }).map(_ - 1).filter(i => i >= 0 && i < td.rows.size)
+            } else Nil
+          val deletedKeys: Set[String] =
+            victims.flatMap(i => td.rows(i).get("_key")).map(_.asText).toSet
+          victims.sorted.reverse.foreach(td.rows.remove(_))
+          if (indexes.exists(_.lexicon == table))
+            deadLexTerms(table) =
+              deadLexTerms.getOrElse(table, Set.empty) ++ deletedKeys
+          // clear references to the deleted records in every other table:
+          // vector elements drop, scalar references empty out (reference
+          // record-deletion hooks walk the incoming reference columns)
+          if (deletedKeys.nonEmpty) tables.values.foreach { t2 =>
+            val refCols = t2.columns.collect {
+              case (c, range) if range == table => c }.toSeq
+            if (refCols.nonEmpty) t2.rows.indices.foreach { ri =>
+              var row = t2.rows(ri)
+              refCols.foreach { c =>
+                row.get(c).filterNot(_.isNull).foreach { node =>
+                  if (node.isArray) {
+                    val kept = node.elements().asScala
+                      .filterNot(e => deletedKeys.contains(e.asText)).toSeq
+                    if (kept.size != node.size()) {
+                      val arr = mapper.getNodeFactory.arrayNode()
+                      kept.foreach(arr.add)
+                      row = row + (c -> (arr: JsonNode))
+                    }
+                  } else if (node.isObject) {
+                    val kept = node.fields().asScala
+                      .filterNot(e => deletedKeys.contains(e.getKey)).toSeq
+                    if (kept.size != node.size()) {
+                      val obj = mapper.getNodeFactory.objectNode()
+                      kept.foreach(e => obj.set[JsonNode](e.getKey, e.getValue))
+                      row = row + (c -> (obj: JsonNode))
+                    }
+                  } else if (deletedKeys.contains(node.asText))
+                    row = row - c
+                }
+              }
+              t2.rows(ri) = row
+            }
+          }
+          com.fasterxml.jackson.databind.node.BooleanNode.TRUE
+        }
+      case CTruncate(target) =>
+        compareJson(s"truncate $target") {
+          target.split("\\.", 2) match {
+            case Array(t) =>
+              val td = tables.getOrElse(t,
+                throw new ScriptError(s"[truncate] no such target: <$t>"))
+              td.rows.clear()
+            case Array(t, c) =>
+              val td = tables.getOrElse(t,
+                throw new ScriptError(s"[truncate] no such target: <$t>"))
+              if (indexes.exists(ix => ix.lexicon == t && ix.name == c)) {
+                // truncating an index column clears its postings but keeps
+                // the lexicon keys — point the def at nothing so df reads 0
+                indexes.indices.foreach { j =>
+                  val ix = indexes(j)
+                  if (ix.lexicon == t && ix.name == c)
+                    indexes(j) = ix.copy(srcTable = "__truncated__")
+                }
+              } else td.rows.indices.foreach(i => td.rows(i) = td.rows(i) - c)
+            case _ => throw new ScriptError(s"[truncate] no such target: <$target>")
+          }
+          com.fasterxml.jackson.databind.node.BooleanNode.TRUE
         }
       case COnError(b) => onErrorOmit = b
       case CSuggestDataset(nm) =>
@@ -731,6 +864,17 @@ object GrnTestRunner {
             .foreach { src =>
               indexes += IndexDef(table, name, range, src,
                 flags.contains("WITH_POSITION"))
+              // offline build over already-loaded records: the lexicon
+              // receives the source terms at creation (reference
+              // grn_obj_set_info(GRN_INFO_SOURCE) triggers a build)
+              (tables.get(table), tables.get(range)) match {
+                case (Some(lex), Some(srcTd)) =>
+                  srcTd.rows.foreach { m =>
+                    lexiconAdd(lex,
+                      (if (src == "_key") m.get("_key") else m.get(src)).orNull)
+                  }
+                case _ => ()
+              }
             }
         } else {
           tables(table).columns(name) = range
@@ -889,6 +1033,15 @@ object GrnTestRunner {
                 }
               }
             }
+            // online index update: the lexicons indexing this table
+            // receive the loaded values' terms immediately (reference
+            // grn_ii_column_update per record)
+            indexes.filter(_.srcTable == table).foreach { ix =>
+              tables.get(ix.lexicon).foreach { lex =>
+                lexiconAdd(lex,
+                  (if (ix.srcCol == "_key") m.get("_key") else m.get(ix.srcCol)).orNull)
+              }
+            }
             // suggest learner: loading into event_<dataset> runs
             // suggest_preparer per row (the fixtures' `load --each`)
             if (table.startsWith("event_"))
@@ -939,7 +1092,7 @@ object GrnTestRunner {
           } catch { case _: Throwable => 0 }
         try {
           val (got, explicitCols, dds) = execSelect(spark, tables, indexes.toSeq, args, tableName,
-            aliasCfg, tsvSynonyms)
+            aliasCfg, tsvSynonyms, deadLexTerms.toMap)
           outcomes +=
             (if (expRc != 0)
               SelectOutcome(q, ok = false, s"we accepted a query the reference rejects (rc=$expRc)")
@@ -2316,6 +2469,39 @@ object GrnTestRunner {
 
   // ------------------------------------------------------------------ dump
 
+  /** The k-th dump's output inside a raw .expected stream: the lines after
+    * the k-th `dump` command line, up to the next command that dump itself
+    * can never emit (dump emits only configs/plugins/schema/loads) or EOF.
+    * JSON bodies/envelopes are tracked by bracket depth so their lines are
+    * never mistaken for commands.
+    */
+  private def dumpExpectedSlice(expectedText: String, k: Int): String = {
+    val emittable = Set("table_create", "column_create", "load",
+      "config_set", "plugin_register", "register")
+    var depth = 0
+    var dumpCount = 0
+    var collecting = false
+    val out = new StringBuilder
+    expectedText.split('\n').foreach { line =>
+      val t = line.trim
+      val tok = t.takeWhile(c => c.isLetter || c == '_')
+      val isCmdLine = depth == 0 && t.nonEmpty && t.head.isLetter
+      if (collecting) {
+        if (isCmdLine && !emittable.contains(tok)) return out.toString.trim
+        out.append(line).append('\n')
+      } else if (isCmdLine && tok == "dump") {
+        if (dumpCount == k) collecting = true
+        dumpCount += 1
+      }
+      if (t.startsWith("[") || t.startsWith("{") || depth > 0)
+        line.foreach { c =>
+          if (c == '[' || c == '{') depth += 1
+          else if (c == ']' || c == '}') depth -= 1
+        }
+    }
+    out.toString.trim
+  }
+
   /** Render the `dump` command stream (reference lib/proc.c:1830 order:
     * configs, plugins, schema, records, indexes). Schema emits each table
     * with its non-reference data columns, then all reference columns as a
@@ -2353,7 +2539,16 @@ object GrnTestRunner {
     }
     def colLine(c: (String, String, String, String, Seq[String])): String = {
       val (t, n, f, r, srcs) = c
-      s"column_create $t $n $f $r" +
+      // index flags re-render in the reference's canonical order
+      // (grn_column_create_flags: INDEX, SECTION, WEIGHT, POSITION)
+      val ff =
+        if (f.contains("COLUMN_INDEX")) {
+          val have = f.split('|').map(_.trim).toSet
+          (Seq("COLUMN_INDEX") ++
+            Seq("WITH_SECTION", "WITH_WEIGHT", "WITH_POSITION").filter(have)
+          ).mkString("|")
+        } else f
+      s"column_create $t $n $ff $r" +
         (if (srcs.nonEmpty) srcs.mkString(" ", ",", "") else "")
     }
     val isIndex = (c: (String, String, String, String, Seq[String])) =>
@@ -2362,16 +2557,20 @@ object GrnTestRunner {
       !isIndex(c) && tables.contains(c._4)
 
     if (on("dump_schema")) {
+      // columns emit in name order within a table (the reference walks
+      // the column list sorted by key, lib/proc.c dump_table)
       tableOrder.foreach { tn =>
         tables.get(tn).foreach { td =>
           val lines = tableCreateLine(td) +:
-            ddlCols.filter(c => c._1 == tn && !isIndex(c) && !isRef(c)).map(colLine)
+            ddlCols.filter(c => c._1 == tn && !isIndex(c) && !isRef(c))
+              .sortBy(_._2).map(colLine)
           parts += lines.mkString("\n")
         }
       }
       val refs = ddlCols.filter(isRef)
       if (refs.nonEmpty)
-        parts += refs.sortBy(c => tableOrder.indexOf(c._1)).map(colLine).mkString("\n")
+        parts += refs.sortBy(c => (tableOrder.indexOf(c._1), c._2))
+          .map(colLine).mkString("\n")
     }
 
     if (on("dump_records")) {
@@ -2381,7 +2580,8 @@ object GrnTestRunner {
           // a lexicon's rows materialize from tokenizing the indexed
           // sources (reference grn_ii update path) before record dump
           populateLexicon(td, tables, indexes)
-          val dataCols = ddlCols.filter(c => c._1 == tn && !isIndex(c)).map(_._2)
+          val dataCols =
+            ddlCols.filter(c => c._1 == tn && !isIndex(c)).map(_._2).sorted
           val hasIndexCol = ddlCols.exists(c => c._1 == tn && isIndex(c)) ||
             indexes.exists(_.lexicon == tn)
           if (td.rows.nonEmpty && !(hasIndexCol && dataCols.isEmpty)) {
@@ -2588,6 +2788,38 @@ object GrnTestRunner {
   }
 
   /** Unsigned UTF-8 byte order (reference PAT key order). */
+  /** Append one source value's terms to a lexicon (online index update,
+    * reference grn_ii_column_update): tokens become lexicon keys in
+    * first-appearance order; existing keys are untouched.
+    */
+  private def lexiconAdd(lex: TableDef, node: JsonNode): Unit = {
+    if (node == null || node.isNull || !lex.keyed) return
+    val vals: Seq[String] =
+      if (node.isArray) node.elements().asScala.map(_.asText).toSeq
+      else if (node.isObject) node.fieldNames().asScala.toSeq
+      else Seq(node.asText)
+    if (vals.isEmpty) return
+    val tok = lex.tokenizer.map(_ =>
+      graft.analysis.Tokenizers.byName(lexTokName(lex)))
+    val norm = normOf(lex)
+    val known = mutable.Set[String](
+      lex.rows.flatMap(_.get("_key")).map(_.asText).toSeq: _*)
+    vals.filter(_.nonEmpty).foreach { v =>
+      val terms = tok match {
+        case Some(t) =>
+          t.tokenize(v, graft.analysis.TokenizeMode.Add).map(_.term)
+        case None => Seq(norm.map(_(v)).getOrElse(v))
+      }
+      terms.foreach { t =>
+        if (!known.contains(t)) {
+          known += t
+          lex.rows += Map("_key" ->
+            com.fasterxml.jackson.databind.node.TextNode.valueOf(t))
+        }
+      }
+    }
+  }
+
   /** Lexicon auto-population: a keyed table that is the LEXICON of index
     * columns receives its keys from tokenizing the indexed sources at
     * load time (reference grn_ii update path) — selects over the lexicon
@@ -2717,7 +2949,8 @@ object GrnTestRunner {
       args: Map[String, String],
       tableName: String,
       aliasCfg: Option[(String, String)] = None,
-      tsvSynonyms: Map[String, String] = Map.empty
+      tsvSynonyms: Map[String, String] = Map.empty,
+      deadLexTerms: Map[String, Set[String]] = Map.empty
   ): ((Long, Seq[Seq[Any]], Seq[String]), Boolean, Seq[DdResult]) = {
     val td = tables(tableName)
 
@@ -3467,8 +3700,24 @@ object GrnTestRunner {
     // one sub-index per source column, weighted score-merge (reference
     // lib/expr.c:6126-6193) — the SectionedIndex path
     val secCols = sectionEntries.map(_.column).distinct
+    // a query term whose lexicon key was deleted has no postings left —
+    // that clause matches nothing (reference grn_ii after key removal)
+    val queryDead = query.nonEmpty && idxDef.exists { ix =>
+      val dead = deadLexTerms.getOrElse(ix.lexicon, Set.empty)
+      dead.nonEmpty && tables.get(ix.lexicon).exists { lex =>
+        val raw = args.getOrElse("query", "")
+        val toks = lex.tokenizer match {
+          case Some(_) => graft.analysis.Tokenizers.byName(lexTokName(lex))
+            .tokenize(raw, graft.analysis.TokenizeMode.Add).map(_.term)
+          case None => Seq(normOf(lex).map(_(raw)).getOrElse(raw))
+        }
+        toks.exists(dead.contains)
+      }
+    }
     val res =
-      if (query.nonEmpty && secCols.size > 1 &&
+      if (queryDead)
+        Select.run(reader, params.copy(query = None, filter = Some(lit(false))))
+      else if (query.nonEmpty && secCols.size > 1 &&
           !indexes.exists(_.srcTable == tableName) && nestedSynth.isEmpty) {
         // multi-column match without ANY index: the reference's sequential
         // fallback handles single columns only — 0 hits, rc=0
