@@ -26,9 +26,12 @@ object GrnGeo {
   private val GrsC2 = 6378137.0
   private val GrsC3 = 0.006694
 
-  /** Parse "latxlon" → (latMsec, lonMsec). Decimal components are degrees. */
+  /** Parse "latxlon" / "lat,lon" → (latMsec, lonMsec). Decimal components
+    * are degrees (reference grn_geo_point parsing accepts both separators,
+    * lib/util.c grn_inspect GeoPoint / lib/db.c grn_obj_cast to geo).
+    */
   def parseMsec(s: String): (Double, Double) = {
-    val parts = s.split('x')
+    val parts = s.split(if (s.indexOf('x') >= 0) 'x' else ',')
     require(parts.length == 2, s"bad geo point: $s")
     def one(p: String): Double =
       if (p.contains('.')) p.toDouble * Resolution else p.toDouble

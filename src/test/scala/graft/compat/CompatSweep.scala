@@ -31,7 +31,7 @@ object CompatSweep {
       "truncate")
     val roots = Seq("select", "tokenize", "normalize", "table_tokenize",
       "token_filters", "tokenizers", "suggest", "range_filter", "sharding",
-      "dump", "load", "delete", "truncate")
+      "dump", "load", "delete", "truncate", "tables", "geo")
     val fixtures = roots.iterator.flatMap(r =>
         Files.walk(suite.resolve(r)).iterator().asScala)
       .filter(p => p.toString.endsWith(".test"))

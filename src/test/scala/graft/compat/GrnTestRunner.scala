@@ -48,7 +48,29 @@ object GrnTestRunner {
       tokenFilters: Seq[String] = Nil,
       /** Raw table_create flag word (for dump re-rendering). */
       tableFlags: String = "",
-      valueType: Option[String] = None)
+      valueType: Option[String] = None,
+      /** Raw --default_tokenizer name (table_list/schema echo it even when
+        * the engine has no such tokenizer). */
+      rawTokenizer: Option[String] = None,
+      /** Highest record id ever assigned (single mutable cell so copies
+        * share it) — deleted ids are NOT reused (reference grn_pat/grn_hash
+        * fixture tables/patricia_trie/delete/2_load_1_delete_1_load). */
+      maxId: Array[Long] = Array(0L))
+
+  /** Stable record id of row `i` (1-based insertion order until a delete
+    * punches holes; rows carry their id under the reserved "__id" key). */
+  private def rowIdOf(td: TableDef, i: Int): Long =
+    td.rows(i).get("__id").map(_.asLong).getOrElse((i + 1).toLong)
+
+  /** Append a record with a fresh id (max-ever + 1); returns its index. */
+  private def addRow(td: TableDef, m: Map[String, JsonNode]): Int = {
+    if (td.maxId(0) == 0L && td.rows.nonEmpty)
+      td.maxId(0) = td.rows.indices.map(rowIdOf(td, _)).max
+    td.maxId(0) += 1L
+    td.rows += (m + ("__id" ->
+      (mapper.getNodeFactory.numberNode(td.maxId(0)): JsonNode)))
+    td.rows.size - 1
+  }
 
   final case class IndexDef(lexicon: String, name: String, srcTable: String,
       srcCol: String, withPosition: Boolean)
@@ -209,7 +231,8 @@ object GrnTestRunner {
               tokenFilters = flag("--token_filters").toSeq
                 .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty),
               tableFlags = args(2),
-              valueType = flag("--value_type"))
+              valueType = flag("--value_type"),
+              rawTokenizer = flag("--default_tokenizer"))
             // --value_type declares the `_value` pseudo-column
             // (reference grn_table_create value_type)
             flag("--value_type").foreach(vt => tdNew.columns("_value") = vt)
@@ -593,19 +616,19 @@ object GrnTestRunner {
               val i = td.rows.indexWhere(_.get("_key").exists(_.asText == probe))
               if (i >= 0) Seq(i) else Nil
             } else if (kv.contains("id")) {
-              kv("id").toLongOption.map(_.toInt - 1)
-                .filter(i => i >= 0 && i < td.rows.size).toSeq
+              kv("id").toLongOption.toSeq
+                .flatMap(id => td.rows.indices.find(j => rowIdOf(td, j) == id))
             } else if (kv.contains("filter")) {
               // route the victim scan through the select machinery
               val ((_, rows, _), _, _) = execSelect(spark, tables, indexes.toSeq,
                 Map("filter" -> kv("filter"), "output_columns" -> "_id",
                   "limit" -> "-1"), table, aliasCfg, tsvSynonyms)
               rows.map(_.head match {
-                case l: Long => l.toInt
-                case i: Int => i
-                case d: Double => d.toInt
-                case s => s.toString.toDouble.toInt
-              }).map(_ - 1).filter(i => i >= 0 && i < td.rows.size)
+                case l: Long => l
+                case i: Int => i.toLong
+                case d: Double => d.toLong
+                case s => s.toString.toDouble.toLong
+              }).flatMap(id => td.rows.indices.find(j => rowIdOf(td, j) == id))
             } else Nil
           val deletedKeys: Set[String] =
             victims.flatMap(i => td.rows(i).get("_key")).map(_.asText).toSet
@@ -655,6 +678,7 @@ object GrnTestRunner {
               val td = tables.getOrElse(t,
                 throw new ScriptError(s"[truncate] no such target: <$t>"))
               td.rows.clear()
+              td.maxId(0) = 0L // truncate recreates the table: ids restart at 1
             case Array(t, c) =>
               val td = tables.getOrElse(t,
                 throw new ScriptError(s"[truncate] no such target: <$t>"))
@@ -698,8 +722,8 @@ object GrnTestRunner {
         cfg.columns("weight") = "UInt32"
         if (!cfg.rows.exists(_.get("_key").exists(_.asText == nm))) {
           val f = mapper.getNodeFactory
-          cfg.rows += Map("_key" -> f.textNode(nm),
-            "weight" -> f.numberNode(1))
+          addRow(cfg, Map("_key" -> f.textNode(nm),
+            "weight" -> f.numberNode(1)))
         }
       case CSuggest(kv) =>
         compareJson("suggest " + kv.mkString(" "))(
@@ -953,12 +977,14 @@ object GrnTestRunner {
             var storedIdx = -1
             val idNode = m.get("_id").orNull
             if (idNode != null && !idNode.isNull) {
-              if (idNode.isIntegralNumber &&
-                  idNode.asLong >= 1 && idNode.asLong <= tables(table).rows.size) {
-                storedIdx = (idNode.asLong - 1).toInt
-                tables(table).rows(storedIdx) =
-                  tables(table).rows(storedIdx) ++ (m - "_id")
-                loaded += 1
+              if (idNode.isIntegralNumber && idNode.asLong >= 1) {
+                val td1 = tables(table)
+                val at = td1.rows.indices.find(j => rowIdOf(td1, j) == idNode.asLong)
+                at.foreach { j =>
+                  storedIdx = j
+                  td1.rows(j) = td1.rows(j) ++ (m - "_id")
+                  loaded += 1
+                }
               }
             } else {
               val existingIdx: Int =
@@ -972,8 +998,7 @@ object GrnTestRunner {
                 storedIdx = existingIdx
                 tables(table).rows(existingIdx) = tables(table).rows(existingIdx) ++ m
               } else {
-                tables(table).rows += m
-                storedIdx = tables(table).rows.size - 1
+                storedIdx = addRow(tables(table), m)
               }
               loaded += 1
             }
@@ -1005,8 +1030,8 @@ object GrnTestRunner {
                 val sfx = new String(cps, i, cps.length - i)
                 if (!known.contains(sfx)) {
                   known += sfx
-                  tables(table).rows += Map("_key" ->
-                    com.fasterxml.jackson.databind.node.TextNode.valueOf(sfx))
+                  addRow(tables(table), Map("_key" ->
+                    com.fasterxml.jackson.databind.node.TextNode.valueOf(sfx)))
                 }
               }
             }
@@ -1027,8 +1052,8 @@ object GrnTestRunner {
                 vals.filter(_.nonEmpty).foreach { v =>
                   if (!existing.contains(nk(v))) {
                     existing += nk(v)
-                    target.rows += Map("_key" ->
-                      com.fasterxml.jackson.databind.node.TextNode.valueOf(v))
+                    addRow(target, Map("_key" ->
+                      com.fasterxml.jackson.databind.node.TextNode.valueOf(v)))
                   }
                 }
               }
@@ -1974,7 +1999,7 @@ object GrnTestRunner {
     val wvCols = colNames.filter(td.weightVectorCols.contains)
     val keyNorm = normOf(td)
     val rows = td.rows.zipWithIndex.map { case (m, i) =>
-      val id = (i + 1).toLong
+      val id = rowIdOf(td, i)
       val key =
         if (td.keyed)
           m.get("_key").map(k => keyNorm.map(_(k.asText)).getOrElse(k.asText)).orNull
@@ -2221,8 +2246,8 @@ object GrnTestRunner {
     mode match {
       case graft.analysis.TokenizeMode.Add =>
         toks.map(_.term).distinct.filterNot(keys.contains).foreach { t =>
-          td.rows += Map("_key" ->
-            com.fasterxml.jackson.databind.node.TextNode.valueOf(t))
+          addRow(td, Map("_key" ->
+            com.fasterxml.jackson.databind.node.TextNode.valueOf(t)))
         }
         tokensJson(toks)
       case graft.analysis.TokenizeMode.Get =>
@@ -2589,7 +2614,7 @@ object GrnTestRunner {
             val keyNumeric = td.keyType.exists(t =>
               t.startsWith("Int") || t.startsWith("UInt") || t == "Float")
             def valJson(m: Map[String, JsonNode], c: String, rowIdx: Int): String = c match {
-              case "_id" => (rowIdx + 1).toString
+              case "_id" => rowIdOf(td, rowIdx).toString
               case "_key" =>
                 val n = m.get("_key").orNull
                 if (keyNumeric)
@@ -2730,7 +2755,7 @@ object GrnTestRunner {
               minV.forall(mv => if (minInc) v >= mv else v > mv) &&
               maxV.forall(mv => if (maxInc) v <= mv else v < mv)
           }
-        if (keep) { md.rows += m; ids += (i + 1).toLong }
+        if (keep) { md.rows += (m - "__id"); ids += rowIdOf(tables(s), i) }
       }
     }
     tables(md.name) = md
@@ -2813,8 +2838,8 @@ object GrnTestRunner {
       terms.foreach { t =>
         if (!known.contains(t)) {
           known += t
-          lex.rows += Map("_key" ->
-            com.fasterxml.jackson.databind.node.TextNode.valueOf(t))
+          addRow(lex, Map("_key" ->
+            com.fasterxml.jackson.databind.node.TextNode.valueOf(t)))
         }
       }
     }
@@ -2856,8 +2881,8 @@ object GrnTestRunner {
         }
       }
       seen.foreach { k =>
-        td.rows += Map("_key" ->
-          com.fasterxml.jackson.databind.node.TextNode.valueOf(k))
+        addRow(td, Map("_key" ->
+          com.fasterxml.jackson.databind.node.TextNode.valueOf(k)))
       }
     }
   }
