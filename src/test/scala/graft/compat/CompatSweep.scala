@@ -28,10 +28,19 @@ object CompatSweep {
       "tokenize", "normalize", "table_tokenize", "suggest", "range_filter",
       "logical_count", "logical_select", "logical_range_filter",
       "logical_shard_list", "logical_parameters", "dump", "delete",
-      "truncate")
+      "truncate", "table_list", "column_list", "table_remove", "object_exist",
+      "object_remove", "object_inspect", "config_get", "config_delete",
+      "tokenizer_list", "normalizer_list", "log_put", "cache_limit",
+      "io_flush", "reindex", "column_rename", "column_copy", "schema",
+      "plugin_unregister", "logical_table_remove")
     val roots = Seq("select", "tokenize", "normalize", "table_tokenize",
       "token_filters", "tokenizers", "suggest", "range_filter", "sharding",
-      "dump", "load", "delete", "truncate", "tables", "geo")
+      "dump", "load", "delete", "truncate", "tables", "geo",
+      "table_list", "column_list", "table_remove", "object_exist",
+      "object_remove", "object_inspect", "config_get", "config_delete",
+      "log_put", "log_level", "cache_limit", "io_flush", "reindex",
+      "column_rename", "column_copy", "column_remove", "schema",
+      "tokenizer_list", "normalizer_list")
     val fixtures = roots.iterator.flatMap(r =>
         Files.walk(suite.resolve(r)).iterator().asScala)
       .filter(p => p.toString.endsWith(".test"))

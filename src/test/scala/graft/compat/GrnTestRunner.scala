@@ -104,6 +104,14 @@ object GrnTestRunner {
   final case class CDump(kv: Map[String, String]) extends Cmd
   final case class CDelete(table: String, kv: Map[String, String]) extends Cmd
   final case class CTruncate(target: String) extends Cmd
+  /** DDL/introspection commands that share one (positional, --kv) shape:
+    * table_list, column_list, table_remove, object_exist/remove/inspect,
+    * config_get/delete, tokenizer_list, normalizer_list, log_put,
+    * log_level, cache_limit, io_flush, reindex, column_rename,
+    * column_copy, schema, plugin_unregister.
+    */
+  final case class CSimple(cmd: String, pos: Seq[String],
+      kv: Map[String, String]) extends Cmd
 
   /** Thrown when a command fails inside a `#@on-error omit` window — the
     * grntest driver drops the whole fixture from the run (used to guard
@@ -205,9 +213,17 @@ object GrnTestRunner {
         args.head match {
           case "table_create" =>
             val name = args(1)
-            val keyed = !args(2).contains("NO_KEY")
+            // flags / key_type / value_type are positional 2..4 (all
+            // optional; flagless create defaults to TABLE_HASH_KEY)
+            val flagsWord =
+              if (args.size > 2 && !args(2).startsWith("--")) args(2)
+              else "TABLE_HASH_KEY"
+            val keyed = !flagsWord.contains("NO_KEY")
             val keyType =
               if (keyed && args.size > 3 && !args(3).startsWith("--")) Some(args(3))
+              else None
+            val posValueType =
+              if (args.size > 4 && !args(4).startsWith("--")) Some(args(4))
               else None
             def flag(f: String): Option[String] =
               args.sliding(2).collectFirst { case Seq(`f`, v) => v }
@@ -224,18 +240,19 @@ object GrnTestRunner {
                 catch { case _: IllegalArgumentException => false }
               },
               flag("--normalizer").orElse(
-                if (args(2).contains("KEY_NORMALIZE")) Some("NormalizerAuto")
+                if (flagsWord.contains("KEY_NORMALIZE")) Some("NormalizerAuto")
                 else None),
-              withSis = args(2).contains("KEY_WITH_SIS"),
-              isPat = args(2).contains("PAT_KEY"),
+              withSis = flagsWord.contains("KEY_WITH_SIS"),
+              isPat = flagsWord.contains("PAT_KEY"),
               tokenFilters = flag("--token_filters").toSeq
                 .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty),
-              tableFlags = args(2),
-              valueType = flag("--value_type"),
+              tableFlags = flagsWord,
+              valueType = flag("--value_type").orElse(posValueType),
               rawTokenizer = flag("--default_tokenizer"))
             // --value_type declares the `_value` pseudo-column
             // (reference grn_table_create value_type)
-            flag("--value_type").foreach(vt => tdNew.columns("_value") = vt)
+            flag("--value_type").orElse(posValueType)
+              .foreach(vt => tdNew.columns("_value") = vt)
             cmds += CTable(tdNew)
           case "column_create" =>
             // column_create TABLE NAME FLAGS TYPE [SOURCE...]
@@ -296,7 +313,8 @@ object GrnTestRunner {
               } else i += 1
             }
             cmds += CSuggest(kv.toMap)
-          case c @ ("logical_count" | "logical_select" | "logical_range_filter") =>
+          case c @ ("logical_count" | "logical_select" | "logical_range_filter" |
+              "logical_table_remove") =>
             val kv = mutable.Map[String, String]()
             val pos = mutable.ArrayBuffer[String]()
             var i = 1
@@ -364,7 +382,22 @@ object GrnTestRunner {
               .orElse(args.lift(1).filterNot(_.startsWith("--")))
               .getOrElse("")
             cmds += CTruncate(target)
-          case _ => () // unsupported command: ignore (log_level etc.)
+          case c @ ("table_list" | "column_list" | "table_remove" |
+              "object_exist" | "object_remove" | "object_inspect" |
+              "config_get" | "config_delete" | "tokenizer_list" |
+              "normalizer_list" | "log_put" | "log_level" | "cache_limit" |
+              "io_flush" | "reindex" | "column_rename" | "column_copy" |
+              "schema" | "plugin_unregister") =>
+            val kv = mutable.Map[String, String]()
+            val pos = mutable.ArrayBuffer[String]()
+            var i = 1
+            while (i < args.size) {
+              if (args(i).startsWith("--") && i + 1 < args.size) {
+                kv(args(i).drop(2)) = args(i + 1); i += 2
+              } else { pos += args(i); i += 1 }
+            }
+            cmds += CSimple(c, pos.toSeq, kv.toMap)
+          case _ => () // unsupported command: ignore
         }
       }
     }
@@ -444,6 +477,9 @@ object GrnTestRunner {
     var dumpDepth = 0
     val dumpEmittable = Set("table_create", "column_create", "load",
       "config_set", "plugin_register", "register")
+    // dump re-punches array-table id holes with exactly this form; any
+    // other delete after a dump is a real fixture command
+    val dumpDeleteRe = "^delete --table \\S+ --id \\d+$".r
     val xmlBuf = new StringBuilder
     val joined = text.replace("\\\n", " ")
     joined.split('\n').foreach { line =>
@@ -451,7 +487,8 @@ object GrnTestRunner {
       if (inDump) {
         val tok = t.takeWhile(c => c.isLetter || c == '_')
         val isCmdLine = dumpDepth == 0 && t.nonEmpty && t.head.isLetter
-        if (isCmdLine && !dumpEmittable.contains(tok)) {
+        if (isCmdLine && !dumpEmittable.contains(tok) &&
+            dumpDeleteRe.findFirstIn(t).isEmpty) {
           inDump = false
           if (curCmd != null) out += ((curCmd, lastJson))
           curCmd = t
@@ -513,7 +550,12 @@ object GrnTestRunner {
     val comparedCmds = Set("select", "tokenize", "normalize", "table_tokenize",
       "suggest", "range_filter", "logical_count", "logical_select",
       "logical_range_filter", "logical_shard_list", "logical_parameters",
-      "load", "delete", "truncate")
+      "load", "delete", "truncate",
+      "table_list", "column_list", "table_remove", "object_exist",
+      "object_remove", "object_inspect", "config_get", "config_delete",
+      "tokenizer_list", "normalizer_list", "log_put", "log_level",
+      "cache_limit", "io_flush", "reindex", "column_rename", "column_copy",
+      "schema", "plugin_unregister", "column_remove", "logical_table_remove")
     val selectEnvelopes = expected.collect {
       case (c, j) if comparedCmds(c.takeWhile(ch => ch.isLetter || ch == '_')) => j
     }
@@ -535,6 +577,18 @@ object GrnTestRunner {
     // lexicon keys removed by `delete` — their postings are gone, so a
     // query term equal to one matches nothing (reference grn_ii key removal)
     val deadLexTerms = mutable.Map[String, Set[String]]()
+    // object ids: tables and columns draw from one id space starting at
+    // 256 (builtins own 0-255); paths derive from the id (reference
+    // grn_db "db/db.%07x" naming)
+    val objIds = mutable.Map[String, Long]()
+    var nextObjId = 256L
+    def objIdFor(name: String): Long =
+      objIds.getOrElseUpdate(name, { val v = nextObjId; nextObjId += 1; v })
+    // query-cache entry cap (reference default 100; cache_limit get/set)
+    var cacheMax = 100L
+    // command objects dropped by `object_remove <command>` — invoking one
+    // afterwards is "invalid command name"
+    val removedCommands = mutable.Set[String]()
 
     // compare a non-select command's JSON output against its envelope
     // (tokenize / normalize / table_tokenize share the select queue)
@@ -557,7 +611,12 @@ object GrnTestRunner {
               s"we accepted a command the reference rejects (rc=$expRc)")
           else {
             val want = if (exp == null) null else exp.get(1)
-            if (jsonEq(got, want)) SelectOutcome(label, ok = true, "ok")
+            if (want == null)
+              // XML-rendered DDL output (table_list --output_type xml etc.)
+              // has no JSON envelope to compare; the non-xml twin fixture
+              // verifies the same content
+              SelectOutcome(label, ok = true, "no comparable envelope")
+            else if (jsonEq(got, want)) SelectOutcome(label, ok = true, "ok")
             else SelectOutcome(label, ok = false,
               s"mismatch: got ${got.toString.take(160)} want ${String.valueOf(want).take(160)}")
           })
@@ -578,11 +637,58 @@ object GrnTestRunner {
     val plugins = mutable.LinkedHashSet[String]()
     val configs = mutable.LinkedHashMap[String, String]()
 
+    def columnExists(full: String): Boolean = full.split("\\.", 2) match {
+      case Array(t, c) => ddlCols.exists(x => x._1 == t && x._2 == c) ||
+        tables.get(t).exists(_.columns.contains(c))
+      case _ => false
+    }
+    // table removal with the reference's incoming-reference guard; index
+    // columns over the removed table cascade away instead of blocking
+    // (reference grn_obj_remove, lib/db.c)
+    def removeTable(name: String): Unit = {
+      if (!tables.contains(name))
+        throw new ScriptError(s"[table][remove] table doesn't exist: <$name>")
+      tableOrder.filterNot(_ == name).foreach { tn =>
+        val o = tables(tn)
+        if (o.keyType.contains(name))
+          throw new ScriptError("[table][remove] a table that references " +
+            s"the table exists: <$tn._key> -> <$name>")
+        o.columns.foreach { case (c, range) =>
+          if (range == name && c != "_value")
+            throw new ScriptError("[table][remove] a column that references " +
+              s"the table exists: <$tn.$c> -> <$name>")
+        }
+      }
+      tables -= name
+      tableOrder -= name
+      val dead = ddlCols.filter(c => c._1 == name ||
+        (c._3.contains("COLUMN_INDEX") && c._4 == name)).toSeq
+      dead.foreach(c => objIds -= s"${c._1}.${c._2}")
+      ddlCols --= dead
+      indexes --= indexes.filter(ix => ix.lexicon == name || ix.srcTable == name)
+      objIds -= name
+      deadLexTerms -= name
+    }
+    def removeColumn(t: String, n: String): Unit = {
+      val d = tables.getOrElse(t, throw new ScriptError(
+        s"[column][remove] table isn't found: <$t>"))
+      d.columns -= n; d.vectorCols -= n; d.weightVectorCols -= n
+      indexes --= indexes.filter(ix => ix.lexicon == t && ix.name == n)
+      ddlCols --= ddlCols.filter(c => c._1 == t && c._2 == n)
+      objIds -= s"$t.$n"
+      indexes.filter(ix => ix.srcTable == t && ix.srcCol == n).foreach { ix =>
+        ddlCols --= ddlCols.filter(c => c._1 == ix.lexicon && c._2 == ix.name)
+        objIds -= s"${ix.lexicon}.${ix.name}"
+      }
+      indexes --= indexes.filter(ix => ix.srcTable == t && ix.srcCol == n)
+    }
+
     cmds.foreach {
       case CTable(d) =>
         tables(d.name) = d
         tableOrder -= d.name
         tableOrder += d.name
+        objIdFor(d.name): Unit
       case CPlugin(nm) => plugins += nm
       case CDump(kv) =>
         // dump output is a raw command stream, not a JSON envelope —
@@ -598,7 +704,7 @@ object GrnTestRunner {
           outcomes +=
             (if (got == expText) SelectOutcome(q, ok = true, "ok")
             else SelectOutcome(q, ok = false,
-              s"dump differs:\n got: ${got.take(400)}\nwant: ${expText.take(400)}"))
+              s"dump differs:\n got: ${got.take(2500)}\nwant: ${expText.take(2500)}"))
         } catch {
           case e: Throwable =>
             if (onErrorOmit) throw new OmittedFixture(s"$q: ${e.getMessage}")
@@ -695,6 +801,315 @@ object GrnTestRunner {
           }
           com.fasterxml.jackson.databind.node.BooleanNode.TRUE
         }
+      case CSimple(cmd, pos, kv) =>
+        val f = mapper.getNodeFactory
+        val TRUE = com.fasterxml.jackson.databind.node.BooleanNode.TRUE
+        // PERSISTENT render order: type word, KEY_*, then compression and
+        // WITH_* payload flags (reference grn_table_create_flags /
+        // grn_column_create_flags canonical inspect order)
+        def tableTypeFlags(td: TableDef): String = {
+          val base =
+            if (!td.keyed) "TABLE_NO_KEY"
+            else if (td.tableFlags.contains("TABLE_DAT_KEY")) "TABLE_DAT_KEY"
+            else if (td.tableFlags.contains("TABLE_PAT_KEY")) "TABLE_PAT_KEY"
+            else "TABLE_HASH_KEY"
+          base +
+            (if (td.tableFlags.contains("KEY_WITH_SIS")) "|KEY_WITH_SIS" else "") +
+            (if (td.tableFlags.contains("KEY_LARGE")) "|KEY_LARGE" else "")
+        }
+        def colFlagsCanonical(raw: String): String = {
+          val have = raw.split('|').map(_.trim).toSet
+          val base =
+            if (have("COLUMN_INDEX")) "COLUMN_INDEX"
+            else if (have("COLUMN_VECTOR")) "COLUMN_VECTOR"
+            else "COLUMN_SCALAR"
+          base + Seq("COMPRESS_ZLIB", "COMPRESS_LZ4", "COMPRESS_ZSTD",
+            "WITH_SECTION", "WITH_WEIGHT", "WITH_POSITION")
+            .filter(have).map("|" + _).mkString
+        }
+        def pathOf(name: String): String = f"db/db.${objIdFor(name)}%07x"
+        def hdrArr(cols: (String, String)*): JsonNode = {
+          val a = f.arrayNode()
+          cols.foreach { case (n, t) => a.add(f.arrayNode().add(f.textNode(n)).add(f.textNode(t))) }
+          a
+        }
+        val label = (cmd +: pos).mkString(" ")
+        if (removedCommands.contains(cmd))
+          compareJson(label)(throw new ScriptError(s"invalid command name: $cmd"))
+        else cmd match {
+          case "table_list" => compareJson(label) {
+            val prefix = kv.get("prefix").orElse(pos.headOption).getOrElse("")
+            val body = f.arrayNode()
+            body.add(hdrArr("id" -> "UInt32", "name" -> "ShortText",
+              "path" -> "ShortText", "flags" -> "ShortText",
+              "domain" -> "ShortText", "range" -> "ShortText",
+              "default_tokenizer" -> "ShortText", "normalizer" -> "ShortText"))
+            tableOrder.filterNot(_.startsWith("__")).filter(_.startsWith(prefix))
+              .sortWith(byteLt).foreach { tn =>
+                val td = tables(tn)
+                val r = f.arrayNode()
+                r.add(f.numberNode(objIdFor(tn)))
+                r.add(f.textNode(tn))
+                r.add(f.textNode(pathOf(tn)))
+                r.add(f.textNode(tableTypeFlags(td) + "|PERSISTENT"))
+                r.add(td.keyType.map(f.textNode).getOrElse(f.nullNode()): JsonNode)
+                r.add(td.valueType.map(f.textNode).getOrElse(f.nullNode()): JsonNode)
+                r.add(td.rawTokenizer.map(f.textNode).getOrElse(f.nullNode()): JsonNode)
+                r.add(td.normalizer.map(f.textNode).getOrElse(f.nullNode()): JsonNode)
+                body.add(r)
+              }
+            body
+          }
+          case "column_list" => compareJson(label) {
+            val t = pos.headOption.orElse(kv.get("table")).getOrElse("")
+            val td = tables.getOrElse(t, throw new ScriptError(
+              s"[column][list] table isn't found: <$t>"))
+            val body = f.arrayNode()
+            body.add(hdrArr("id" -> "UInt32", "name" -> "ShortText",
+              "path" -> "ShortText", "type" -> "ShortText",
+              "flags" -> "ShortText", "domain" -> "ShortText",
+              "range" -> "ShortText", "source" -> "ShortText"))
+            if (td.keyed) {
+              val r = f.arrayNode()
+              r.add(f.numberNode(objIdFor(t)))
+              r.add(f.textNode("_key")); r.add(f.textNode("")); r.add(f.textNode(""))
+              r.add(f.textNode("COLUMN_SCALAR")); r.add(f.textNode(t))
+              r.add(f.textNode(td.keyType.getOrElse("")))
+              r.add(f.arrayNode())
+              body.add(r)
+            }
+            val varTypes = Set("ShortText", "Text", "LongText")
+            ddlCols.filter(c => c._1 == t && c._2 != "_value").toSeq
+              .sortWith((a, b) => byteLt(a._2, b._2)).foreach {
+                case (_, n, flags, range, srcs) =>
+                  val isIdx = flags.contains("COLUMN_INDEX")
+                  val typ =
+                    if (isIdx) "index"
+                    else if (flags.contains("COLUMN_VECTOR") || varTypes(range)) "var"
+                    else "fix"
+                  val r = f.arrayNode()
+                  r.add(f.numberNode(objIdFor(s"$t.$n")))
+                  r.add(f.textNode(n))
+                  r.add(f.textNode(pathOf(s"$t.$n")))
+                  r.add(f.textNode(typ))
+                  r.add(f.textNode(colFlagsCanonical(flags) + "|PERSISTENT"))
+                  r.add(f.textNode(t))
+                  r.add(f.textNode(range))
+                  val sa = f.arrayNode()
+                  if (isIdx)
+                    srcs.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+                      .foreach(s => sa.add(f.textNode(
+                        if (s == "_key") range else s"$range.$s")))
+                  r.add(sa)
+                  body.add(r)
+              }
+            body
+          }
+          case "table_remove" => compareJson(label) {
+            removeTable(pos.headOption.orElse(kv.get("name")).getOrElse(""))
+            TRUE
+          }
+          case "object_exist" => compareJson(label) {
+            val n = pos.headOption.orElse(kv.get("name")).getOrElse("")
+            val ok = tables.contains(n) || columnExists(n) ||
+              builtinTokenizers.contains(n) || builtinNormalizers.contains(n) ||
+              grnTypeIds.contains(n)
+            com.fasterxml.jackson.databind.node.BooleanNode.valueOf(ok)
+          }
+          case "object_remove" => compareJson(label) {
+            val n = pos.headOption.orElse(kv.get("name")).getOrElse("")
+            if (n.isEmpty)
+              throw new ScriptError("[object][remove] name is missing")
+            else if (commandNames.contains(n)) { removedCommands += n; TRUE }
+            else if (tables.contains(n)) { removeTable(n); TRUE }
+            else if (columnExists(n)) {
+              val Array(t, c) = n.split("\\.", 2); removeColumn(t, c); TRUE
+            }
+            else throw new ScriptError(
+              s"[object][remove] target object doesn't exist: <$n>")
+          }
+          case "object_inspect" => compareJson(label) {
+            objectInspect(pos.headOption.orElse(kv.get("name")), tables,
+              objIdFor, () => objIds.size)
+          }
+          case "config_get" => compareJson(label) {
+            val k = pos.headOption.orElse(kv.get("key")).getOrElse(
+              throw new ScriptError("[config][get] key is missing"))
+            f.textNode(configs.getOrElse(k, ""))
+          }
+          case "config_delete" => compareJson(label) {
+            val k = pos.headOption.orElse(kv.get("key")).getOrElse(
+              throw new ScriptError("[config][delete] key is missing"))
+            if (configs.remove(k).isEmpty)
+              throw new ScriptError("[config][delete] failed to delete")
+            TRUE
+          }
+          case "tokenizer_list" => compareJson(label) {
+            val a = f.arrayNode()
+            builtinTokenizers.foreach(n => a.add(f.objectNode().put("name", n)))
+            a
+          }
+          case "normalizer_list" => compareJson(label) {
+            val a = f.arrayNode()
+            builtinNormalizers.foreach(n => a.add(f.objectNode().put("name", n)))
+            a
+          }
+          case "log_put" | "log_level" => compareJson(label) {
+            val lvl = pos.headOption.orElse(kv.get("level")).getOrElse("")
+            if (!validLogLevel(lvl))
+              throw new ScriptError(s"invalid log level: <$lvl>")
+            TRUE
+          }
+          case "cache_limit" => compareJson(label) {
+            kv.get("max").orElse(pos.headOption) match {
+              case None => f.numberNode(cacheMax)
+              case Some(s) =>
+                if (s.isEmpty || !s.forall(_.isDigit))
+                  throw new ScriptError(
+                    s"max value is invalid unsigned integer format: <$s>")
+                val prev = cacheMax
+                cacheMax = s.toLong
+                f.numberNode(prev)
+            }
+          }
+          case "io_flush" => compareJson(label) {
+            pos.headOption.orElse(kv.get("target_name")) match {
+              case None => TRUE
+              case Some(n) if tables.contains(n) || columnExists(n) => TRUE
+              case Some(n) if builtinTokenizers.contains(n) =>
+                throw new ScriptError(
+                  s"[flush] object must be DB, table or column: <$n>")
+              case Some(n) =>
+                throw new ScriptError(s"[io_flush] unknown target: <$n>")
+            }
+          }
+          case "reindex" => compareJson(label) {
+            val target = pos.headOption.getOrElse("")
+            val affected: Seq[IndexDef] =
+              if (target.isEmpty) indexes.toSeq
+              else if (target.contains(".")) {
+                val Array(t, c) = target.split("\\.", 2)
+                val asIdx = indexes.filter(ix => ix.lexicon == t && ix.name == c)
+                if (asIdx.nonEmpty) asIdx.toSeq
+                else indexes.filter(ix => ix.srcTable == t && ix.srcCol == c).toSeq
+              } else {
+                val asLex = indexes.filter(_.lexicon == target)
+                if (asLex.nonEmpty) asLex.toSeq
+                else indexes.filter(_.srcTable == target).toSeq
+              }
+            affected.foreach { ix =>
+              (tables.get(ix.lexicon), tables.get(ix.srcTable)) match {
+                case (Some(lex), Some(src)) =>
+                  src.rows.foreach { m =>
+                    lexiconAdd(lex, (if (ix.srcCol == "_key") m.get("_key")
+                      else m.get(ix.srcCol)).orNull)
+                  }
+                  deadLexTerms -= ix.lexicon
+                case _ => ()
+              }
+            }
+            TRUE
+          }
+          case "column_rename" => compareJson(label) {
+            val (t, from, to) = (pos.lift(0).getOrElse(""),
+              pos.lift(1).getOrElse(""), pos.lift(2).getOrElse(""))
+            val td = tables.getOrElse(t, throw new ScriptError(
+              s"[column][rename] table isn't found: <$t>"))
+            val isIdxCol = indexes.exists(ix => ix.lexicon == t && ix.name == from)
+            if (td.columns.contains(from)) {
+              val renamed = td.columns.toSeq.map { case (k, v) =>
+                (if (k == from) to else k) -> v }
+              td.columns.clear(); td.columns ++= renamed
+              if (td.vectorCols.remove(from)) td.vectorCols += to
+              if (td.weightVectorCols.remove(from)) td.weightVectorCols += to
+              td.rows.indices.foreach { i =>
+                val r = td.rows(i)
+                r.get(from).foreach(v => td.rows(i) = (r - from) + (to -> v))
+              }
+              indexes.indices.foreach { j =>
+                val ix = indexes(j)
+                if (ix.srcTable == t && ix.srcCol == from)
+                  indexes(j) = ix.copy(srcCol = to)
+              }
+              ddlCols.indices.foreach { j =>
+                val c = ddlCols(j)
+                if (c._1 == t && c._2 == from)
+                  ddlCols(j) = (c._1, to, c._3, c._4, c._5)
+                else if (c._3.contains("COLUMN_INDEX") && c._4 == t)
+                  ddlCols(j) = (c._1, c._2, c._3, c._4,
+                    c._5.map(_.split(",").map(s =>
+                      if (s.trim == from) to else s.trim).mkString(",")))
+              }
+            } else if (isIdxCol) {
+              indexes.indices.foreach { j =>
+                val ix = indexes(j)
+                if (ix.lexicon == t && ix.name == from)
+                  indexes(j) = ix.copy(name = to)
+              }
+              ddlCols.indices.foreach { j =>
+                val c = ddlCols(j)
+                if (c._1 == t && c._2 == from)
+                  ddlCols(j) = (c._1, to, c._3, c._4, c._5)
+              }
+            } else throw new ScriptError(
+              s"[column][rename] column isn't found: <$t.$from>")
+            objIds.remove(s"$t.$from").foreach(id => objIds(s"$t.$to") = id)
+            TRUE
+          }
+          case "column_copy" => compareJson(label) {
+            val Seq(ft, fc, tt, tc) = (pos ++ Seq.fill(4)("")).take(4)
+            val from = tables.getOrElse(ft, throw new ScriptError(
+              s"[column][copy] table isn't found: <$ft>"))
+            val to = tables.getOrElse(tt, throw new ScriptError(
+              s"[column][copy] table isn't found: <$tt>"))
+            def copyCast(v: JsonNode): JsonNode = {
+              if (v == null || v.isNull) return v
+              val g = gtypeOf(to, tables, tc)
+              g match {
+                case GText if v.isNumber => f.textNode(v.asText)
+                case GTime if v.isTextual &&
+                    !v.asText.trim.matches("-?\\d+(\\.\\d+)?") =>
+                  try f.numberNode(graft.script.ScriptExpr.parseTime(v.asText))
+                  catch { case _: Exception => v }
+                case _ => castLoadNode(to, tables, tc, v)
+              }
+            }
+            if (ft == tt) {
+              from.rows.indices.foreach { i =>
+                val r = from.rows(i)
+                r.get(fc).filterNot(_.isNull).foreach(v =>
+                  from.rows(i) = r + (tc -> copyCast(v)))
+              }
+            } else {
+              val norm = normOf(to)
+              def nk(s: String) = norm.map(_(s)).getOrElse(s)
+              from.rows.foreach { r =>
+                r.get("_key").filterNot(_.isNull).foreach { k =>
+                  val kTxt = nk(k.asText)
+                  val at = to.rows.indexWhere(
+                    _.get("_key").exists(x => nk(x.asText) == kTxt))
+                  val vOpt = r.get(fc).filterNot(_.isNull).map(copyCast)
+                  if (at >= 0)
+                    vOpt.foreach(v => to.rows(at) = to.rows(at) + (tc -> v))
+                  else
+                    addRow(to, Map("_key" -> (k: JsonNode)) ++ vOpt.map(tc -> _))
+                }
+              }
+            }
+            TRUE
+          }
+          case "schema" => compareJson(label) {
+            schemaCmd(tables, tableOrder.toSeq, ddlCols.toSeq, plugins.toSeq,
+              indexes.toSeq)
+          }
+          case "plugin_unregister" => compareJson(label) {
+            pos.headOption.foreach(plugins -= _)
+            TRUE
+          }
+          case other => compareJson(label) {
+            throw new ScriptError(s"unsupported command: $other")
+          }
+        }
       case COnError(b) => onErrorOmit = b
       case CSuggestDataset(nm) =>
         // the dataset DDL of groonga-suggest-create-dataset (reference
@@ -766,6 +1181,37 @@ object GrnTestRunner {
               df = df.filter(truthy(ScriptExpr.lower(fl, env).value)))
             mapper.getNodeFactory.numberNode(df.count())
           } finally { tables.remove(mergedName): Unit }
+        }
+      case CLogical("logical_table_remove", t, key, kv) =>
+        compareJson(s"logical_table_remove $t") {
+          val shards = logicalShards(tables, t)
+          if (shards.isEmpty)
+            throw new ScriptError(s"[logical_table_remove] no shard exists: <$t>")
+          def timeish(s: String): Double =
+            s.trim.toDoubleOption.getOrElse(
+              try graft.script.ScriptExpr.parseTime(s)
+              catch { case _: Exception => Double.NaN })
+          val minV = kv.get("min").map(timeish)
+          val maxV = kv.get("max").map(timeish)
+          val minInc = kv.getOrElse("min_border", "include") == "include"
+          val maxInc = kv.getOrElse("max_border", "include") == "include"
+          shards.foreach { s =>
+            val td = tables(s)
+            // delete the rows whose shard-key value falls in the target
+            // range; an emptied shard is removed outright (reference
+            // plugins/sharding/logical_table_remove.rb:40-58)
+            val victims = td.rows.indices.filter { i =>
+              val v = td.rows(i).get(key).map { n =>
+                if (n.isNumber) n.asDouble else timeish(n.asText)
+              }.getOrElse(Double.NaN)
+              !v.isNaN &&
+                minV.forall(mv => if (minInc) v >= mv else v > mv) &&
+                maxV.forall(mv => if (maxInc) v <= mv else v < mv)
+            }
+            victims.sorted.reverse.foreach(td.rows.remove(_))
+            if (td.rows.isEmpty) removeTable(s)
+          }
+          com.fasterxml.jackson.databind.node.BooleanNode.TRUE
         }
       case CLogical("logical_range_filter", t, key, kv) =>
         compareJson(s"logical_range_filter $t") {
@@ -866,10 +1312,25 @@ object GrnTestRunner {
       case CTableTokenize(t, s, pos, kv) =>
         compareJson(s"table_tokenize $t $s")(tableTokenizeCmd(tables, t, s, pos, kv))
       case CColumnRemove(t, n) =>
-        tables.get(t).foreach { d =>
+        compareJson(s"column_remove $t $n") {
+          val d = tables.getOrElse(t, throw new ScriptError(
+            s"[column][remove] table isn't found: <$t>"))
+          val isDdl = ddlCols.exists(c => c._1 == t && c._2 == n)
+          if (!d.columns.contains(n) && !isDdl)
+            throw new ScriptError(s"[column][remove] column isn't found: <$t.$n>")
           d.columns -= n; d.vectorCols -= n; d.weightVectorCols -= n
+          indexes --= indexes.filter(ix => ix.lexicon == t && ix.name == n)
+          ddlCols --= ddlCols.filter(c => c._1 == t && c._2 == n)
+          objIds -= s"$t.$n"
+          // removing a data column drops the index columns built over it
+          // (reference grn_obj_remove dependent-index cascade)
+          indexes.filter(ix => ix.srcTable == t && ix.srcCol == n).foreach { ix =>
+            ddlCols --= ddlCols.filter(c => c._1 == ix.lexicon && c._2 == ix.name)
+            objIds -= s"${ix.lexicon}.${ix.name}"
+          }
+          indexes --= indexes.filter(ix => ix.srcTable == t && ix.srcCol == n)
+          com.fasterxml.jackson.databind.node.BooleanNode.TRUE
         }
-        indexes --= indexes.filter(ix => ix.lexicon == t && ix.name == n)
       case CConfigSet(k, v) =>
         configs(k) = v
         if (k == "alias.column") v.split("\\.", 2) match {
@@ -882,6 +1343,7 @@ object GrnTestRunner {
           tsvSynonyms = parseTsvSynonyms(java.nio.file.Files.readString(p))
       case CColumn(table, name, flags, range, sources) =>
         ddlCols += ((table, name, flags, range, sources))
+        objIdFor(s"$table.$name"): Unit
         if (flags.contains("COLUMN_INDEX")) {
           // multi-source index ("title,content") = one IndexDef per source
           sources.flatMap(_.split(",").map(_.trim)).filter(_.nonEmpty)
@@ -2503,6 +2965,7 @@ object GrnTestRunner {
   private def dumpExpectedSlice(expectedText: String, k: Int): String = {
     val emittable = Set("table_create", "column_create", "load",
       "config_set", "plugin_register", "register")
+    val dumpDeleteRe = "^delete --table \\S+ --id \\d+$".r
     var depth = 0
     var dumpCount = 0
     var collecting = false
@@ -2512,7 +2975,8 @@ object GrnTestRunner {
       val tok = t.takeWhile(c => c.isLetter || c == '_')
       val isCmdLine = depth == 0 && t.nonEmpty && t.head.isLetter
       if (collecting) {
-        if (isCmdLine && !emittable.contains(tok)) return out.toString.trim
+        if (isCmdLine && !emittable.contains(tok) &&
+            dumpDeleteRe.findFirstIn(t).isEmpty) return out.toString.trim
         out.append(line).append('\n')
       } else if (isCmdLine && tok == "dump") {
         if (dumpCount == k) collecting = true
@@ -2612,14 +3076,19 @@ object GrnTestRunner {
           if (td.rows.nonEmpty && !(hasIndexCol && dataCols.isEmpty)) {
             val header = (if (td.keyed) "_key" else "_id") +: dataCols
             val keyNumeric = td.keyType.exists(t =>
-              t.startsWith("Int") || t.startsWith("UInt") || t == "Float")
+              t.startsWith("Int") || t.startsWith("UInt") || t == "Float" ||
+                t == "Time")
             def valJson(m: Map[String, JsonNode], c: String, rowIdx: Int): String = c match {
               case "_id" => rowIdOf(td, rowIdx).toString
               case "_key" =>
                 val n = m.get("_key").orNull
                 if (keyNumeric)
                   (if (n == null || n.isNull) "0"
-                   else if (n.isNumber) n.asText
+                   else if (td.keyType.contains("Time"))
+                     // date-string keys render as epoch seconds
+                     scalarJson(n, GTime, jstr)
+                   else if (n.isNumber)
+                     scalarJson(n, typeOfName(td.keyType.getOrElse("")), jstr)
                    else n.asText.trim)
                 else jstr(if (n == null) "" else n.asText)
               case col =>
@@ -2657,12 +3126,37 @@ object GrnTestRunner {
                   a.get("_key").map(_.asText).getOrElse(""),
                   b.get("_key").map(_.asText).getOrElse("")))
               else td.rows
-            val rowLines = ordered.zipWithIndex.map { case (m, i) =>
-              header.map(c => valJson(m, c, i)).mkString("[", ",", "]")
-            }
+            // deleted ids of an array table leave holes: dump re-emits the
+            // surviving rows with explicit _id, renders each hole as an
+            // empty row, and appends the delete commands that re-punch the
+            // holes on replay (reference dump of arrays after deletion)
+            val holes: Seq[Long] =
+              if (td.keyed) Nil
+              else {
+                val present = td.rows.indices.map(rowIdOf(td, _)).toSet
+                val maxSeen = if (present.isEmpty) 0L else present.max
+                (1L to maxSeen).filterNot(present)
+              }
+            val rowLines =
+              if (holes.isEmpty)
+                ordered.zipWithIndex.map { case (m, i) =>
+                  header.map(c => valJson(m, c, i)).mkString("[", ",", "]")
+                }
+              else {
+                val byId = td.rows.indices.map(i => rowIdOf(td, i) -> i).toMap
+                val maxSeen = byId.keys.max
+                (1L to maxSeen).map { id =>
+                  byId.get(id) match {
+                    case Some(i) =>
+                      header.map(c => valJson(td.rows(i), c, i)).mkString("[", ",", "]")
+                    case None => "[]"
+                  }
+                }
+              }
             parts += (s"load --table $tn\n[\n" +
               (header.map(jstr).mkString("[", ",", "]") +: rowLines)
-                .mkString(",\n") + "\n]")
+                .mkString(",\n") + "\n]" +
+              holes.map(h => s"\ndelete --table $tn --id $h").mkString)
           }
         }
       }
@@ -2670,8 +3164,9 @@ object GrnTestRunner {
 
     if (on("dump_indexes")) {
       val ix = ddlCols.filter(isIndex)
-      // each index column once (multi-source defs were split at parse)
-      ix.foreach(c => parts += colLine(c))
+      // one consecutive block: the reference emits every trailing index
+      // column_create adjacently (multi-source defs were split at parse)
+      if (ix.nonEmpty) parts += ix.map(colLine).mkString("\n")
     }
     parts.mkString("\n\n")
   }
@@ -2885,6 +3380,314 @@ object GrnTestRunner {
           com.fasterxml.jackson.databind.node.TextNode.valueOf(k)))
       }
     }
+  }
+
+  // ------------------------------------------- DDL introspection helpers
+
+  /** Builtin type ids / sizes (reference include/groonga/groonga.h
+    * grn_builtin_type enum; sizes per grn_type_create registrations).
+    */
+  private val grnTypeIds: Map[String, Int] = Map(
+    "Object" -> 1, "Bool" -> 3, "Int8" -> 4, "UInt8" -> 5, "Int16" -> 6,
+    "UInt16" -> 7, "Int32" -> 8, "UInt32" -> 9, "Int64" -> 10,
+    "UInt64" -> 11, "Float" -> 12, "Time" -> 13, "ShortText" -> 14,
+    "Text" -> 15, "LongText" -> 16, "TokyoGeoPoint" -> 17,
+    "WGS84GeoPoint" -> 18)
+  private val grnTypeSizes: Map[String, Long] = Map(
+    "Object" -> 8L, "Bool" -> 1L, "Int8" -> 1L, "UInt8" -> 1L, "Int16" -> 2L,
+    "UInt16" -> 2L, "Int32" -> 4L, "UInt32" -> 4L, "Int64" -> 8L,
+    "UInt64" -> 8L, "Float" -> 8L, "Time" -> 8L, "ShortText" -> 4096L,
+    "Text" -> 65536L, "LongText" -> 2147483648L, "TokyoGeoPoint" -> 8L,
+    "WGS84GeoPoint" -> 8L)
+
+  /** Builtin tokenizers/normalizers in registration order (the
+    * tokenizer_list / normalizer_list command output order).
+    */
+  private val builtinTokenizers: Seq[String] = Seq(
+    "TokenMecab", "TokenDelimit", "TokenUnigram", "TokenBigram",
+    "TokenTrigram", "TokenBigramSplitSymbol", "TokenBigramSplitSymbolAlpha",
+    "TokenBigramSplitSymbolAlphaDigit", "TokenBigramIgnoreBlank",
+    "TokenBigramIgnoreBlankSplitSymbol",
+    "TokenBigramIgnoreBlankSplitSymbolAlpha",
+    "TokenBigramIgnoreBlankSplitSymbolAlphaDigit", "TokenDelimitNull",
+    "TokenRegexp")
+  private val builtinNormalizers: Seq[String] =
+    Seq("NormalizerAuto", "NormalizerNFKC51")
+
+  /** Command-object names `object_remove` can drop. */
+  private val commandNames: Set[String] = Set(
+    "select", "load", "dump", "delete", "truncate", "status", "table_create",
+    "table_remove", "table_list", "table_rename", "column_create",
+    "column_remove", "column_rename", "column_list", "column_copy",
+    "object_exist", "object_remove", "object_inspect", "config_get",
+    "config_set", "config_delete", "tokenize", "normalize", "schema",
+    "reindex", "io_flush", "cache_limit", "log_put", "log_level",
+    "tokenizer_list", "normalizer_list", "plugin_register",
+    "plugin_unregister", "suggest", "range_filter", "quit", "shutdown")
+
+  /** Level-name prefix match (reference grn_log_level_parse accepts the
+    * full name, abbreviations, and single letters, any case).
+    */
+  private def validLogLevel(s: String): Boolean = {
+    val names = Seq("emergency", "alert", "critical", "error", "warning",
+      "notice", "info", "debug", "dump", "none")
+    val l = s.toLowerCase
+    l.nonEmpty && names.exists(_.startsWith(l))
+  }
+
+  /** `object_inspect [NAME]` body (reference proc_object_inspect,
+    * lib/proc/proc_object_inspect.c): db / builtin type / table shapes.
+    */
+  private def objectInspect(nameOpt: Option[String],
+      tables: collection.Map[String, TableDef],
+      objIdFor: String => Long, nUserObjects: () => Int): JsonNode = {
+    val f = mapper.getNodeFactory
+    def typeNode(t: String): JsonNode = {
+      val o = f.objectNode()
+      o.put("id", grnTypeIds.getOrElse(t, 0))
+      o.put("name", t)
+      o.set[JsonNode]("type",
+        f.objectNode().put("id", 32).put("name", "type"))
+      o.put("size", grnTypeSizes.getOrElse(t, 0L))
+      o
+    }
+    nameOpt.filter(_.nonEmpty) match {
+      case None =>
+        // whole-db inspect: the name table holds 255 builtins + every
+        // user-created object
+        val o = f.objectNode()
+        o.set[JsonNode]("type", f.objectNode().put("id", 55).put("name", "db"))
+        val nt = f.objectNode()
+        nt.put("id", 0); nt.put("name", "")
+        nt.set[JsonNode]("type",
+          f.objectNode().put("id", 50).put("name", "table:dat_key"))
+        nt.set[JsonNode]("key", f.objectNode().set[JsonNode]("type", f.nullNode()))
+        nt.set[JsonNode]("value", f.nullNode())
+        nt.put("n_records", 255 + nUserObjects())
+        o.set[JsonNode]("name_table", nt)
+        o
+      case Some(n) if grnTypeIds.contains(n) && !tables.contains(n) =>
+        typeNode(n)
+      case Some(n) =>
+        val td = tables.getOrElse(n, throw new ScriptError(
+          s"[object][inspect] target object doesn't exist: <$n>"))
+        val o = f.objectNode()
+        o.put("id", objIdFor(n))
+        o.put("name", n)
+        val (tid, tname) =
+          if (!td.keyed) (51, "table:no_key")
+          else if (td.tableFlags.contains("TABLE_DAT_KEY")) (50, "table:dat_key")
+          else if (td.isPat) (49, "table:pat_key")
+          else (48, "table:hash_key")
+        o.set[JsonNode]("type", f.objectNode().put("id", tid).put("name", tname))
+        if (!td.keyed) o.set[JsonNode]("key", f.nullNode())
+        else {
+          val k = f.objectNode()
+          k.set[JsonNode]("type",
+            td.keyType.map(typeNode).getOrElse(f.nullNode()))
+          if (tname != "table:dat_key") {
+            // keys short enough to inline (≤ 4 bytes) never hit the shared
+            // key buffer; total_size counts only buffered key bytes
+            val total = td.rows.flatMap(_.get("_key"))
+              .map(_.asText.getBytes("UTF-8").length.toLong)
+              .filter(_ > 4).sum
+            k.put("total_size", total)
+            k.put("max_total_size",
+              if (tname == "table:pat_key") 4294967294L else 4294967295L)
+          }
+          o.set[JsonNode]("key", k)
+        }
+        o.set[JsonNode]("value",
+          td.valueType match {
+            case Some(vt) =>
+              f.objectNode().set[JsonNode]("type", typeNode(vt))
+            case None => f.nullNode()
+          })
+        o.put("n_records", td.rows.size)
+        o
+    }
+  }
+
+  /** `schema` command body (reference lib/proc/proc_schema.c): plugins,
+    * the builtin type/tokenizer/normalizer registries, registered token
+    * filters, and every table with its columns and index back-links.
+    */
+  private def schemaCmd(tables: collection.Map[String, TableDef],
+      tableOrder: Seq[String],
+      ddlCols: Seq[(String, String, String, String, Seq[String])],
+      plugins: Seq[String],
+      indexes: Seq[IndexDef]): JsonNode = {
+    val f = mapper.getNodeFactory
+    val root = f.objectNode()
+    val pl = f.objectNode()
+    plugins.foreach(p => pl.set[JsonNode](p, f.objectNode().put("name", p)))
+    root.set[JsonNode]("plugins", pl)
+
+    val tys = f.objectNode()
+    val keyable = (t: String) => t != "Text" && t != "LongText"
+    val valueable = (t: String) => !Set("ShortText", "Text", "LongText")(t)
+    grnTypeIds.keys.toSeq.filterNot(_ == "Object").sorted.foreach { t =>
+      val o = f.objectNode()
+      o.put("name", t)
+      o.put("size", grnTypeSizes(t))
+      o.put("can_be_key_type", keyable(t))
+      o.put("can_be_value_type", valueable(t))
+      tys.set[JsonNode](t, o)
+    }
+    // Object is keyable+valueable with pointer size (the fixture list
+    // includes it between LongText and ShortText)
+    val ob = f.objectNode()
+    ob.put("name", "Object"); ob.put("size", 8L)
+    ob.put("can_be_key_type", true); ob.put("can_be_value_type", true)
+    tys.set[JsonNode]("Object", ob)
+    root.set[JsonNode]("types", tys)
+
+    val toks = f.objectNode()
+    builtinTokenizers.foreach(t =>
+      toks.set[JsonNode](t, f.objectNode().put("name", t)))
+    root.set[JsonNode]("tokenizers", toks)
+
+    val norms = f.objectNode()
+    builtinNormalizers.foreach(t =>
+      norms.set[JsonNode](t, f.objectNode().put("name", t)))
+    root.set[JsonNode]("normalizers", norms)
+
+    val tf = f.objectNode()
+    val pluginFilters = Map(
+      "token_filters/stop_word" -> "TokenFilterStopWord",
+      "token_filters/stem" -> "TokenFilterStem")
+    plugins.flatMap(pluginFilters.get).foreach(n =>
+      tf.set[JsonNode](n, f.objectNode().put("name", n)))
+    root.set[JsonNode]("token_filters", tf)
+
+    // an index entry pointing back at a table (`_key` source) or column
+    def indexEntry(ixTable: String, ixName: String, srcCol: String): JsonNode = {
+      val ddl = ddlCols.find(c => c._1 == ixTable && c._2 == ixName)
+      val srcList = ddl.toSeq.flatMap(_._5).flatMap(_.split(","))
+        .map(_.trim).filter(_.nonEmpty)
+      val withSection = ddl.exists(_._3.contains("WITH_SECTION"))
+      val pos = srcList.indexOf(srcCol)
+      val o = f.objectNode()
+      o.put("full_name", s"$ixTable.$ixName")
+      o.put("table", ixTable)
+      o.put("name", ixName)
+      o.put("section", if (withSection && pos >= 0) pos + 1 else 0)
+      o
+    }
+    def typeRef(t: String): JsonNode =
+      f.objectNode().put("name", t)
+        .put("type", if (tables.contains(t)) "reference" else "type")
+
+    val tbls = f.objectNode()
+    tableOrder.filterNot(_.startsWith("__")).foreach { tn =>
+      val td = tables(tn)
+      val o = f.objectNode()
+      o.put("name", tn)
+      o.put("type",
+        if (!td.keyed) "array"
+        else if (td.tableFlags.contains("TABLE_DAT_KEY")) "double array trie"
+        else if (td.isPat) "patricia trie"
+        else "hash table")
+      o.set[JsonNode]("key_type",
+        td.keyType.map(typeRef).getOrElse(f.nullNode()))
+      o.set[JsonNode]("value_type",
+        td.valueType.map(typeRef).getOrElse(f.nullNode()))
+      o.set[JsonNode]("tokenizer",
+        td.rawTokenizer.map(t => f.objectNode().put("name", t): JsonNode)
+          .getOrElse(f.nullNode()))
+      o.set[JsonNode]("normalizer",
+        td.normalizer.map(t => f.objectNode().put("name", t): JsonNode)
+          .getOrElse(f.nullNode()))
+      val tfa = f.arrayNode()
+      td.tokenFilters.foreach(t => tfa.add(f.objectNode().put("name", t)))
+      o.set[JsonNode]("token_filters", tfa)
+      val ixa = f.arrayNode()
+      indexes.filter(ix => ix.srcTable == tn && ix.srcCol == "_key")
+        .foreach(ix => ixa.add(indexEntry(ix.lexicon, ix.name, "_key")))
+      o.set[JsonNode]("indexes", ixa)
+      // table_create command echo in canonical argument order
+      val argsM = mutable.LinkedHashMap[String, String]()
+      argsM("name") = tn
+      argsM("flags") = td.tableFlags
+      td.keyType.foreach(argsM("key_type") = _)
+      td.valueType.foreach(argsM("value_type") = _)
+      td.rawTokenizer.foreach(argsM("default_tokenizer") = _)
+      td.normalizer.filter(_ =>
+        !td.tableFlags.contains("KEY_NORMALIZE")).foreach(argsM("normalizer") = _)
+      if (td.tokenFilters.nonEmpty)
+        argsM("token_filters") = td.tokenFilters.mkString(",")
+      o.set[JsonNode]("command", commandNode("table_create", argsM))
+      val cols = f.objectNode()
+      ddlCols.filter(c => c._1 == tn && c._2 != "_value").foreach {
+        case (_, n, flags, range, srcs) =>
+          val isIdx = flags.contains("COLUMN_INDEX")
+          val c = f.objectNode()
+          c.put("name", n)
+          c.put("table", tn)
+          c.put("full_name", s"$tn.$n")
+          c.put("type",
+            if (isIdx) "index"
+            else if (flags.contains("COLUMN_VECTOR")) "vector" else "scalar")
+          c.set[JsonNode]("value_type", typeRef(range))
+          c.set[JsonNode]("compress",
+            if (flags.contains("COMPRESS_ZLIB")) f.textNode("zlib")
+            else if (flags.contains("COMPRESS_LZ4")) f.textNode("lz4")
+            else if (flags.contains("COMPRESS_ZSTD")) f.textNode("zstd")
+            else f.nullNode())
+          c.put("section", flags.contains("WITH_SECTION"))
+          c.put("weight", flags.contains("WITH_WEIGHT"))
+          c.put("position", flags.contains("WITH_POSITION"))
+          val srcA = f.arrayNode()
+          val srcList = srcs.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+          srcList.foreach { s =>
+            val so = f.objectNode()
+            so.put("name", s)
+            so.put("table", range)
+            so.put("full_name", s"$range.$s")
+            srcA.add(so)
+          }
+          c.set[JsonNode]("sources", srcA)
+          val cIxa = f.arrayNode()
+          indexes.filter(ix => ix.srcTable == tn && ix.srcCol == n)
+            .foreach(ix => cIxa.add(indexEntry(ix.lexicon, ix.name, n)))
+          c.set[JsonNode]("indexes", cIxa)
+          val cArgs = mutable.LinkedHashMap[String, String]()
+          cArgs("table") = tn
+          cArgs("name") = n
+          cArgs("flags") = {
+            val have = flags.split('|').map(_.trim).toSet
+            val base =
+              if (isIdx) "COLUMN_INDEX"
+              else if (have("COLUMN_VECTOR")) "COLUMN_VECTOR"
+              else "COLUMN_SCALAR"
+            base + Seq("COMPRESS_ZLIB", "COMPRESS_LZ4", "COMPRESS_ZSTD",
+              "WITH_SECTION", "WITH_WEIGHT", "WITH_POSITION")
+              .filter(have).map("|" + _).mkString
+          }
+          cArgs("type") = range
+          if (srcList.nonEmpty) cArgs("sources") = srcList.mkString(",")
+          c.set[JsonNode]("command", commandNode("column_create", cArgs))
+          cols.set[JsonNode](n, c)
+      }
+      o.set[JsonNode]("columns", cols)
+      tbls.set[JsonNode](tn, o)
+    }
+    root.set[JsonNode]("tables", tbls)
+    root
+  }
+
+  /** `{"name": CMD, "arguments": {...}, "command_line": "CMD --k v ..."}` */
+  private def commandNode(cmd: String,
+      args: mutable.LinkedHashMap[String, String]): JsonNode = {
+    val f = mapper.getNodeFactory
+    val o = f.objectNode()
+    o.put("name", cmd)
+    val a = f.objectNode()
+    args.foreach { case (k, v) => a.put(k, v) }
+    o.set[JsonNode]("arguments", a)
+    o.put("command_line",
+      cmd + args.map { case (k, v) => s" --$k $v" }.mkString)
+    o
   }
 
   private def byteLt(a: String, b: String): Boolean = {
