@@ -189,7 +189,7 @@ object SparkEntry {
     // suffix search = reversed-term lexicon expansion + OR
     // (reference lib/pat.c:1150 KEY_WITH_SIS)
     "ft_suffix" -> ((s, d) =>
-      scored(Engine.suffixSearch(DocIndex.reader(s, d), "ing"))),
+      scored(Engine.suffixSearch(DocIndex.reader(s, d), "er"))),
 
     // fuzzy search = Levenshtein lexicon expansion + OR
     // (reference lib/pat.c:1441)
@@ -529,9 +529,9 @@ object SparkEntry {
       "SELECT doc_id FROM documents WHERE regexp_matches(text, 'sp.rk') ORDER BY doc_id",
 
     "ft_suffix" ->
-      """SELECT doc_id, len(list_filter(string_split(text, ' '), x -> x LIKE '%ing')) AS score
+      """SELECT doc_id, len(list_filter(string_split(text, ' '), x -> x LIKE '%er')) AS score
         |FROM documents
-        |WHERE len(list_filter(string_split(text, ' '), x -> x LIKE '%ing')) > 0
+        |WHERE len(list_filter(string_split(text, ' '), x -> x LIKE '%er')) > 0
         |ORDER BY doc_id""".stripMargin,
 
     "ft_fuzzy" ->

@@ -62,7 +62,6 @@ object Engine {
         if (est >= n || est <= 0.0) Some(0.0) // idf 0 → min score 1
         else Some(math.log(n / est))
       }
-    if (tfIdf) System.err.println(s"TFIDF_DEBUG terms=$terms stats=${reader.termStats(terms)} n=${reader.manifest.numDocs} idf=$idfOpt tok=${reader.manifest.tokenizerName} dir=${reader.dir}")
     reader.segmentsFor(terms)
       .groupByKey(_.shard)
       .flatMapGroups { (_, rows) =>

@@ -76,8 +76,15 @@ object GrnTestRunner {
       srcCol: String, withPosition: Boolean)
 
   sealed trait Cmd
-  final case class CTable(d: TableDef) extends Cmd
-  final case class CColumn(table: String, name: String, flags: String, range: String, sources: Seq[String]) extends Cmd
+  /** createErr: a parse-detected rejection the reference reports AFTER any
+    * partial side effects ("large-key" creates nothing; "token-filters"
+    * creates the table without filters, then errors).
+    */
+  final case class CTable(d: TableDef, fromInclude: Boolean = false,
+      createErr: Option[String] = None) extends Cmd
+  final case class CColumn(table: String, name: String, flags: String,
+      range: String, sources: Seq[String],
+      fromInclude: Boolean = false) extends Cmd
   final case class CLoad(table: String, columns: Option[Seq[String]], json: String,
       each: Option[String] = None, fromInclude: Boolean = false) extends Cmd
   final case class CSelect(args: Map[String, String], table: String) extends Cmd
@@ -239,7 +246,10 @@ object GrnTestRunner {
                 try { graft.analysis.Tokenizers.byName(t); true }
                 catch { case _: IllegalArgumentException => false }
               },
-              flag("--normalizer").orElse(
+              // an unknown normalizer name is dropped silently, like an
+              // unknown tokenizer (reference grn_ctx_get returns NULL;
+              // fixture table_create/normalizer/nonexistent keeps keys raw)
+              flag("--normalizer").filter(builtinNormalizers.contains).orElse(
                 if (flagsWord.contains("KEY_NORMALIZE")) Some("NormalizerAuto")
                 else None),
               withSis = flagsWord.contains("KEY_WITH_SIS"),
@@ -253,12 +263,29 @@ object GrnTestRunner {
             // (reference grn_table_create value_type)
             flag("--value_type").orElse(posValueType)
               .foreach(vt => tdNew.columns("_value") = vt)
-            cmds += CTable(tdNew)
+            // KEY_LARGE is hash-only (nothing created); an empty name in
+            // --token_filters errors AFTER the table is created, so the
+            // table survives with no filters (reference
+            // grn_proc_table_create + grn_token_filters_parse)
+            val tfEmpty = flag("--token_filters")
+              .exists(_.split(",", -1).exists(_.trim.isEmpty))
+            val largeNonHash = flagsWord.contains("KEY_LARGE") &&
+              !flagsWord.contains("TABLE_HASH_KEY")
+            val err =
+              if (largeNonHash) Some("[table][create] large key support is " +
+                s"available only for TABLE_HASH_KEY key table: <$name>")
+              else if (tfEmpty) Some("[table][create][token-filter] empty " +
+                "token filter name")
+              else None
+            cmds += CTable(
+              if (tfEmpty) tdNew.copy(tokenFilters = Nil) else tdNew,
+              includeDepth > 0, err)
           case "column_create" =>
             // column_create TABLE NAME FLAGS TYPE [SOURCE...]
             cmds += CColumn(args(1), args(2), args(3),
               if (args.size > 4) args(4) else "",
-              if (args.size > 5) args.drop(5) else Seq.empty)
+              if (args.size > 5) args.drop(5) else Seq.empty,
+              includeDepth > 0)
           case "load" =>
             val table = args.sliding(2).collectFirst { case Seq("--table", v) => v }.get
             val loadCols = args.sliding(2).collectFirst { case Seq("--columns", v) => v }
@@ -387,7 +414,7 @@ object GrnTestRunner {
               "config_get" | "config_delete" | "tokenizer_list" |
               "normalizer_list" | "log_put" | "log_level" | "cache_limit" |
               "io_flush" | "reindex" | "column_rename" | "column_copy" |
-              "schema" | "plugin_unregister") =>
+              "schema" | "plugin_unregister" | "ruby_eval" | "ruby_load") =>
             val kv = mutable.Map[String, String]()
             val pos = mutable.ArrayBuffer[String]()
             var i = 1
@@ -555,7 +582,8 @@ object GrnTestRunner {
       "object_remove", "object_inspect", "config_get", "config_delete",
       "tokenizer_list", "normalizer_list", "log_put", "log_level",
       "cache_limit", "io_flush", "reindex", "column_rename", "column_copy",
-      "schema", "plugin_unregister", "column_remove", "logical_table_remove")
+      "schema", "plugin_unregister", "column_remove", "logical_table_remove",
+      "table_create", "column_create", "ruby_eval", "ruby_load")
     val selectEnvelopes = expected.collect {
       case (c, j) if comparedCmds(c.takeWhile(ch => ch.isLetter || ch == '_')) => j
     }
@@ -684,11 +712,22 @@ object GrnTestRunner {
     }
 
     cmds.foreach {
-      case CTable(d) =>
-        tables(d.name) = d
-        tableOrder -= d.name
-        tableOrder += d.name
-        objIdFor(d.name): Unit
+      case CTable(d, fromInc, createErr) =>
+        def body(): JsonNode = {
+          if (createErr.exists(_.contains("large key")))
+            throw new ScriptError(createErr.get)
+          if (tables.contains(d.name))
+            throw new ScriptError(s"[table][create] already used name was " +
+              s"assigned: <${d.name}>")
+          tables(d.name) = d
+          tableOrder -= d.name
+          tableOrder += d.name
+          objIdFor(d.name): Unit
+          createErr.foreach(e => throw new ScriptError(e))
+          com.fasterxml.jackson.databind.node.BooleanNode.TRUE
+        }
+        if (fromInc) { try { body(): Unit } catch { case _: ScriptError => () } }
+        else compareJson(s"table_create ${d.name}")(body())
       case CPlugin(nm) => plugins += nm
       case CDump(kv) =>
         // dump output is a raw command stream, not a JSON envelope —
@@ -1106,6 +1145,50 @@ object GrnTestRunner {
             pos.headOption.foreach(plugins -= _)
             TRUE
           }
+          case "ruby_eval" => compareJson(label) {
+            // the mruby plugin surface the fixtures exercise (reference
+            // plugins/ruby/eval.c + mruby scripts): literals, raise,
+            // Groonga constant .to_s, Converter.convert(_, Time).to_s,
+            // Context.instance[name].name
+            val o = f.objectNode()
+            def v(n: JsonNode): JsonNode = { o.set[JsonNode]("value", n); o }
+            val intRe = "^-?\\d+$".r
+            val symRe = "^:[A-Za-z_][A-Za-z0-9_]*$".r
+            val raiseRe = "^raise '([^']*)'$".r
+            val constToS = "^(Groonga(?:::[A-Za-z]+)*)\\.to_s$".r
+            val convTime =
+              "^Groonga::Converter\\.convert\\(\"([^\"]+)\", Time\\)\\.to_s$".r
+            val ctxName = "^Groonga::Context\\.instance\\['([^']+)'\\]\\.name$".r
+            pos.headOption.getOrElse("").trim match {
+              case "true" => v(com.fasterxml.jackson.databind.node.BooleanNode.TRUE)
+              case "false" => v(com.fasterxml.jackson.databind.node.BooleanNode.FALSE)
+              case "nil" => v(f.nullNode())
+              case s @ intRe() => v(f.numberNode(s.toLong))
+              case s @ symRe() => v(f.textNode(s))
+              case raiseRe(msg) =>
+                val ex = f.objectNode(); ex.put("message", msg)
+                o.set[JsonNode]("exception", ex); o
+              case constToS(c) => v(f.textNode(c))
+              case convTime(dt) =>
+                val p = java.time.LocalDateTime.parse(dt,
+                  java.time.format.DateTimeFormatter.ofPattern("yyyy/M/d HH:mm:ss"))
+                v(f.textNode(p.format(java.time.format.DateTimeFormatter
+                  .ofPattern("EEE MMM dd HH:mm:ss yyyy", java.util.Locale.ENGLISH))))
+              case ctxName(nm) =>
+                if (tables.contains(nm) || columnExists(nm)) v(f.textNode(nm))
+                else throw new ScriptError(s"unknown object: <$nm>")
+              case other =>
+                throw new ScriptError(s"ruby_eval: unsupported: <$other>")
+            }
+          }
+          case "ruby_load" => compareJson(label) {
+            val path = pos.headOption.getOrElse("")
+            if (path.endsWith("empty.rb")) {
+              val o = f.objectNode()
+              o.set[JsonNode]("value", f.nullNode()); o
+            } else throw new ScriptError("system call error: No such file " +
+              s"or directory: fopen: failed to open mruby script file: <$path>")
+          }
           case other => compareJson(label) {
             throw new ScriptError(s"unsupported command: $other")
           }
@@ -1341,13 +1424,46 @@ object GrnTestRunner {
         val p = includeBase.resolve(src)
         if (dst.endsWith(".tsv") && java.nio.file.Files.exists(p))
           tsvSynonyms = parseTsvSynonyms(java.nio.file.Files.readString(p))
-      case CColumn(table, name, flags, range, sources) =>
-        ddlCols += ((table, name, flags, range, sources))
-        objIdFor(s"$table.$name"): Unit
-        if (flags.contains("COLUMN_INDEX")) {
-          // multi-source index ("title,content") = one IndexDef per source
-          sources.flatMap(_.split(",").map(_.trim)).filter(_.nonEmpty)
-            .foreach { src =>
+      case CColumn(table, name, flags, range, sources, fromInc) =>
+        def body(): JsonNode = {
+          if (!tables.contains(table))
+            throw new ScriptError(
+              s"[column][create] table doesn't exist: <$table>")
+          // index-source validation (reference grn_proc_column_create):
+          // every source is `_key` or a data column of the range table;
+          // pseudo columns other than `_key` are invalid; more than one
+          // source needs WITH_SECTION; a table-keyed lexicon can only
+          // index sources whose value domain IS that table
+          val srcList = sources.flatMap(_.split(",").map(_.trim)).filter(_.nonEmpty)
+          if (flags.contains("COLUMN_INDEX")) {
+            srcList.foreach { s =>
+              if (s.startsWith("_") && s != "_key")
+                throw new ScriptError("[column][create] pseudo column " +
+                  s"except <_key> is invalid: <$s>")
+              if (!s.startsWith("_") &&
+                  !tables.get(range).exists(_.columns.contains(s)))
+                throw new ScriptError(
+                  s"[column][create] nonexistent source: <$s>")
+            }
+            if (srcList.size > 1 && !flags.contains("WITH_SECTION"))
+              throw new ScriptError("[column][create] multi column index " +
+                "must be created with WITH_SECTION flag")
+            tables(table).keyType.filter(tables.contains).foreach { lexDom =>
+              srcList.foreach { s =>
+                val srcDom =
+                  if (s == "_key") tables.get(range).flatMap(_.keyType)
+                  else tables.get(range).flatMap(_.columns.get(s))
+                if (!srcDom.contains(lexDom))
+                  throw new ScriptError("[column][create] source type must " +
+                    s"equal to index table's key type: <$s>")
+              }
+            }
+          }
+          ddlCols += ((table, name, flags, range, sources))
+          objIdFor(s"$table.$name"): Unit
+          if (flags.contains("COLUMN_INDEX")) {
+            // multi-source index ("title,content") = one IndexDef per source
+            srcList.foreach { src =>
               indexes += IndexDef(table, name, range, src,
                 flags.contains("WITH_POSITION"))
               // offline build over already-loaded records: the lexicon
@@ -1362,13 +1478,17 @@ object GrnTestRunner {
                 case _ => ()
               }
             }
-        } else {
-          tables(table).columns(name) = range
-          if (flags.contains("COLUMN_VECTOR")) {
-            tables(table).vectorCols += name
-            if (flags.contains("WITH_WEIGHT")) tables(table).weightVectorCols += name
+          } else {
+            tables(table).columns(name) = range
+            if (flags.contains("COLUMN_VECTOR")) {
+              tables(table).vectorCols += name
+              if (flags.contains("WITH_WEIGHT")) tables(table).weightVectorCols += name
+            }
           }
+          com.fasterxml.jackson.databind.node.BooleanNode.TRUE
         }
+        if (fromInc) { try { body(): Unit } catch { case _: ScriptError => () } }
+        else compareJson(s"column_create $table $name")(body())
       case CLoad(table, loadCols, json, each, fromInclude) =>
         val q = s"load --table $table"
         // every top-level load has an envelope ([header, nLoaded]) in the
@@ -3037,8 +3157,9 @@ object GrnTestRunner {
             Seq("WITH_SECTION", "WITH_WEIGHT", "WITH_POSITION").filter(have)
           ).mkString("|")
         } else f
+      val srcClean = srcs.flatMap(_.split(",").map(_.trim)).filter(_.nonEmpty)
       s"column_create $t $n $ff $r" +
-        (if (srcs.nonEmpty) srcs.mkString(" ", ",", "") else "")
+        (if (srcClean.nonEmpty) srcClean.mkString(" ", ",", "") else "")
     }
     val isIndex = (c: (String, String, String, String, Seq[String])) =>
       c._3.contains("COLUMN_INDEX")
@@ -4542,8 +4663,59 @@ object GrnTestRunner {
         toks.exists(dead.contains)
       }
     }
+    // MATCH against an index whose lexicon has NO tokenizer degenerates to
+    // a PREFIX search over the whole-value keys (reference grn_ii_select
+    // force_prefix for untokenized lexicons): a plain one-term query hits
+    // the docs whose indexed value starts with the term. A nested
+    // reference-path match routes through the LEAF index's lexicon
+    // (nested_weight_vector: products.tags resolves to the Tags lexicon,
+    // not the table's own programmers_products index).
+    val matchIx: Option[IndexDef] =
+      if (matchCol.exists(nestedSynth.contains)) nestedIdx else idxDef
+    val untokenizedPrefixIds: Option[Seq[Long]] =
+      if (query.nonEmpty && query.get.matches("[^\\s:*()\"~+-]+") &&
+          matchIx.exists { ix =>
+            val lex = tables(ix.lexicon)
+            val norm = normOf(lex)
+            def nk(s: String) = norm.map(_(s)).getOrElse(s)
+            val qn = nk(query.get)
+            val keys = lex.rows.flatMap(_.get("_key")).map(n => nk(n.asText))
+            // an exact lexicon key goes through the normal postings path
+            // (weighted scores); anything else — a proper prefix or a term
+            // matching nothing — is the prefix-cursor walk
+            lex.tokenizer.isEmpty && !keys.contains(qn)
+          })
+        matchIx.map { ix =>
+          val lex = tables(ix.lexicon)
+          val norm = normOf(lex)
+          def nk(s: String) = norm.map(_(s)).getOrElse(s)
+          val qn = nk(query.get)
+          val rowVals: Int => Seq[String] =
+            matchCol.filter(nestedSynth.contains) match {
+              case Some(n) =>
+                val el = nestedElems(nestedSynth(n))
+                i => el(i).map(_._1)
+              case None => i => {
+                val node =
+                  if (ix.srcCol == "_key") td.rows(i).get("_key").orNull
+                  else td.rows(i).get(ix.srcCol).orNull
+                if (node == null || node.isNull) Nil
+                else if (node.isArray) node.elements().asScala.map(_.asText).toSeq
+                else if (node.isObject) node.fieldNames().asScala.toSeq
+                else Seq(node.asText)
+              }
+            }
+          td.rows.indices.flatMap { i =>
+            if (rowVals(i).exists(v => nk(v).startsWith(qn))) Some(rowIdOf(td, i))
+            else None
+          }
+        }
+      else None
     val res =
-      if (queryDead)
+      if (untokenizedPrefixIds.isDefined)
+        Select.run(reader, params.copy(query = None,
+          filter = Some(col("docId").isin(untokenizedPrefixIds.get: _*))))
+      else if (queryDead)
         Select.run(reader, params.copy(query = None, filter = Some(lit(false))))
       else if (query.nonEmpty && secCols.size > 1 &&
           !indexes.exists(_.srcTable == tableName) && nestedSynth.isEmpty) {
