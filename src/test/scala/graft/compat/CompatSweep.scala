@@ -32,7 +32,8 @@ object CompatSweep {
       "object_remove", "object_inspect", "config_get", "config_delete",
       "tokenizer_list", "normalizer_list", "log_put", "cache_limit",
       "io_flush", "reindex", "column_rename", "column_copy", "schema",
-      "plugin_unregister", "logical_table_remove", "ruby_eval", "ruby_load")
+      "plugin_unregister", "logical_table_remove", "ruby_eval", "ruby_load",
+      "request_cancel", "database_unmap", "thread_limit")
     val roots = Seq("select", "tokenize", "normalize", "table_tokenize",
       "token_filters", "tokenizers", "suggest", "range_filter", "sharding",
       "dump", "load", "delete", "truncate", "tables", "geo",
@@ -41,7 +42,8 @@ object CompatSweep {
       "log_put", "log_level", "cache_limit", "io_flush", "reindex",
       "column_rename", "column_copy", "column_remove", "schema",
       "tokenizer_list", "normalizer_list", "table_create", "column_create",
-      "ruby")
+      "ruby", "config_set", "database_unmap", "plugin_register",
+      "plugin_unregister", "request_cancel", "response")
     val fixtures = roots.iterator.flatMap(r =>
         Files.walk(suite.resolve(r)).iterator().asScala)
       .filter(p => p.toString.endsWith(".test"))

@@ -215,6 +215,25 @@ object GrnTestRunner {
         }
       }
       else if (line.isEmpty || line.startsWith("#")) ()
+      else if (line.startsWith("/d/")) {
+        // URL-form command (reference HTTP surface): /d/NAME.json?k=v&...
+        // — decode the query params into the equivalent command; the
+        // `callback` param is the jsonp wrapper (response/jsonp fixture),
+        // stripped here because comparison is on the unwrapped envelope
+        val qIdx = line.indexOf('?')
+        val name = line.stripPrefix("/d/").takeWhile(_ != '.')
+        val kv: Map[String, String] =
+          if (qIdx < 0) Map.empty
+          else line.substring(qIdx + 1).split('&').toSeq.flatMap { p =>
+            p.split("=", 2) match {
+              case Array(k, v) =>
+                Some(k -> java.net.URLDecoder.decode(v, "UTF-8"))
+              case _ => None
+            }
+          }.toMap - "callback"
+        if (name == "select")
+          cmds += CSelect(kv, kv.getOrElse("table", ""))
+      }
       else {
         val args = splitArgs(line)
         args.head match {
@@ -377,8 +396,11 @@ object GrnTestRunner {
             cmds += CRangeFilter(args(1), args(2), kv.toMap)
           case "column_remove" if args.size > 2 =>
             cmds += CColumnRemove(args(1), args(2))
-          case "config_set" if args.size > 2 =>
-            cmds += CConfigSet(args(1), args(2))
+          case "config_set" =>
+            // `config_set key` sets the empty value; bare `config_set`
+            // is the rc=-22 "key is missing" rejection
+            cmds += CConfigSet(args.lift(1).getOrElse(""),
+              args.lift(2).getOrElse(""))
           // plugin_register / register: the proc functions are built in;
           // the NAME is tracked so `dump` can re-emit the registration
           case "plugin_register" | "register" if args.size > 1 =>
@@ -414,7 +436,8 @@ object GrnTestRunner {
               "config_get" | "config_delete" | "tokenizer_list" |
               "normalizer_list" | "log_put" | "log_level" | "cache_limit" |
               "io_flush" | "reindex" | "column_rename" | "column_copy" |
-              "schema" | "plugin_unregister" | "ruby_eval" | "ruby_load") =>
+              "schema" | "plugin_unregister" | "ruby_eval" | "ruby_load" |
+              "request_cancel" | "database_unmap") =>
             val kv = mutable.Map[String, String]()
             val pos = mutable.ArrayBuffer[String]()
             var i = 1
@@ -536,6 +559,12 @@ object GrnTestRunner {
       } else if (!inJson && t.startsWith("<?xml")) {
         inXml = true
         xmlBuf.clear()
+      } else if (!inJson && curCmd != null && curCmd.startsWith("/") &&
+          t.matches("""\w+\(.*\);""")) {
+        // jsonp output of a URL-form command (response/jsonp): the
+        // envelope wrapped as `callback(...)`; — unwrap and parse
+        lastJson = mapper.readTree(
+          t.substring(t.indexOf('(') + 1, t.length - 2))
       } else if (!inJson && !t.startsWith("[") && !t.startsWith("{")) {
         if (t.nonEmpty && !t.startsWith("#")) {
           if (curCmd != null) out += ((curCmd, lastJson))
@@ -583,9 +612,14 @@ object GrnTestRunner {
       "tokenizer_list", "normalizer_list", "log_put", "log_level",
       "cache_limit", "io_flush", "reindex", "column_rename", "column_copy",
       "schema", "plugin_unregister", "column_remove", "logical_table_remove",
-      "table_create", "column_create", "ruby_eval", "ruby_load")
+      "table_create", "column_create", "ruby_eval", "ruby_load",
+      "config_set", "request_cancel", "database_unmap")
+    // a URL-form echo (/d/NAME.json?...) compares as its command NAME
+    def cmdWordOf(echo: String): String =
+      if (echo.startsWith("/d/")) echo.stripPrefix("/d/").takeWhile(_ != '.')
+      else echo.takeWhile(ch => ch.isLetter || ch == '_')
     val selectEnvelopes = expected.collect {
-      case (c, j) if comparedCmds(c.takeWhile(ch => ch.isLetter || ch == '_')) => j
+      case (c, j) if comparedCmds(cmdWordOf(c)) => j
     }
 
     val tables = mutable.Map[String, TableDef]()
@@ -664,6 +698,10 @@ object GrnTestRunner {
     val ddlCols = mutable.ArrayBuffer[(String, String, String, String, Seq[String])]()
     val plugins = mutable.LinkedHashSet[String]()
     val configs = mutable.LinkedHashMap[String, String]()
+    // object ids whose backing file was overwritten with a corrupt fixture
+    // (#@copy-path ... #{db_path}.%07x, object_remove/broken suite):
+    // id -> the reference's io-open error message for that corruption
+    val corruptObjs = mutable.Map[Long, String]()
 
     def columnExists(full: String): Boolean = full.split("\\.", 2) match {
       case Array(t, c) => ddlCols.exists(x => x._1 == t && x._2 == c) ||
@@ -957,8 +995,33 @@ object GrnTestRunner {
           }
           case "object_remove" => compareJson(label) {
             val n = pos.headOption.orElse(kv.get("name")).getOrElse("")
+            val force = kv.get("force").exists(v => v == "yes" || v == "true")
+            def removeIt(): Unit =
+              if (tables.contains(n)) removeTable(n)
+              else if (columnExists(n)) {
+                val Array(t, c) = n.split("\\.", 2); removeColumn(t, c)
+              }
+            // a data column whose INDEX column's backing file is corrupt:
+            // the remove hook walk fails (reference grn_obj_remove) — the
+            // target is only actually removed under --force
+            val danglingHook = columnExists(n) && {
+              val Array(t, c) = n.split("\\.", 2)
+              indexes.exists(ix => ix.srcTable == t && ix.srcCol == c &&
+                objIds.get(s"${ix.lexicon}.${ix.name}").exists(corruptObjs.contains))
+            }
+            val selfCorrupt = objIds.get(n).flatMap(corruptObjs.get)
             if (n.isEmpty)
               throw new ScriptError("[object][remove] name is missing")
+            else if (danglingHook) {
+              if (force) removeIt()
+              throw new ScriptError(
+                s"[column][remove][index] hook has a dangling reference: $n")
+            }
+            else if (selfCorrupt.isDefined && (tables.contains(n) || columnExists(n))) {
+              if (force) { removeIt(); throw new ScriptError(selfCorrupt.get) }
+              throw new ScriptError(
+                s"[object][remove] failed to open the target object: <$n>")
+            }
             else if (commandNames.contains(n)) { removedCommands += n; TRUE }
             else if (tables.contains(n)) { removeTable(n); TRUE }
             else if (columnExists(n)) {
@@ -1143,6 +1206,18 @@ object GrnTestRunner {
           }
           case "plugin_unregister" => compareJson(label) {
             pos.headOption.foreach(plugins -= _)
+            TRUE
+          }
+          case "request_cancel" => compareJson(label) {
+            // no request ids exist in this single-threaded model, so every
+            // cancel reports canceled: false (reference proc.c request_cancel)
+            val o = f.objectNode()
+            o.put("id", pos.headOption.orElse(kv.get("id")).getOrElse(""))
+            o.put("canceled", false)
+            o
+          }
+          case "database_unmap" => compareJson(label) {
+            // unmapping is a no-op here: tables live in memory, not mmaps
             TRUE
           }
           case "ruby_eval" => compareJson(label) {
@@ -1414,16 +1489,35 @@ object GrnTestRunner {
           indexes --= indexes.filter(ix => ix.srcTable == t && ix.srcCol == n)
           com.fasterxml.jackson.databind.node.BooleanNode.TRUE
         }
-      case CConfigSet(k, v) =>
+      case CConfigSet(k, v) => compareJson(s"config_set $k") {
+        if (k.isEmpty)
+          throw new ScriptError("[config][set] key is missing")
         configs(k) = v
         if (k == "alias.column") v.split("\\.", 2) match {
           case Array(a, b) => aliasCfg = Some((a, b))
           case _ => ()
         }
+        com.fasterxml.jackson.databind.node.BooleanNode.TRUE
+      }
       case CCopyPath(src, dst) =>
         val p = includeBase.resolve(src)
         if (dst.endsWith(".tsv") && java.nio.file.Files.exists(p))
           tsvSynonyms = parseTsvSynonyms(java.nio.file.Files.readString(p))
+        else """#\{db_path\}\.([0-9a-fA-F]{7})""".r.findFirstMatchIn(dst)
+          .filter(_ => java.nio.file.Files.exists(p)).foreach { m =>
+            // overwrite an object's backing file with a corrupt fixture:
+            // classify the corruption the way grn_io_open would (reference
+            // lib/io.c open checks, object_remove/broken suite)
+            val id = java.lang.Long.parseLong(m.group(1), 16)
+            val bytes = java.nio.file.Files.readAllBytes(p)
+            corruptObjs(id) =
+              if (bytes.length < 64)
+                s"[io][open] file size is too small: <${bytes.length}>" +
+                  s"(required: >= 64): <db/db.${m.group(1)}>"
+              else if (bytes.length > 0x20 && bytes(0x20) != 0)
+                "[table][hash] file type must be 0x30: <0000>"
+              else "failed to open: segment size is 0"
+          }
       case CColumn(table, name, flags, range, sources, fromInc) =>
         def body(): JsonNode = {
           if (!tables.contains(table))
@@ -1699,7 +1793,7 @@ object GrnTestRunner {
           } catch { case _: Throwable => 0 }
         try {
           val (got, explicitCols, dds) = execSelect(spark, tables, indexes.toSeq, args, tableName,
-            aliasCfg, tsvSynonyms, deadLexTerms.toMap)
+            aliasCfg, tsvSynonyms, deadLexTerms.toMap, plugins.contains)
           outcomes +=
             (if (expRc != 0)
               SelectOutcome(q, ok = false, s"we accepted a query the reference rejects (rc=$expRc)")
@@ -3899,7 +3993,11 @@ object GrnTestRunner {
       tableName: String,
       aliasCfg: Option[(String, String)] = None,
       tsvSynonyms: Map[String, String] = Map.empty,
-      deadLexTerms: Map[String, Set[String]] = Map.empty
+      deadLexTerms: Map[String, Set[String]] = Map.empty,
+      // plugin-backed query expanders resolve only while their plugin is
+      // registered (plugin_unregister/existence); internal callers
+      // (suggest, sharding) never unregister, hence the permissive default
+      pluginRegistered: String => Boolean = _ => true
   ): ((Long, Seq[Seq[Any]], Seq[String]), Boolean, Seq[DdResult]) = {
     val td = tables(tableName)
 
@@ -4041,8 +4139,13 @@ object GrnTestRunner {
     // an empty --query is a soft error in the reference (ALERT log, no
     // condition): every record matches
     val query = (args.get("query").filter(_.trim.nonEmpty), expander) match {
-      // the TSV plugin expander reads its staged synonyms file, exact keys
+      // the TSV plugin expander reads its staged synonyms file, exact keys;
+      // after plugin_unregister the expander name resolves to nothing
+      // (reference rc=-22, plugin_unregister/existence fixture)
       case (Some(q), Some("QueryExpanderTSV")) =>
+        if (!pluginRegistered("query_expanders/tsv"))
+          throw new ScriptError(
+            "nonexistent query expansion column: <QueryExpanderTSV>")
         Some(expandQueryTerms(q, tsvSynonyms, identity))
       case (Some(q), Some(spec)) => Some(expandQuery(q, spec, tables))
       case (q, _) => q
