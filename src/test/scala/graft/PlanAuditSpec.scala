@@ -1,0 +1,65 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan audits for the headline queries: freeze the plan SHAPE
+  * properties that make them scale — filter pushdown to the parquet scan,
+  * column pruning, broadcast joins for dimension tables, partial (map-side)
+  * aggregation, and top-k via TakeOrderedAndProject instead of a global
+  * sort. A regression here means a query silently lost its 100 TB shape
+  * even if its small-scale results stay correct.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.sparkPlan.toString
+
+  test("q3: predicates push to the parquet scan and columns prune") {
+    val p = plan("q3_filter_between_in")
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThanOrEqual(l_quantity,10.0)"),
+      s"range predicate not pushed:\n$p")
+    assert(p.contains("ReadSchema: struct<l_quantity:double,l_returnflag:string>"),
+      s"scan reads more than the 2 needed columns:\n$p")
+    assert(p.contains("partial_count"), s"no map-side combine:\n$p")
+  }
+
+  test("q4: both dimension joins broadcast, no sort-merge or cartesian") {
+    val p = plan("q4_ref_join")
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 2, s"expected 2 broadcast joins:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"dimension join shuffled:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian product:\n$p")
+    assert(p.contains("ReadSchema: struct<c_nationkey:int>"),
+      s"fact scan not pruned to the join key:\n$p")
+  }
+
+  test("q2: top-k is TakeOrderedAndProject, not a global sort") {
+    val p = plan("q2_sort_topk")
+    assert(p.contains("TakeOrderedAndProject(limit=20"), s"no partial top-k:\n$p")
+    assert(!p.contains("Sort ["), s"global sort instead of top-k:\n$p")
+  }
+
+  test("sim_topk: one narrow pass + TakeOrderedAndProject, no shuffle/UDF") {
+    val p = plan("sim_topk")
+    assert(p.contains("TakeOrderedAndProject(limit=10"), s"no partial top-k:\n$p")
+    assert(!p.contains("Exchange"), s"unexpected shuffle:\n$p")
+    assert(!p.contains("ScalaUDF"), s"UDF in the hot path (should be zip_with/aggregate):\n$p")
+    assert(p.contains("ReadSchema: struct<vec_id:bigint,embedding:array<float>>"),
+      s"embedding scan not pruned:\n$p")
+  }
+
+  test("ta_quality: narrow codegen projects, no shuffle before output sort, no UDF") {
+    val p = plan("ta_quality")
+    assert(!p.contains("Exchange hashpartitioning"), s"unexpected shuffle:\n$p")
+    assert(!p.contains("ScalaUDF"), s"UDF where builtins should be:\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"documents scan not pruned:\n$p")
+  }
+
+  test("dd_exact: map-side partial aggregation before the one shuffle") {
+    val p = plan("dd_exact")
+    assert(p.contains("partial_count"), s"no map-side combine:\n$p")
+    assert(p.contains("ReadSchema: struct<text:string>"), s"scan not pruned:\n$p")
+  }
+}
