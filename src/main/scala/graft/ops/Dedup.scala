@@ -50,13 +50,17 @@ object Dedup {
 
   /** Distinct word-k-gram shingles of `textCol` as array<string>; docs with
     * fewer than k words fall back to the whole text as one shingle.
+    *
+    * The split word array is bound as a lambda variable (`ws`) so the text
+    * splits ONCE per row; referencing `split(...)` directly inside the
+    * per-shingle lambda re-evaluates it per element — O(words²) per doc.
     */
   def gramsExpr(textCol: String, k: Int): Column = expr(
-    s"""CASE WHEN size(split($textCol, ' ')) >= $k
-       | THEN array_distinct(transform(
-       |   sequence(0, size(split($textCol, ' ')) - $k),
-       |   i -> array_join(slice(split($textCol, ' '), i + 1, $k), ' ')))
-       | ELSE array($textCol) END""".stripMargin)
+    s"""element_at(transform(array(split($textCol, ' ')), ws ->
+       |  CASE WHEN size(ws) >= $k
+       |  THEN array_distinct(transform(sequence(0, size(ws) - $k),
+       |    i -> array_join(slice(ws, i + 1, $k), ' ')))
+       |  ELSE array($textCol) END), 1)""".stripMargin)
 
   /** (doc_id, g): one row per distinct shingle. */
   def shingles(docs: DataFrame, textCol: String, k: Int): DataFrame =
@@ -96,6 +100,12 @@ object Dedup {
   /** Per-doc MinHash signatures (doc_id, sig array<bigint> of length
     * numPerm) as one narrow codegen'd projection — no shuffle, no UDF.
     * One md5 per shingle; numPerm affine mixes per shingle.
+    *
+    * Shape note: the shingle hashes are the `aggregate` INPUT and the
+    * permutations fold via `zip_with` on the accumulator array, so md5 runs
+    * once per shingle. The transposed form (`transform(perms, p ->
+    * aggregate(shingles…))`) re-evaluates the shingle-hash lambda once per
+    * permutation — 64× the md5 work, measured 147 s vs ~3 s on 40k docs.
     */
   def minhashSignatures(
       docs: DataFrame,
@@ -105,19 +115,19 @@ object Dedup {
       seed: Long = 42L
   ): DataFrame = {
     val (a, c) = permCoeffs(numPerm, seed)
-    def arr(xs: Array[Long]) = xs.mkString("array(", "L, ", "L)")
+    val coeffs = a.zip(c)
+      .map { case (av, cv) => s"named_struct('a', ${av}L, 'c', ${cv}L)" }
+      .mkString("array(", ", ", ")")
     val sig = expr(
-      s"""transform(sequence(0, ${numPerm - 1}), p ->
-         | aggregate(
-         |   transform(__grams, g -> named_struct(
-         |     'hl', CAST(conv(substring(md5(concat('$seed:', g)), 1, 15), 16, 10) AS BIGINT) % 1073741824L,
-         |     'hh', shiftright(CAST(conv(substring(md5(concat('$seed:', g)), 1, 15), 16, 10) AS BIGINT), 30))),
-         |   CAST(${M61 - 1} AS BIGINT),
-         |   (acc, h) -> least(acc,
-         |     (shiftright(element_at(${arr(a)}, p + 1) * h.hh, 31) +
-         |      shiftleft(element_at(${arr(a)}, p + 1) * h.hh & 2147483647L, 30) +
-         |      element_at(${arr(a)}, p + 1) * h.hl +
-         |      element_at(${arr(c)}, p + 1)) % ${M61}L)))""".stripMargin)
+      s"""aggregate(
+         |  transform(__grams, g -> element_at(transform(
+         |    array(CAST(conv(substring(md5(concat('$seed:', g)), 1, 15), 16, 10) AS BIGINT)),
+         |    hv -> named_struct('hl', hv % 1073741824L, 'hh', shiftright(hv, 30))), 1)),
+         |  array_repeat(CAST(${M61 - 1} AS BIGINT), $numPerm),
+         |  (acc, h) -> zip_with(acc, $coeffs, (m, co) ->
+         |    least(m, (shiftright(co.a * h.hh, 31) +
+         |              shiftleft(co.a * h.hh & 2147483647L, 30) +
+         |              co.a * h.hl + co.c) % ${M61}L)))""".stripMargin)
     docs.withColumn("__grams", gramsExpr(textCol, shingleK))
       .select(col("doc_id"), sig.as("sig"))
   }
@@ -168,18 +178,25 @@ object Dedup {
     */
   def simhash(docs: DataFrame, textCol: String = "text", shingleK: Int = 2,
       seed: Long = 42L): DataFrame = {
+    // One pass over the shingle hashes: a 64-slot ±1 bit counter folds via
+    // zip_with, the finish lambda packs the two 32-bit halves. The
+    // transposed form (per-bit aggregate over __hs) re-evaluates the
+    // md5 shingle-hash lambda 64× per doc (same trap as minhashSignatures).
     val halves = expr(
-      s"""transform(array(0, 32), half ->
-         | aggregate(sequence(0, 31), CAST(0 AS BIGINT), (acc, b) ->
-         |   acc + IF(
-         |     aggregate(__hs, 0, (cnt, h) -> cnt +
-         |       IF((shiftright(IF(half = 0, h.a, h.b), b) & 1L) = 1L, 1, -1)) > 0,
-         |     shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT))))""".stripMargin)
+      s"""aggregate(__hs,
+         |  array_repeat(0, 64),
+         |  (acc, h) -> zip_with(acc, sequence(0, 63), (cnt, b) ->
+         |    cnt + IF((shiftright(IF(b < 32, h.a, h.b), b % 32) & 1L) = 1L, 1, -1)),
+         |  counts -> transform(array(0, 32), half ->
+         |    aggregate(sequence(0, 31), CAST(0 AS BIGINT), (acc, b) ->
+         |      acc + IF(element_at(counts, half + b + 1) > 0,
+         |        shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT)))))""".stripMargin)
     docs.withColumn("__grams", gramsExpr(textCol, shingleK))
       .withColumn("__hs", expr(
-        s"""transform(__grams, g -> named_struct(
-           | 'a', CAST(conv(substring(md5(concat('$seed:', g)), 1, 8), 16, 10) AS BIGINT),
-           | 'b', CAST(conv(substring(md5(concat('$seed:', g)), 9, 8), 16, 10) AS BIGINT)))""".stripMargin))
+        s"""transform(__grams, g -> element_at(transform(
+           |  array(md5(concat('$seed:', g))), m -> named_struct(
+           |    'a', CAST(conv(substring(m, 1, 8), 16, 10) AS BIGINT),
+           |    'b', CAST(conv(substring(m, 9, 8), 16, 10) AS BIGINT))), 1))""".stripMargin))
       .select(col("doc_id"), halves.as("__h"))
       .select(col("doc_id"),
         expr("shiftleft(__h[1], 32) | __h[0]").as("simhash"),
