@@ -137,15 +137,23 @@ object Dedup {
     * (decimal-joined). Docs sharing any (band, bucket) are candidates.
     * Narrow map + explode — the only shuffle is the downstream pair join.
     */
-  def lshBands(sigs: DataFrame, bands: Int): DataFrame = {
-    val n = sigs.selectExpr("size(sig)").head().getInt(0)
-    require(n % bands == 0, s"numPerm $n not divisible by bands $bands")
-    val rows = n / bands
-    val bandRows = expr(
+  /** The per-row band/bucket array expression over a `sig` column —
+    * separated from [[lshBands]] so streaming plans (no actions, no
+    * persist) can reuse it; see [[graft.streaming.StreamDedup]].
+    */
+  def lshBandRowsExpr(numPerm: Int, bands: Int): Column = {
+    require(numPerm % bands == 0, s"numPerm $numPerm not divisible by bands $bands")
+    val rows = numPerm / bands
+    expr(
       s"""transform(sequence(0, ${bands - 1}), b -> named_struct(
          | 'band', b,
          | 'bucket', CAST(conv(substring(md5(concat_ws(',',
          |    transform(slice(sig, b * $rows + 1, $rows), v -> CAST(v AS STRING)))), 1, 15), 16, 10) AS BIGINT)))""".stripMargin)
+  }
+
+  def lshBands(sigs: DataFrame, bands: Int): DataFrame = {
+    val n = sigs.selectExpr("size(sig)").head().getInt(0)
+    val bandRows = lshBandRowsExpr(n, bands)
     // materialize band rows: every downstream op (the self-join, the
     // verify) would otherwise recompute the full 64-permutation signature
     // per reference — at scale this materialization is the signatures

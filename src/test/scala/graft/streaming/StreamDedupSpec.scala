@@ -1,0 +1,65 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import graft.ops.Dedup
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import java.sql.Timestamp
+
+/** Streaming dedup invariants: the stream emits exactly what the batch
+  * operators compute over the same corpus.
+  */
+class StreamDedupSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  private def docText(i: Int): String =
+    s"the quick brown fox ${('a' + i % 7).toChar} jumps over the lazy dog number $i end of document"
+
+  test("exactDedup emits one doc per digest across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val stream = mem.toDF().toDF("doc_id", "text", "ts")
+    val q = StreamDedup.exactDedup(stream)
+      .writeStream.format("memory").queryName("sd_exact").outputMode("append").start()
+    val t0 = new Timestamp(1700000000000L)
+    // batch 1: 3 uniques, one in-batch dup
+    mem.addData((0L, "alpha beta", t0), (1L, "gamma delta", t0), (2L, "alpha beta", t0))
+    q.processAllAvailable()
+    // batch 2: cross-batch dup + one new
+    mem.addData((3L, "gamma delta", t0), (4L, "epsilon zeta", t0))
+    q.processAllAvailable()
+    q.stop()
+    val texts = spark.table("sd_exact").select("text").as[String].collect().sorted
+    assert(texts.toSeq == Seq("alpha beta", "epsilon zeta", "gamma delta"))
+  }
+
+  test("nearDupCandidates == batch lshCandidatePairs over the same corpus") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // corpus with real near-dups: pairs of docs differing by one word
+    val docs = (0 until 30).map { i =>
+      val base = docText(i / 2)
+      (i.toLong, if (i % 2 == 0) base else base + " tweaked")
+    }
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF().toDF("doc_id", "text")
+    val q = StreamDedup.nearDupCandidates(stream, numPerm = 16, bands = 8)
+      .toDF("a", "b")
+      .writeStream.format("memory").queryName("sd_near").outputMode("append").start()
+    // split across micro-batches so pairs span batch boundaries
+    mem.addData(docs.take(11): _*)
+    q.processAllAvailable()
+    mem.addData(docs.drop(11): _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("sd_near").as[(Long, Long)].collect().toSet
+
+    val batchDf = docs.toDF("doc_id", "text")
+    val batch = Dedup.lshCandidatePairs(
+      Dedup.lshBands(Dedup.minhashSignatures(batchDf, numPerm = 16), bands = 8))
+      .as[(Long, Long)].collect().toSet
+    assert(batch.nonEmpty, "corpus should produce LSH candidates")
+    assert(streamed == batch)
+  }
+}
