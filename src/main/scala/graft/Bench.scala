@@ -58,9 +58,11 @@ object Bench {
     val cpusN = math.max(1, cpus / 4)
     // One corpus size for EVERY leg: legs must run the identical job, and a
     // leg must be long enough (tens of seconds at the low level) to average
-    // over the host's multi-second throttle bursts — 40k-file legs measured
-    // 0.58 efficiency on the same code where 128k+ legs measure >0.8.
-    val buildN: Long = sys.env.get("SPARK_GRAFT_BUILD_N").map(_.toLong).getOrElse(128000L)
+    // over the host's multi-second throttle bursts AND to amortize the
+    // fixed per-build overhead (~1-2 s of stage scheduling), which otherwise
+    // biases the FAST leg's throughput down — the same code measured 0.58
+    // efficiency at 40k files, 0.79 at 128k, 0.89 at 256k.
+    val buildN: Long = sys.env.get("SPARK_GRAFT_BUILD_N").map(_.toLong).getOrElse(256000L)
     val reps = sys.env.getOrElse("SPARK_GRAFT_BUILD_REPS", "3").toInt
     val buildBase = sys.env.getOrElse("SPARK_GRAFT_BENCH_DIR",
       if (new java.io.File("/dev/shm").isDirectory) "/dev/shm" else sys.props("java.io.tmpdir"))

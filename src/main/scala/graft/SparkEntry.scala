@@ -338,6 +338,12 @@ object SparkEntry {
     "sim_lsh_recall" -> ((s, d) =>
       Similarity.lshRecallAtK(t(s, d, "embeddings"), 0L, 10, planes = 4, probeDist = 2)),
 
+    "sim_ivf_topk" -> ((s, d) =>
+      Similarity.ivfTopK(t(s, d, "embeddings"), 0L, 10, nlist = 16, nprobe = 4)),
+
+    "sim_ivf_recall" -> ((s, d) =>
+      Similarity.ivfRecallAtK(t(s, d, "embeddings"), 0L, 10, nlist = 16, nprobe = 4)),
+
     "ta_quality" -> ((s, d) =>
       TextAnalysis.quality(t(s, d, "documents")).orderBy("doc_id")),
 
@@ -416,6 +422,27 @@ object SparkEntry {
     s"bk AS (SELECT vec_id, embedding, CAST($bits AS BIGINT) AS bucket FROM embeddings)"
   }
   private lazy val BK: String = bkCte(8)
+
+  /** IVF CTEs: seeded centroid pick (the 16 vec_ids whose md5("ivf:42:id")
+    * sorts smallest, cid = rank by vec_id — identical to
+    * Similarity.ivfCentroids), argmax-cosine assignment quantized at 1e-6
+    * with lowest-cid tie-break, and the query's 4 nearest centroids.
+    */
+  private val IVF =
+    """ivfc AS (
+      |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding::DOUBLE[] AS cv
+      |  FROM (SELECT vec_id, embedding FROM embeddings
+      |        ORDER BY md5('ivf:42:' || vec_id) LIMIT 16)),
+      |asn AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id
+      |      ORDER BY CAST(round(list_cosine_similarity(e.embedding::DOUBLE[], c.cv) * 1000000) AS BIGINT) DESC, c.cid) AS rn
+      |    FROM embeddings e, ivfc c) WHERE rn = 1),
+      |qv AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+      |probes AS (
+      |  SELECT c.cid FROM ivfc c, qv
+      |  ORDER BY CAST(round(list_cosine_similarity(qv.qe, c.cv) * 1000000) AS BIGINT) DESC, c.cid
+      |  LIMIT 4)""".stripMargin
   /** ANN gate parameters: 4 planes / hamming-≤2 multi-probe — at 500
     * vectors this scans ~69% for ~90% recall; the plane count is the
     * scale knob (each plane halves the probed fraction).
@@ -708,6 +735,27 @@ object SparkEntry {
          |SELECT 10::BIGINT AS k, CAST(count(*) AS BIGINT) AS hits,
          |  CAST(count(*) * 1000 // 10 AS BIGINT) AS recall_q3
          |FROM lsh JOIN ex USING (vec_id)""".stripMargin,
+
+    "sim_ivf_topk" ->
+      s"""WITH $IVF
+         |SELECT e.vec_id,
+         |  CAST(round(list_cosine_similarity(e.embedding::DOUBLE[], qv.qe) * 1000) AS BIGINT) AS sim_q3
+         |FROM embeddings e JOIN asn USING (vec_id), qv
+         |WHERE asn.cid IN (SELECT cid FROM probes) AND e.vec_id <> 0
+         |ORDER BY sim_q3 DESC, vec_id LIMIT 10""".stripMargin,
+
+    "sim_ivf_recall" ->
+      s"""WITH $IVF,
+         |ivf AS (SELECT e.vec_id FROM embeddings e JOIN asn USING (vec_id), qv
+         |  WHERE asn.cid IN (SELECT cid FROM probes) AND e.vec_id <> 0
+         |  ORDER BY CAST(round(list_cosine_similarity(e.embedding::DOUBLE[], qv.qe) * 1000) AS BIGINT) DESC, e.vec_id
+         |  LIMIT 10),
+         |ex AS (SELECT e.vec_id FROM embeddings e, qv WHERE e.vec_id <> 0
+         |  ORDER BY CAST(round(list_cosine_similarity(e.embedding::DOUBLE[], qv.qe) * 1000) AS BIGINT) DESC, e.vec_id
+         |  LIMIT 10)
+         |SELECT 10::BIGINT AS k, CAST(count(*) AS BIGINT) AS hits,
+         |  CAST(count(*) * 1000 // 10 AS BIGINT) AS recall_q3
+         |FROM ivf JOIN ex USING (vec_id)""".stripMargin,
 
     "sim_topk" ->
       """WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0)

@@ -152,4 +152,129 @@ object Similarity {
       .select(lit(k.toLong).as("k"), col("hits"),
         expr(s"hits * 1000 div $k").as("recall_q3"))
   }
+
+  // ---- IVF (inverted-file) coarse quantization --------------------------
+  //
+  // The second ANN scale path: a coarse quantizer of `nlist` centroids
+  // partitions the corpus into inverted lists; a query probes only its
+  // `nprobe` nearest lists, so the scan fraction is nprobe/nlist instead of
+  // hamming-ball geometry. At 100 TB the assignment is a precomputed
+  // partition column (write the corpus bucketed by cid) and a query is a
+  // partition-pruned scan of nprobe lists.
+  //
+  // Centroid init is a deterministic md5-seeded pick (reproducible by the
+  // DuckDB oracle bit-for-bit); [[ivfRefine]] runs standard spherical
+  // k-means Lloyd iterations on top for real deployments (refined centroids
+  // are data-dependent floats, so the GATED query uses iters = 0).
+
+  /** Seeded deterministic centroids: the `nlist` vectors whose
+    * md5("ivf:seed:vec_id") sorts smallest; cid = rank of vec_id among the
+    * picks. Collected to the driver — nlist is small by design (≤ ~10⁴ even
+    * at corpus scale; the centroid table is the index's metadata, not data).
+    */
+  def ivfCentroids(emb: DataFrame, nlist: Int, seed: Long = 42L): Array[(Int, Array[Double])] =
+    emb
+      .withColumn("__h", md5(concat(lit(s"ivf:$seed:"), col("vec_id").cast("string"))))
+      .orderBy("__h").limit(nlist)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+      .sortBy(_._1).zipWithIndex
+      .map { case ((_, v), i) => (i, v) }
+
+  /** Argmin-distance (= argmax-cosine) centroid per row, as one narrow
+    * codegen'd projection with the centroid literals folded into the plan —
+    * no shuffle, no UDF, no broadcast variable. Cosines are quantized at
+    * 1e-6 before comparison (same cross-engine guard as the LSH buckets);
+    * ties keep the lowest cid. Returns struct('cid', 'q') where q = the
+    * winning cosine ×1e6.
+    */
+  def ivfAssignExpr(embCol: String, cents: Array[(Int, Array[Double])]): Column = {
+    val cstr = cents.map { case (cid, v) =>
+      val vl = v.mkString("array(", "D, ", "D)")
+      val nrm = math.sqrt(v.map(x => x * x).sum)
+      s"named_struct('cid', $cid, 'v', $vl, 'nrm', ${nrm}D)"
+    }.mkString("array(", ", ", ")")
+    expr(
+      s"""aggregate(
+         |  transform($cstr, c -> named_struct('cid', c.cid, 'q', CAST(round(
+         |    aggregate(zip_with($embCol, c.v, (x, y) -> cast(x as double) * y), 0D, (a, x) -> a + x)
+         |    / (sqrt(aggregate($embCol, 0D, (a, x) -> a + cast(x as double) * cast(x as double))) * c.nrm)
+         |    * 1000000) AS BIGINT))),
+         |  named_struct('cid', -1, 'q', CAST(-2000000 AS BIGINT)),
+         |  (best, s) -> IF(s.q > best.q, s, best))""".stripMargin)
+  }
+
+  /** (vec_id, cid, sim_q6): every vector's inverted list. */
+  def ivfAssign(emb: DataFrame, cents: Array[(Int, Array[Double])]): DataFrame =
+    emb.select(col("vec_id"), ivfAssignExpr("embedding", cents).as("__a"))
+      .select(col("vec_id"), col("__a.cid").as("cid"), col("__a.q").as("sim_q6"))
+
+  /** Spherical k-means refinement: `iters` Lloyd steps over the seeded
+    * centroids — assign, element-wise mean per list (posexplode + per-(cid,
+    * dim) avg: one shuffle of corpus×dims rows per iteration, the standard
+    * distributed k-means cost), renormalize to the unit sphere. Empty lists
+    * keep their previous centroid.
+    */
+  def ivfRefine(emb: DataFrame, cents: Array[(Int, Array[Double])], iters: Int): Array[(Int, Array[Double])] = {
+    var cur = cents
+    (1 to iters).foreach { _ =>
+      val means = ivfAssign(emb, cur)
+        .join(emb, "vec_id")
+        .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy("cid", "pos").agg(avg(col("x").cast("double")).as("m"))
+        .groupBy("cid").agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("mv"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[org.apache.spark.sql.Row](1).map(_.getDouble(1)).toArray)
+        .toMap
+      cur = cur.map { case (cid, old) =>
+        means.get(cid) match {
+          case Some(m) =>
+            val n = math.sqrt(m.map(x => x * x).sum)
+            (cid, if (n == 0.0) old else m.map(_ / n))
+          case None => (cid, old)
+        }
+      }
+    }
+    cur
+  }
+
+  /** ANN top-k via IVF: probe the query's `nprobe` nearest centroids,
+    * brute-force cosine within the probed inverted lists only. Probe
+    * selection runs on the driver over the (small) centroid table with the
+    * same 1e-6 quantization as the oracle.
+    */
+  def ivfTopK(emb: DataFrame, queryId: Long, k: Int, nlist: Int = 16,
+      nprobe: Int = 4, seed: Long = 42L, iters: Int = 0): DataFrame = {
+    val cents = ivfRefine(emb, ivfCentroids(emb, nlist, seed), iters)
+    val q: Array[Double] = emb.filter(col("vec_id") === queryId)
+      .select("embedding").collect()(0)
+      .getSeq[Float](0).map(_.toDouble).toArray
+    val qn = math.sqrt(q.map(x => x * x).sum)
+    val probes = cents
+      .map { case (cid, v) =>
+        val dot = v.zip(q).map { case (a, b) => a * b }.sum
+        val nrm = math.sqrt(v.map(x => x * x).sum)
+        (cid, math.round(dot / (nrm * qn) * 1e6))
+      }
+      .sortBy { case (cid, q6) => (-q6, cid) }
+      .take(nprobe).map(_._1)
+    emb.filter(col("vec_id") =!= queryId)
+      .withColumn("__a", ivfAssignExpr("embedding", cents))
+      .filter(col("__a.cid").isin(probes: _*))
+      .select(col("vec_id"),
+        round(cosineToQuery("embedding", q) * 1000).cast("long").as("sim_q3"))
+      .orderBy(desc("sim_q3"), asc("vec_id"))
+      .limit(k)
+  }
+
+  /** Recall@k of the IVF ANN against the exact brute-force top-k. */
+  def ivfRecallAtK(emb: DataFrame, queryId: Long, k: Int, nlist: Int = 16,
+      nprobe: Int = 4, seed: Long = 42L, iters: Int = 0): DataFrame = {
+    val ann = ivfTopK(emb, queryId, k, nlist, nprobe, seed, iters).select("vec_id")
+    val exact = cosineTopK(emb, queryId, k).select("vec_id")
+    ann.join(exact, "vec_id")
+      .agg(count(lit(1)).as("hits"))
+      .select(lit(k.toLong).as("k"), col("hits"),
+        expr(s"hits * 1000 div $k").as("recall_q3"))
+  }
 }

@@ -94,6 +94,38 @@ class OpsSpec extends AnyFunSuite {
     assert(ann.map(_._1).toSet.intersect(exact.map(_._1).toSet).size >= 3)
   }
 
+  test("IVF ANN: probed lists find the cluster; Lloyd refine keeps/improves recall") {
+    // two tight clusters far apart (same fixture shape as the LSH test)
+    val emb = (0 until 40).map { i =>
+      val base = if (i % 2 == 0) Array(1.0f, 0.0f, 0.0f, 0.0f) else Array(0.0f, 1.0f, 0.0f, 0.0f)
+      val eps = 0.01f * (i / 2)
+      (i.toLong, base.zipWithIndex.map { case (v, d) => v + (if (d == 2) eps else 0f) })
+    }.toDF("vec_id", "embedding")
+    val cents = Similarity.ivfCentroids(emb, nlist = 4)
+    assert(cents.length == 4 && cents.map(_._1).toSeq == Seq(0, 1, 2, 3))
+    // every vector lands in some list; list of query holds same-cluster ids
+    val asn = Similarity.ivfAssign(emb, cents).as[(Long, Int, Long)].collect()
+    assert(asn.length == 40 && asn.forall(_._2 >= 0))
+    val ann = Similarity.ivfTopK(emb, 0L, 5, nlist = 4, nprobe = 1).as[(Long, Long)].collect()
+    assert(ann.nonEmpty && ann.forall(_._1 % 2 == 0)) // only same-cluster ids
+    // nprobe=2 covers the cluster even when seeded centroids split it
+    val ann2 = Similarity.ivfTopK(emb, 0L, 5, nlist = 4, nprobe = 2).as[(Long, Long)].collect()
+    val exact = Similarity.cosineTopK(emb, 0L, 5).as[(Long, Long)].collect()
+    assert(ann2.map(_._1).toSet.intersect(exact.map(_._1).toSet).size >= 3)
+    // spherical k-means refinement: unit centroids, and the Lloyd objective
+    // (mean cosine to the assigned centroid) is monotone non-decreasing
+    val refined = Similarity.ivfRefine(emb, cents, iters = 2)
+    assert(refined.length == 4 && refined.forall { case (_, v) =>
+      math.abs(math.sqrt(v.map(x => x * x).sum) - 1.0) < 1e-9 })
+    def objective(cs: Array[(Int, Array[Double])]): Double =
+      Similarity.ivfAssign(emb, cs).agg(avg("sim_q6")).as[Double].collect()(0)
+    assert(objective(refined) >= objective(cents) - 1.0) // 1e-6 quantization slack
+    // refined ANN still returns only same-cluster ids
+    val annR = Similarity.ivfTopK(emb, 0L, 5, nlist = 4, nprobe = 1, iters = 2)
+      .as[(Long, Long)].collect()
+    assert(annR.nonEmpty && annR.forall(_._1 % 2 == 0))
+  }
+
   test("text analysis: quality, token counts, langid, fingerprint") {
     val q = TextAnalysis.quality(docs).filter($"doc_id" === 0L).collect()(0)
     assert(q.getLong(1) == 9) // n_words
