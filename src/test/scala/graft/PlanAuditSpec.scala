@@ -62,4 +62,19 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("partial_count"), s"no map-side combine:\n$p")
     assert(p.contains("ReadSchema: struct<text:string>"), s"scan not pruned:\n$p")
   }
+
+  test("sim_ivf_topk: narrow assignment + probe filter + top-k, no shuffle/UDF/cartesian") {
+    val p = plan("sim_ivf_topk")
+    assert(p.contains("TakeOrderedAndProject(limit=10"), s"no partial top-k:\n$p")
+    assert(!p.contains("Exchange"), s"IVF probe should be a narrow filter, got shuffle:\n$p")
+    assert(!p.contains("ScalaUDF"), s"UDF in the assignment path:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"centroids must fold into the projection, not cross-join:\n$p")
+  }
+
+  test("dd_ngram_jaccard: no cartesian product; every join is keyed") {
+    val p = plan("dd_ngram_jaccard")
+    assert(!p.contains("CartesianProduct"), s"unkeyed pair join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"unkeyed pair join:\n$p")
+  }
 }
