@@ -235,6 +235,13 @@ object IndexBuilder {
           // rev (the reference's KEY_WITH_SIS reversed-key trick,
           // lib/pat.c:1150, as a sargable column)
           .withColumn("rev", reverse(col("term")))
+          // persist in term order (the PAT key-order analogue, lib/pat.c
+          // cursor order): files/row-groups carry non-overlapping term
+          // ranges, so point (isin) and prefix (startsWith) lookups prune
+          // to O(query terms) row groups instead of scanning the lexicon.
+          // The range shuffle is over one row per distinct term — noise
+          // next to the postings shuffle.
+          .repartitionByRange(col("term")).sortWithinPartitions("term")
           .write.mode(SaveMode.Overwrite).parquet(s"$dir/lexicon")
         markDone("lexicon")
         lap("stage lexicon")
@@ -446,6 +453,8 @@ object IndexBuilder {
     postings.groupBy("term")
       .agg(count(lit(1)).as("df"), sum("tf").as("cf"))
       .withColumn("rev", reverse(col("term")))
+      // term-ordered persistence: see the bulk build's lexicon stage
+      .repartitionByRange(col("term")).sortWithinPartitions("term")
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/lexicon")
     val lex = spark.read.parquet(s"$dir/lexicon")
     val hotTerms: Array[String] =

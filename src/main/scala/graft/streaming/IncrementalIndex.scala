@@ -132,10 +132,12 @@ object IncrementalIndex {
       .toDF("shard", "norms")
       .write.mode(SaveMode.Overwrite).parquet(s"$outDir/norms")
 
-    // lexicon: re-aggregate (rev column kept for suffix search)
+    // lexicon: re-aggregate (rev column kept for suffix search; term-ordered
+    // persistence like the bulk build, so lookups row-group-prune)
     spark.read.parquet(s"$outDir/segments")
       .groupBy("term").agg(sum("df").as("df"), sum("cf").as("cf"))
       .withColumn("rev", reverse(col("term")))
+      .repartitionByRange(col("term")).sortWithinPartitions("term")
       .write.mode(SaveMode.Overwrite).parquet(s"$outDir/lexicon")
 
     // metrics lineage: union of input metrics tagged by source dir
