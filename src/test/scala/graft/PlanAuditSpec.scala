@@ -77,4 +77,19 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"unkeyed pair join:\n$p")
     assert(!p.contains("BroadcastNestedLoopJoin"), s"unkeyed pair join:\n$p")
   }
+
+  test("index read paths: term predicates push down to the parquet scans") {
+    // the scans behind every query: segments (postings) and lexicon (stats)
+    // must be term-pruned file scans — with the term-ordered layout, parquet
+    // row-group min/max stats then skip everything but the queried terms
+    val r = index.DocIndex.reader(spark, dir)
+    val seg = r.segmentsFor(Seq("spark", "fast")).queryExecution.executedPlan.toString
+    assert(seg.contains("PushedFilters: [In(term, [fast,spark])]"),
+      s"segments scan not term-pruned:\n$seg")
+    val lex = r.lexicon
+      .filter(org.apache.spark.sql.functions.col("term").isin("spark", "fast"))
+      .queryExecution.executedPlan.toString
+    assert(lex.contains("PushedFilters: [In(term, [fast,spark])]"),
+      s"lexicon scan not term-pruned:\n$lex")
+  }
 }
