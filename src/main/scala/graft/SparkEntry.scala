@@ -338,6 +338,9 @@ object SparkEntry {
     "sim_lsh_recall" -> ((s, d) =>
       Similarity.lshRecallAtK(t(s, d, "embeddings"), 0L, 10, planes = 4, probeDist = 2)),
 
+    "sim_cos_pairs" -> ((s, d) =>
+      Similarity.cosinePairsAboveLsh(t(s, d, "embeddings"), 400).orderBy("a", "b")),
+
     "sim_ivf_topk" -> ((s, d) =>
       Similarity.ivfTopK(t(s, d, "embeddings"), 0L, 10, nlist = 16, nprobe = 4)),
 
@@ -735,6 +738,13 @@ object SparkEntry {
          |SELECT 10::BIGINT AS k, CAST(count(*) AS BIGINT) AS hits,
          |  CAST(count(*) * 1000 // 10 AS BIGINT) AS recall_q3
          |FROM lsh JOIN ex USING (vec_id)""".stripMargin,
+
+    "sim_cos_pairs" ->
+      s"""WITH $BK,
+         |p AS (SELECT x.vec_id AS a, y.vec_id AS b,
+         |  CAST(round(list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[]) * 1000) AS BIGINT) AS sim_q3
+         |  FROM bk x JOIN bk y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
+         |SELECT a, b, sim_q3 FROM p WHERE sim_q3 >= 400 ORDER BY a, b""".stripMargin,
 
     "sim_ivf_topk" ->
       s"""WITH $IVF

@@ -65,6 +65,27 @@ object Similarity {
       .select(col("a"), col("b"), round(col("sim") * 1000).cast("long").as("sim_q3"))
   }
 
+  /** Embedding near-dup pairs restricted to shared LSH buckets — the 100 TB
+    * shape of [[cosinePairsAbove]]: the self-join is keyed by bucket (each
+    * vector has exactly one sign-projection bucket, so every pair appears
+    * at most once), never all-pairs. The threshold compares on the
+    * quantized sim_q3 so engines agree at the boundary.
+    */
+  def cosinePairsAboveLsh(emb: DataFrame, thresholdQ3: Long, planes: Int = 8,
+      seed: Long = 42L): DataFrame = {
+    val b = lshBuckets(emb, planes, seed)
+    val l = b.select(col("vec_id").as("a"), col("embedding").as("ea"), col("bucket"))
+    val r = b.select(col("vec_id").as("b"), col("embedding").as("eb"), col("bucket"))
+    val dot = expr("aggregate(zip_with(ea, eb, (x, y) -> cast(x as double) * cast(y as double)), 0D, (a, x) -> a + x)")
+    val na = expr("aggregate(ea, 0D, (a, x) -> a + cast(x as double) * cast(x as double))")
+    val nb = expr("aggregate(eb, 0D, (a, x) -> a + cast(x as double) * cast(x as double))")
+    l.join(r, Seq("bucket"))
+      .filter(col("a") < col("b"))
+      .withColumn("sim_q3", round(dot / (sqrt(na) * sqrt(nb)) * 1000).cast("long"))
+      .filter(col("sim_q3") >= thresholdQ3)
+      .select("a", "b", "sim_q3")
+  }
+
   // ---- sign-random-projection LSH ---------------------------------------
 
   /** Deterministic ±1 sign matrix (planes × dims) from md5("hp:seed:p:d") —

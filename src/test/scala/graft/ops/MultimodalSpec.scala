@@ -34,6 +34,50 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!fb.getBoolean(2) && fb.getInt(6) == -1)
   }
 
+  test("real image decode: PNG roundtrip gives exact luma features") {
+    val real = Multimodal.synthReal(spark, 8, partitions = 2).cache()
+    val f = Multimodal.imageFeatures(real.filter(col("modality") === "image")).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(f.keys.toSet == Set(0L, 2L, 4L, 6L))
+    // media 2: 48x48 solid gray 2 with a 48-pixel white diagonal
+    val r2 = f(2L)
+    assert(r2.getBoolean(1) && r2.getInt(2) == 48 && r2.getInt(3) == 48)
+    val side = 48L; val gray = 2L
+    val lumaWhite = (299L * 255 + 587 * 255 + 114 * 255) / 1000
+    val expected = (gray * (side * side - side) + lumaWhite * side) * 1000 / (side * side)
+    assert(r2.getLong(4) == expected, s"mean_luma_q3 ${r2.getLong(4)} != $expected")
+    // corrupt bytes survive as decoded_ok = false
+    import spark.implicits._
+    val bad = Seq((9L, Array[Byte](9, 9, 9))).toDF("media_id", "bytes")
+    assert(!Multimodal.imageFeatures(bad).collect()(0).getBoolean(1))
+  }
+
+  test("real image resize: nearest-neighbor preserves the solid color") {
+    val real = Multimodal.synthReal(spark, 4, partitions = 2)
+    val resized = Multimodal.imageResize(real.filter(col("modality") === "image"), 8, 8)
+    val rows = resized.collect()
+    assert(rows.forall(r => r.getInt(1) == 8 && r.getInt(2) == 8))
+    val b0 = rows.find(_.getLong(0) == 0L).get.getAs[Array[Byte]](3)
+    val img = Multimodal.decodeImage(b0).get
+    assert(img.getWidth == 8 && img.getHeight == 8)
+    // media 0 is solid gray 0 (off-diagonal); corners stay that color
+    assert((img.getRGB(7, 0) & 0xffffff) == 0)
+  }
+
+  test("real WAV decode: square wave gives exact rms and zcr") {
+    val real = Multimodal.synthReal(spark, 8, partitions = 2)
+    val f = Multimodal.audioFeatures(real.filter(col("modality") === "audio")).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(f.keys.toSet == Set(1L, 3L, 5L, 7L))
+    val r3 = f(3L)
+    val amp = (1000 + 3 * 7 % 20000).toLong
+    assert(r3.getBoolean(1) && r3.getInt(2) == 8000 && r3.getInt(3) == 1)
+    assert(r3.getLong(4) == 800L)
+    assert(r3.getLong(5) == amp) // |square wave| is constant => RMS == amp
+    // sign flips every 4 samples: 199 flips over 799 transitions
+    assert(r3.getLong(6) == 199L * 1000 / 799)
+  }
+
   test("frame sampling emits every Nth chunk for videos only") {
     val frames = Multimodal.frameSample(media, everyN = 2, frameSize = 64)
     val byId = frames.groupBy("media_id").count().collect()
