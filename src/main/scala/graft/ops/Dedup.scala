@@ -18,10 +18,13 @@ import org.apache.spark.sql.functions._
   *   - n-gram Jaccard: exact verify via shingle explode + count joins (pure
   *     DataFrame ops — distributed, no driver loops).
   *
-  * All hashing is md5-derived and expressed in Catalyst SQL (codegen'd, no
-  * UDFs), which makes every operator's output reproducible by any engine
-  * with md5 — the DuckDB oracles in [[graft.SparkEntry.oracleSql]] recompute
-  * the full MinHash/LSH/SimHash pipeline independently and must hash-match.
+  * All hashing is md5-derived, defined twice on purpose: a Catalyst SQL
+  * expression form (the executable cross-engine specification — the DuckDB
+  * oracles in [[graft.SparkEntry.oracleSql]] recompute the full
+  * MinHash/LSH/SimHash pipeline independently and must hash-match) and a
+  * typed mapPartitions kernel (the default entry point: identical integer
+  * math, ~10x the throughput of interpreted higher-order expressions —
+  * DedupKernelSpec asserts bit-identity).
   *
   * Hash scheme per shingle g: m = md5(seed ":" g);
   *   h1 = int(hex m[0,15)) (60 bits), h2 = int(hex m[16,28)) (48 bits);
@@ -107,7 +110,7 @@ object Dedup {
     * aggregate(shingles…))`) re-evaluates the shingle-hash lambda once per
     * permutation — 64× the md5 work, measured 147 s vs ~3 s on 40k docs.
     */
-  def minhashSignatures(
+  def minhashSignaturesExpr(
       docs: DataFrame,
       textCol: String = "text",
       numPerm: Int = 64,
@@ -130,6 +133,85 @@ object Dedup {
          |              co.a * h.hl + co.c) % ${M61}L)))""".stripMargin)
     docs.withColumn("__grams", gramsExpr(textCol, shingleK))
       .select(col("doc_id"), sig.as("sig"))
+  }
+
+  // ---- typed kernels (identical integer math, ~10x the throughput) ------
+  //
+  // Higher-order SQL expressions are interpreted (no whole-stage codegen)
+  // and box every lambda value; at ~0.5-1.5 ms/doc that interpretation
+  // overhead dominates a 10^12-doc dedup pass. The kernels below compute
+  // BIT-IDENTICAL results (same md5 bytes, same hex-prefix parses, same
+  // Mersenne-rotate arithmetic — DedupKernelSpec asserts equality against
+  // the expression forms, and the DuckDB gate oracles recompute the same
+  // definition independently) inside one typed mapPartitions pass. The
+  // expression forms stay as the executable cross-engine specification.
+
+  private def md5Hex(md: java.security.MessageDigest, s: String): String = {
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val sb = new java.lang.StringBuilder(32)
+    var i = 0
+    while (i < d.length) {
+      val v = d(i) & 0xff
+      sb.append(java.lang.Character.forDigit(v >> 4, 16))
+      sb.append(java.lang.Character.forDigit(v & 0xf, 16))
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** Kernel twin of [[gramsExpr]]: distinct word k-grams in first-occurrence
+    * order; whole text as the fallback shingle. Mirrors Spark `split`
+    * semantics (trailing empty strings kept).
+    */
+  def shingleSet(text: String, k: Int): Array[String] = {
+    val ws = text.split(" ", -1)
+    if (ws.length >= k) {
+      val seen = new java.util.LinkedHashSet[String]()
+      var i = 0
+      while (i + k <= ws.length) {
+        val sb = new java.lang.StringBuilder(ws(i))
+        var j = 1
+        while (j < k) { sb.append(' ').append(ws(i + j)); j += 1 }
+        seen.add(sb.toString): Unit
+        i += 1
+      }
+      seen.toArray(new Array[String](seen.size))
+    } else Array(text)
+  }
+
+  /** MinHash signatures via the typed kernel — the default entry point. */
+  def minhashSignatures(
+      docs: DataFrame,
+      textCol: String = "text",
+      numPerm: Int = 64,
+      shingleK: Int = 3,
+      seed: Long = 42L
+  ): DataFrame = {
+    val (a, c) = permCoeffs(numPerm, seed)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, text) =>
+          val sig = Array.fill(numPerm)(M61 - 1)
+          shingleSet(text, shingleK).foreach { g =>
+            val hv = java.lang.Long.parseLong(md5Hex(md, s"$seed:$g").substring(0, 15), 16)
+            val hl = hv % 1073741824L
+            val hh = hv >> 30
+            var p = 0
+            while (p < numPerm) {
+              val t = a(p) * hh
+              val v = ((t >> 31) + ((t & 2147483647L) << 30) + a(p) * hl + c(p)) % M61
+              if (v < sig(p)) sig(p) = v
+              p += 1
+            }
+          }
+          (id, sig.toSeq)
+        }
+      }
+      .toDF("doc_id", "sig")
   }
 
   /** LSH band rows (doc_id, band, bucket): the signature splits into `bands`
@@ -184,7 +266,43 @@ object Dedup {
     * Bit b of the fingerprint is the sign of Σ_shingles (±1) where the ±
     * comes from bit b of the shingle's md5-derived 64-bit hash.
     */
+  /** SimHash via the typed kernel — the default entry point; bit-identical
+    * to [[simhashExpr]] (asserted by DedupKernelSpec).
+    */
   def simhash(docs: DataFrame, textCol: String = "text", shingleK: Int = 2,
+      seed: Long = 42L): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, text) =>
+          val counts = new Array[Int](64)
+          shingleSet(text, shingleK).foreach { g =>
+            val hex = md5Hex(md, s"$seed:$g")
+            val aHalf = java.lang.Long.parseLong(hex.substring(0, 8), 16)
+            val bHalf = java.lang.Long.parseLong(hex.substring(8, 16), 16)
+            var i = 0
+            while (i < 64) {
+              val v = if (i < 32) aHalf else bHalf
+              counts(i) += (if (((v >> (i % 32)) & 1L) == 1L) 1 else -1)
+              i += 1
+            }
+          }
+          def half(off: Int): Long = {
+            var h = 0L; var b = 0
+            while (b < 32) { if (counts(off + b) > 0) h |= 1L << b; b += 1 }
+            h
+          }
+          val (lo, hi) = (half(0), half(32))
+          (id, (hi << 32) | lo, lo, hi)
+        }
+      }
+      .toDF("doc_id", "simhash", "sh_lo", "sh_hi")
+  }
+
+  def simhashExpr(docs: DataFrame, textCol: String = "text", shingleK: Int = 2,
       seed: Long = 42L): DataFrame = {
     // One pass over the shingle hashes: a 64-slot ±1 bit counter folds via
     // zip_with, the finish lambda packs the two 32-bit halves. The
