@@ -57,12 +57,13 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val cpusN = math.max(1, cpus / 4)
     // One corpus size for EVERY leg: legs must run the identical job, and a
-    // leg must be long enough (tens of seconds at the low level) to average
-    // over the host's multi-second throttle bursts AND to amortize the
-    // fixed per-build overhead (~1-2 s of stage scheduling), which otherwise
+    // leg must be long enough (~a minute at the low level) to average over
+    // the host's multi-second throttle bursts AND to amortize the fixed
+    // per-build overhead (~1-2 s of stage scheduling), which otherwise
     // biases the FAST leg's throughput down — the same code measured 0.58
-    // efficiency at 40k files, 0.79 at 128k, 0.89 at 256k.
-    val buildN: Long = sys.env.get("SPARK_GRAFT_BUILD_N").map(_.toLong).getOrElse(256000L)
+    // efficiency at 40k files vs 0.79-0.89 at 128k-256k; 320k matches the
+    // ScalingBench legs behind BASELINE.md §3's 0.842.
+    val buildN: Long = sys.env.get("SPARK_GRAFT_BUILD_N").map(_.toLong).getOrElse(320000L)
     val reps = sys.env.getOrElse("SPARK_GRAFT_BUILD_REPS", "3").toInt
     val buildBase = sys.env.getOrElse("SPARK_GRAFT_BENCH_DIR",
       if (new java.io.File("/dev/shm").isDirectory) "/dev/shm" else sys.props("java.io.tmpdir"))
