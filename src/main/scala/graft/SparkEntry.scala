@@ -303,13 +303,12 @@ object SparkEntry {
     // ---- training-data pipeline ops over documents/embeddings ----
     "dd_exact" -> ((s, d) => Dedup.exactStats(t(s, d, "documents"))),
 
-    "dd_minhash_bands" -> ((s, d) => Dedup.lshBands(
-      Dedup.minhashSignatures(t(s, d, "documents")), bands = 16)
+    "dd_minhash_bands" -> ((s, d) => Dedup.minhashBands(t(s, d, "documents"))
       .select(col("doc_id"), col("band").cast("long").as("band"), col("bucket"))
       .orderBy("doc_id", "band")),
 
-    "dd_lsh_pairs" -> ((s, d) => Dedup.lshCandidatePairs(Dedup.lshBands(
-      Dedup.minhashSignatures(t(s, d, "documents")), bands = 16))
+    "dd_lsh_pairs" -> ((s, d) => Dedup.lshCandidatePairs(
+      Dedup.minhashBands(t(s, d, "documents")))
       .orderBy("a", "b")),
 
     "dd_simhash" -> ((s, d) =>

