@@ -340,6 +340,9 @@ object SparkEntry {
     "sim_cos_pairs" -> ((s, d) =>
       Similarity.cosinePairsAboveLsh(t(s, d, "embeddings"), 400).orderBy("a", "b")),
 
+    "sim_quant_quality" -> ((s, d) =>
+      Similarity.quantizeInt8Quality(t(s, d, "embeddings"))),
+
     "sim_ivf_topk" -> ((s, d) =>
       Similarity.ivfTopK(t(s, d, "embeddings"), 0L, 10, nlist = 16, nprobe = 4)),
 
@@ -744,6 +747,20 @@ object SparkEntry {
          |  CAST(round(list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[]) * 1000) AS BIGINT) AS sim_q3
          |  FROM bk x JOIN bk y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
          |SELECT a, b, sim_q3 FROM p WHERE sim_q3 >= 400 ORDER BY a, b""".stripMargin,
+
+    "sim_quant_quality" ->
+      """WITH q AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS e,
+        |    list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS scale
+        |  FROM embeddings),
+        |dq AS (
+        |  SELECT vec_id, e,
+        |    list_transform(list_transform(e, x -> CAST(round(x / scale * 127) AS INT)),
+        |                   v -> CAST(v AS DOUBLE) * scale / 127) AS d
+        |  FROM q),
+        |c AS (SELECT CAST(round(list_cosine_similarity(e, d) * 1000000) AS BIGINT) AS cos_q6 FROM dq)
+        |SELECT count(*) AS n, min(cos_q6) AS min_cos_q6,
+        |  CAST(sum(cos_q6) // count(*) AS BIGINT) AS avg_cos_q6 FROM c""".stripMargin,
 
     "sim_ivf_topk" ->
       s"""WITH $IVF

@@ -174,6 +174,41 @@ object Similarity {
         expr(s"hits * 1000 div $k").as("recall_q3"))
   }
 
+  // ---- int8 embedding quantization ---------------------------------------
+
+  /** Symmetric int8 quantization of the embedding column — the standard 4x
+    * storage/bandwidth reduction for corpus-scale embedding tables: scale =
+    * max|x| per vector, q = round(x/scale·127) ∈ [-127, 127]. One narrow
+    * projection (codegen'd HOFs, no UDF, no shuffle). Emits (vec_id,
+    * scale, qvec array<int>).
+    */
+  def quantizeInt8(emb: DataFrame, embCol: String = "embedding"): DataFrame = {
+    val scale = expr(
+      s"aggregate($embCol, 0D, (a, x) -> greatest(a, abs(cast(x as double))))")
+    emb.select(col("vec_id"), scale.as("scale"), col(embCol))
+      .select(col("vec_id"), col("scale"),
+        expr(s"transform($embCol, x -> CAST(round(cast(x as double) / scale * 127) AS INT))")
+          .as("qvec"))
+  }
+
+  /** Reconstruction quality of [[quantizeInt8]] over the whole corpus, as
+    * exact integers: per-vector cosine(original, dequantized) ×1e6, then
+    * (n, min_cos_q6, avg_cos_q6) with an integer average — no float
+    * aggregation, so any engine reproduces the row bit-for-bit.
+    */
+  def quantizeInt8Quality(emb: DataFrame, embCol: String = "embedding"): DataFrame = {
+    val q = quantizeInt8(emb, embCol)
+      .join(emb.select(col("vec_id"), col(embCol)), "vec_id")
+      .withColumn("dq", expr("transform(qvec, v -> cast(v as double) * scale / 127D)"))
+    val dot = expr(s"aggregate(zip_with($embCol, dq, (x, y) -> cast(x as double) * y), 0D, (a, x) -> a + x)")
+    val na = expr(s"aggregate($embCol, 0D, (a, x) -> a + cast(x as double) * cast(x as double))")
+    val nb = expr("aggregate(dq, 0D, (a, x) -> a + x * x)")
+    q.withColumn("cos_q6",
+      round(dot / (sqrt(na) * sqrt(nb)) * 1000000).cast("long"))
+      .agg(count(lit(1)).as("n"), min("cos_q6").as("min_cos_q6"),
+        (sum("cos_q6") / count(lit(1))).cast("long").as("avg_cos_q6"))
+  }
+
   // ---- IVF (inverted-file) coarse quantization --------------------------
   //
   // The second ANN scale path: a coarse quantizer of `nlist` centroids

@@ -126,6 +126,22 @@ class OpsSpec extends AnyFunSuite {
     assert(annR.nonEmpty && annR.forall(_._1 % 2 == 0))
   }
 
+  test("int8 quantization: values in range, reconstruction cosine ~1") {
+    val emb = (0 until 20).map { i =>
+      (i.toLong, Array.tabulate(16)(d => ((i * 31 + d * 7) % 97 - 48) / 48.0f))
+    }.toDF("vec_id", "embedding")
+    val q = Similarity.quantizeInt8(emb).collect()
+    assert(q.length == 20)
+    q.foreach { r =>
+      val qv = r.getSeq[Int](2)
+      assert(qv.forall(v => v >= -127 && v <= 127))
+      assert(qv.exists(v => math.abs(v) == 127)) // max element hits full range
+    }
+    val row = Similarity.quantizeInt8Quality(emb).collect()(0)
+    assert(row.getLong(0) == 20)
+    assert(row.getLong(1) > 990000, s"min cos_q6 ${row.getLong(1)}") // > 0.99
+  }
+
   test("text analysis: quality, token counts, langid, fingerprint") {
     val q = TextAnalysis.quality(docs).filter($"doc_id" === 0L).collect()(0)
     assert(q.getLong(1) == 9) // n_words
