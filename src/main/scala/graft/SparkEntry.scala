@@ -311,6 +311,13 @@ object SparkEntry {
       Dedup.minhashBands(t(s, d, "documents")))
       .orderBy("a", "b")),
 
+    "dd_clusters" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Dedup.dedupClusters(
+        Dedup.lshCandidatePairs(Dedup.minhashBands(docs)), Some(docs))
+        .orderBy("doc_id")
+    }),
+
     "dd_simhash" -> ((s, d) =>
       Dedup.simhash(t(s, d, "documents"))
         .select("doc_id", "sh_lo", "sh_hi").orderBy("doc_id")),
@@ -688,6 +695,18 @@ object SparkEntry {
     "dd_lsh_pairs" ->
       s"""WITH $MH
          |SELECT a, b FROM cand ORDER BY a, b""".stripMargin,
+
+    "dd_clusters" ->
+      s"""WITH RECURSIVE $MH,
+         |e AS (SELECT a AS src, b AS dst FROM cand UNION SELECT b, a FROM cand),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM e
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
+         |lbl AS (SELECT d.doc_id, least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS cluster_id
+         |  FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+         |  GROUP BY d.doc_id)
+         |SELECT doc_id, cluster_id FROM lbl ORDER BY doc_id""".stripMargin,
 
     "dd_simhash" ->
       s"""WITH $SH

@@ -459,6 +459,48 @@ object Dedup {
     jaccardForPairs(docs, lshCandidatePairs(bandRows), textCol, shingleK)
   }
 
+  /** Connected components over a near-dup pair set: every doc gets
+    * cluster_id = the smallest doc_id reachable through the pairs (docs
+    * absent from `pairs` are their own singleton clusters if `docs` is
+    * given). Iterative min-label propagation — each round is one join +
+    * aggregation keyed by doc id, converging in O(component diameter)
+    * rounds; near-dup graphs are unions of small near-cliques, so 2-3
+    * rounds in practice (switch to large-star/small-star if a corpus ever
+    * produces long chains). The survivor filter falls out: keep rows
+    * where doc_id == cluster_id.
+    */
+  def dedupClusters(pairs: DataFrame, docs: Option[DataFrame] = None): DataFrame = {
+    val edges = pairs.select(col("a").cast("long"), col("b").cast("long"))
+      .union(pairs.select(col("b").cast("long"), col("a").cast("long")))
+      .toDF("src", "dst")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    edges.count(): Unit
+    val nodes = docs.map(_.select(col("doc_id").cast("long")))
+      .getOrElse(edges.select(col("src").as("doc_id"))).distinct()
+    var labels = nodes.withColumn("label", col("doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var changed = 1L
+    while (changed > 0) {
+      // candidate label per node = min(own, min over neighbors' labels)
+      val next = labels
+        .join(edges, labels("doc_id") === edges("dst"), "left_outer")
+        .select(col("doc_id"), col("label"), col("src"))
+        .join(
+          labels.select(col("doc_id").as("src"), col("label").as("nl")),
+          Seq("src"), "left_outer")
+        .groupBy("doc_id")
+        .agg(least(first(col("label")), coalesce(min("nl"), first(col("label"))))
+          .as("newLabel"), first(col("label")).as("label"))
+      val nextLabels = next.select(col("doc_id"), col("newLabel").as("label"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      changed = next.filter(col("newLabel") < col("label")).count()
+      labels.unpersist()
+      labels = nextLabels
+    }
+    edges.unpersist()
+    labels.toDF("doc_id", "cluster_id")
+  }
+
   /** Exact word-k-gram Jaccard for ALL pairs within a grouping column —
     * the self-join is keyed by (group, shingle); within a group every
     * common shingle meets df² times, so this is for SMALL groups only

@@ -126,6 +126,19 @@ class OpsSpec extends AnyFunSuite {
     assert(annR.nonEmpty && annR.forall(_._1 % 2 == 0))
   }
 
+  test("dedup clusters: min-label connected components + singletons") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a", "b")
+    val all = (1L to 7L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+    val got = Dedup.dedupClusters(pairs, Some(all))
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L))
+    // a 4-hop chain needs several propagation rounds
+    val chain = Seq((10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L)).toDF("a", "b")
+    val gotChain = Dedup.dedupClusters(chain).as[(Long, Long)].collect().toMap
+    assert(gotChain.values.toSet == Set(10L))
+  }
+
   test("int8 quantization: values in range, reconstruction cosine ~1") {
     val emb = (0 until 20).map { i =>
       (i.toLong, Array.tabulate(16)(d => ((i * 31 + d * 7) % 97 - 48) / 48.0f))
