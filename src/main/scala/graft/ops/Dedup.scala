@@ -501,6 +501,28 @@ object Dedup {
     labels.toDF("doc_id", "cluster_id")
   }
 
+  /** The complete near-dup dedup pipeline in one call: MinHash→LSH
+    * candidates → pair-restricted exact Jaccard ≥ `thresholdQ3` → connected
+    * components → survivors (smallest doc_id per cluster). Returns the
+    * deduplicated docs. Every stage is the bucketed/pair-restricted scale
+    * shape — work ∝ candidates, never corpus².
+    */
+  def dedupCorpus(
+      docs: DataFrame,
+      thresholdQ3: Long = 800,
+      textCol: String = "text",
+      numPerm: Int = 64,
+      bands: Int = 16,
+      shingleK: Int = 3,
+      seed: Long = 42L
+  ): DataFrame = {
+    val dupPairs = nearDupPairs(docs, textCol, numPerm, bands, shingleK, seed)
+      .filter(col("jaccard_q3") >= thresholdQ3)
+    val clusters = dedupClusters(dupPairs, Some(docs))
+    docs.join(clusters.filter(col("doc_id") === col("cluster_id"))
+      .select("doc_id"), Seq("doc_id"), "left_semi")
+  }
+
   /** Exact word-k-gram Jaccard for ALL pairs within a grouping column —
     * the self-join is keyed by (group, shingle); within a group every
     * common shingle meets df² times, so this is for SMALL groups only

@@ -126,6 +126,21 @@ class OpsSpec extends AnyFunSuite {
     assert(annR.nonEmpty && annR.forall(_._1 % 2 == 0))
   }
 
+  test("dedupCorpus keeps one survivor per near-dup cluster") {
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (1L, "the quick brown fox jumps over the lazy dog again and again tonight"), // near-dup of 0
+      (2L, "the quick brown fox jumps over the lazy dog again and again today"), // exact dup of 0
+      (3L, "completely different text about distributed query engines and parquet files"),
+      (4L, "der hund springt ueber den zaun und laeuft durch den garten nach hause")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.dedupCorpus(corpus, thresholdQ3 = 700, shingleK = 2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.contains(0L) && kept.contains(3L) && kept.contains(4L))
+    assert(!kept.contains(2L)) // exact dup collapsed into 0
+    assert(!kept.contains(1L)) // near-dup collapsed into 0
+  }
+
   test("dedup clusters: min-label connected components + singletons") {
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a", "b")
     val all = (1L to 7L).map(i => (i, s"t$i")).toDF("doc_id", "text")

@@ -34,6 +34,22 @@ class StreamDedupSpec extends AnyFunSuite {
     assert(texts.toSeq == Seq("alpha beta", "epsilon zeta", "gamma delta"))
   }
 
+  test("text-analysis operators run unchanged on a stream (quality filter)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF().toDF("doc_id", "text")
+    // quality() is a pure narrow projection, so it applies to streams as-is
+    val q = graft.ops.TextAnalysis.quality(stream)
+      .filter(org.apache.spark.sql.functions.col("n_words") >= 5)
+      .writeStream.format("memory").queryName("sd_quality").outputMode("append").start()
+    mem.addData((0L, "too short"), (1L, "this document has enough words to pass the filter"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("sd_quality").select("doc_id").as[Long].collect()
+    assert(rows.toSeq == Seq(1L))
+  }
+
   test("nearDupCandidates == batch lshCandidatePairs over the same corpus") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
