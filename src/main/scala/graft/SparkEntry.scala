@@ -318,6 +318,11 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // the full candidates -> jaccard >= 0.8 -> CC -> survivors composition
+    "dd_survivors" -> ((s, d) =>
+      Dedup.dedupCorpus(t(s, d, "documents"), thresholdQ3 = 800)
+        .select("doc_id").orderBy("doc_id")),
+
     "dd_simhash" -> ((s, d) =>
       Dedup.simhash(t(s, d, "documents"))
         .select("doc_id", "sh_lo", "sh_hi").orderBy("doc_id")),
@@ -695,6 +700,26 @@ object SparkEntry {
     "dd_lsh_pairs" ->
       s"""WITH $MH
          |SELECT a, b FROM cand ORDER BY a, b""".stripMargin,
+
+    "dd_survivors" ->
+      s"""WITH RECURSIVE $MH,
+         |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM g GROUP BY doc_id),
+         |it AS (SELECT c.a, c.b, CAST(count(gb.gr) AS BIGINT) AS inter
+         |  FROM cand c JOIN g ga ON ga.doc_id = c.a
+         |  LEFT JOIN g gb ON gb.doc_id = c.b AND gb.gr = ga.gr
+         |  GROUP BY c.a, c.b),
+         |jp AS (SELECT a, b FROM it
+         |  JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+         |  WHERE CAST(inter * 1000 // (sa.sz + sb.sz - inter) AS BIGINT) >= 800),
+         |e AS (SELECT a AS src, b AS dst FROM jp UNION SELECT b, a FROM jp),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM e
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
+         |lbl AS (SELECT d.doc_id, least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS cluster_id
+         |  FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+         |  GROUP BY d.doc_id)
+         |SELECT doc_id FROM lbl WHERE doc_id = cluster_id ORDER BY doc_id""".stripMargin,
 
     "dd_clusters" ->
       s"""WITH RECURSIVE $MH,
