@@ -370,6 +370,9 @@ object SparkEntry {
     "ta_langid" -> ((s, d) =>
       TextAnalysis.langId(t(s, d, "documents")).orderBy("doc_id")),
 
+    "ta_langid_ngram" -> ((s, d) =>
+      TextAnalysis.langIdNgram(t(s, d, "documents")).orderBy("doc_id")),
+
     "ta_fingerprint" -> ((s, d) =>
       TextAnalysis.fingerprint(t(s, d, "documents")).orderBy("doc_id"))
   )
@@ -858,6 +861,23 @@ object SparkEntry {
         |      WHEN s_de >= s_es THEN 'de' ELSE 'es' END AS pred_lang,
         | s_en::BIGINT AS s_en
         |FROM sc ORDER BY doc_id""".stripMargin,
+
+    "ta_langid_ngram" -> {
+      def lst(lang: String) = TextAnalysis.ngramProfile(lang)
+        .map(x => "'" + x.replace("'", "''") + "'").mkString("[", ", ", "]")
+      s"""WITH t AS (SELECT doc_id, ' ' || lower(text) || ' ' AS s FROM documents),
+         |tg AS (SELECT doc_id, list_distinct([substr(s, i, 3) for i in range(1, length(s) - 1)]) AS g FROM t),
+         |sc AS (SELECT doc_id,
+         |  len(list_intersect(g, ${lst("en")})) AS g_en,
+         |  len(list_intersect(g, ${lst("de")})) AS g_de,
+         |  len(list_intersect(g, ${lst("es")})) AS g_es
+         | FROM tg)
+         |SELECT doc_id,
+         | CASE WHEN g_en >= g_de AND g_en >= g_es THEN 'en'
+         |      WHEN g_de >= g_es THEN 'de' ELSE 'es' END AS pred_lang,
+         | g_en::BIGINT AS g_en, g_de::BIGINT AS g_de, g_es::BIGINT AS g_es
+         |FROM sc ORDER BY doc_id""".stripMargin
+    },
 
     "ta_fingerprint" ->
       "SELECT doc_id, substr(md5(text), 1, 16) AS fp FROM documents ORDER BY doc_id"

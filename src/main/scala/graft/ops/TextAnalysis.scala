@@ -77,6 +77,55 @@ object TextAnalysis {
           "WHEN s_de >= s_es THEN 'de' ELSE 'es' END").as("pred_lang"),
         col("s_en").cast("long").as("s_en"))
 
+  /** Seed vocabularies for the character-n-gram language profiles (the
+    * classic n-gram LID heuristic): stopwords plus high-frequency words.
+    */
+  private val vocabEn = stopEn ++ Seq("with", "this", "that", "from", "have",
+    "what", "which", "their", "about", "would", "there", "when", "your")
+  private val vocabDe = stopDe ++ Seq("nicht", "mit", "sich", "auf", "für",
+    "als", "auch", "werden", "eine", "durch", "über", "nach", "beim")
+  private val vocabEs = stopEs ++ Seq("los", "del", "las", "por", "con",
+    "para", "una", "este", "como", "más", "pero", "sobre", "entre")
+
+  private def charTrigrams(s: String): Seq[String] =
+    if (s.length < 3) Seq(s) else (0 to s.length - 3).map(i => s.substring(i, i + 3))
+
+  /** Distinct space-padded character trigrams of a language's seed
+    * vocabulary — a literal profile both engines can embed.
+    */
+  def ngramProfile(lang: String): Seq[String] = {
+    val vocab = lang match {
+      case "en" => vocabEn; case "de" => vocabDe; case "es" => vocabEs
+      case other => throw new IllegalArgumentException(s"no profile for $other")
+    }
+    vocab.flatMap(w => charTrigrams(s" $w ")).distinct.sorted
+  }
+
+  /** Character-n-gram language ID: distinct trigrams of the lowercased,
+    * space-padded text intersected with each language profile; argmax with
+    * fixed tie order en > de > es. One narrow projection; the profiles fold
+    * into the plan as array literals (set-semantics intersection, so both
+    * engines agree exactly).
+    */
+  def langIdNgram(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    def litArr(xs: Seq[String]): String =
+      xs.map(x => "'" + x.replace("'", "\\'") + "'").mkString("array(", ", ", ")")
+    val tg = expr(
+      s"""array_distinct(element_at(transform(array(concat(' ', lower($textCol), ' ')), s ->
+         |  transform(sequence(1, length(s) - 2), i -> substring(s, i, 3))), 1))""".stripMargin)
+    docs
+      .withColumn("tg", tg)
+      .withColumn("g_en", size(expr(s"array_intersect(tg, ${litArr(ngramProfile("en"))})")))
+      .withColumn("g_de", size(expr(s"array_intersect(tg, ${litArr(ngramProfile("de"))})")))
+      .withColumn("g_es", size(expr(s"array_intersect(tg, ${litArr(ngramProfile("es"))})")))
+      .select(col("doc_id"),
+        expr("CASE WHEN g_en >= g_de AND g_en >= g_es THEN 'en' " +
+          "WHEN g_de >= g_es THEN 'de' ELSE 'es' END").as("pred_lang"),
+        col("g_en").cast("long").as("g_en"),
+        col("g_de").cast("long").as("g_de"),
+        col("g_es").cast("long").as("g_es"))
+  }
+
   /** Content fingerprint: 64-bit hex prefix of md5 over the text — the
     * cross-engine-stable document digest used for exact dedup and lineage.
     */

@@ -126,6 +126,17 @@ class OpsSpec extends AnyFunSuite {
     assert(annR.nonEmpty && annR.forall(_._1 % 2 == 0))
   }
 
+  test("n-gram language ID discriminates en/de/es sentences") {
+    val samples = Seq(
+      (0L, "this is about what would have been there from the start"),
+      (1L, "der hund ist nicht mit der katze durch den garten gelaufen"),
+      (2L, "este texto habla sobre los perros y las casas para una familia")
+    ).toDF("doc_id", "text")
+    val preds = TextAnalysis.langIdNgram(samples).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(preds == Map(0L -> "en", 1L -> "de", 2L -> "es"))
+  }
+
   test("dedupCorpus keeps one survivor per near-dup cluster") {
     val corpus = Seq(
       (0L, "the quick brown fox jumps over the lazy dog again and again today"),
