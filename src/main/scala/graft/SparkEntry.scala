@@ -374,7 +374,10 @@ object SparkEntry {
       TextAnalysis.langIdNgram(t(s, d, "documents")).orderBy("doc_id")),
 
     "ta_fingerprint" -> ((s, d) =>
-      TextAnalysis.fingerprint(t(s, d, "documents")).orderBy("doc_id"))
+      TextAnalysis.fingerprint(t(s, d, "documents")).orderBy("doc_id")),
+
+    "ta_fingerprint_rolling" -> ((s, d) =>
+      TextAnalysis.rollingFingerprint(t(s, d, "documents")).orderBy("doc_id"))
   )
 
   // ---- DuckDB oracles ---------------------------------------------------
@@ -841,8 +844,16 @@ object SparkEntry {
       """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)
         |SELECT doc_id, len(w)::BIGINT AS n_words, length(text)::BIGINT AS n_chars_c,
         | (CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) * 100) // len(w) AS avg_wlen_q2,
-        | (len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is','on')))::BIGINT * 1000) // len(w) AS stop_ratio_q3
+        | (len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is','on')))::BIGINT * 1000) // len(w) AS stop_ratio_q3,
+        | (len(regexp_extract_all(text, '[^a-z0-9 ]'))::BIGINT * 1000) // greatest(length(text), 1) AS punct_ratio_q3
         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "ta_fingerprint_rolling" ->
+      """SELECT doc_id,
+        | list_reduce(list_prepend(0::BIGINT,
+        |   [ascii(text[i]) for i in range(1, length(text) + 1)]),
+        |   (h, c) -> (h * 257 + c) % 2147483647) AS rfp
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "ta_tokcount" ->
       """SELECT doc_id, len(string_split(text, ' '))::BIGINT AS ws_tokens,

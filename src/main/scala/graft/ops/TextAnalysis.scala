@@ -50,8 +50,11 @@ object TextAnalysis {
       .withColumn("avg_wlen_q2", expr("sum_wlen * 100 div n_words"))
       .withColumn("stop_hits", stopHits("w", stopEn).cast("long"))
       .withColumn("stop_ratio_q3", expr("stop_hits * 1000 div n_words"))
+      // punctuation ratio: chars outside [a-z0-9 ] per char, x1000
+      .withColumn("punct_ratio_q3",
+        expr(s"CAST(regexp_count($textCol, '[^a-z0-9 ]') AS BIGINT) * 1000 div greatest(n_chars_c, 1)"))
       .select(col("doc_id"), col("n_words"), col("n_chars_c"),
-        col("avg_wlen_q2"), col("stop_ratio_q3"))
+        col("avg_wlen_q2"), col("stop_ratio_q3"), col("punct_ratio_q3"))
 
   /** Token counting: whitespace tokens and BPE-ish regex tokens
     * (`[a-z]+|[0-9]+` word/number pieces).
@@ -131,6 +134,22 @@ object TextAnalysis {
     */
   def fingerprint(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.select(col("doc_id"), substring(md5(col(textCol)), 1, 16).as("fp"))
+
+  /** Rolling polynomial (Karp–Rabin) fingerprint: h = Σ code(cᵢ)·257^(n-i)
+    * mod (2^31−1), folded left-to-right so intermediates stay < 2^40 —
+    * exact in int64 on any engine. Codepoints via `ascii` per char
+    * (identical across engines for the BMP). Complements the md5
+    * [[fingerprint]]: rolling hashes compose incrementally, so shard-level
+    * fingerprints can extend streams without re-reading the prefix.
+    */
+  def rollingFingerprint(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(col("doc_id"),
+      expr(
+        s"""aggregate(
+           |  element_at(transform(array($textCol), s ->
+           |    transform(sequence(1, length(s)), i -> ascii(substring(s, i, 1)))), 1),
+           |  0L, (h, c) -> (h * 257 + c) % 2147483647L)""".stripMargin)
+        .as("rfp"))
 
   /** `html_untag` (reference lib/proc.c:3460): strip tags via regex. */
   def htmlUntag(c: Column): Column = regexp_replace(c, "<[^>]*>", "")

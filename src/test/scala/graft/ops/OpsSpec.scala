@@ -126,6 +126,20 @@ class OpsSpec extends AnyFunSuite {
     assert(annR.nonEmpty && annR.forall(_._1 % 2 == 0))
   }
 
+  test("punct ratio and rolling fingerprint compute exactly") {
+    val d = Seq((0L, "hello, world! x2"), (1L, "clean words only")).toDF("doc_id", "text")
+    val q = TextAnalysis.quality(d).collect().map(r => r.getLong(0) -> r).toMap
+    // "hello, world! x2": 16 chars, 2 punct (, and !) -> 2*1000 div 16 = 125
+    assert(q(0L).getAs[Long]("punct_ratio_q3") == 125L)
+    assert(q(1L).getAs[Long]("punct_ratio_q3") == 0L)
+    val fp = TextAnalysis.rollingFingerprint(d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // hand-rolled Karp-Rabin must agree
+    def kr(s: String): Long = s.foldLeft(0L)((h, c) => (h * 257 + c.toLong) % 2147483647L)
+    assert(fp(0L) == kr("hello, world! x2") && fp(1L) == kr("clean words only"))
+    assert(fp(0L) != fp(1L))
+  }
+
   test("n-gram language ID discriminates en/de/es sentences") {
     val samples = Seq(
       (0L, "this is about what would have been there from the start"),
