@@ -83,7 +83,9 @@ object Bench {
     legPlan.foreach { legCpus =>
       val spark = session(legCpus)
       import spark.implicits._
-      // the final leg's index (local[cpus]) is kept and serves the query phase
+      // the LAST leg's on-disk index (local[cpusNN], the tail of legPlan) is
+      // the one that survives and serves the query phase — every leg builds
+      // identical content, so which leg wrote it doesn't affect the queries
       deleteRecursively(new java.io.File(buildDir))
       // docId = the generator's row index — already dense and deterministic
       val docs = spark.range(0, buildN, 1, 64).map { i =>

@@ -241,6 +241,41 @@ object Dedup {
     * Unpersisted, un-counted: callers that reuse the rows persist them
     * (as [[lshBands]] does for the batch pipeline).
     */
+  /** Per-doc band buckets via the typed kernel — the per-row body shared by
+    * [[minhashBands]] and the streaming path ([[graft.streaming.StreamDedup]]
+    * carries an event-time column alongside, which the batch entry point
+    * doesn't need). `md` is the caller's per-partition digest instance.
+    */
+  def bandBucketsOf(
+      md: java.security.MessageDigest,
+      text: String,
+      a: Array[Long],
+      c: Array[Long],
+      bands: Int,
+      shingleK: Int,
+      seed: Long
+  ): Array[Long] = {
+    val numPerm = a.length
+    val rows = numPerm / bands
+    val sig = Array.fill(numPerm)(M61 - 1)
+    shingleSet(text, shingleK).foreach { g =>
+      val hv = java.lang.Long.parseLong(md5Hex(md, s"$seed:$g").substring(0, 15), 16)
+      val hl = hv % 1073741824L
+      val hh = hv >> 30
+      var p = 0
+      while (p < numPerm) {
+        val t = a(p) * hh
+        val v = ((t >> 31) + ((t & 2147483647L) << 30) + a(p) * hl + c(p)) % M61
+        if (v < sig(p)) sig(p) = v
+        p += 1
+      }
+    }
+    Array.tabulate(bands) { b =>
+      val slice = sig.slice(b * rows, (b + 1) * rows).mkString(",")
+      java.lang.Long.parseLong(md5Hex(md, slice).substring(0, 15), 16)
+    }
+  }
+
   def minhashBands(
       docs: DataFrame,
       textCol: String = "text",
@@ -250,7 +285,6 @@ object Dedup {
       seed: Long = 42L
   ): DataFrame = {
     require(numPerm % bands == 0, s"numPerm $numPerm not divisible by bands $bands")
-    val rows = numPerm / bands
     val (a, c) = permCoeffs(numPerm, seed)
     val spark = docs.sparkSession
     import spark.implicits._
@@ -259,24 +293,8 @@ object Dedup {
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
         it.flatMap { case (id, text) =>
-          val sig = Array.fill(numPerm)(M61 - 1)
-          shingleSet(text, shingleK).foreach { g =>
-            val hv = java.lang.Long.parseLong(md5Hex(md, s"$seed:$g").substring(0, 15), 16)
-            val hl = hv % 1073741824L
-            val hh = hv >> 30
-            var p = 0
-            while (p < numPerm) {
-              val t = a(p) * hh
-              val v = ((t >> 31) + ((t & 2147483647L) << 30) + a(p) * hl + c(p)) % M61
-              if (v < sig(p)) sig(p) = v
-              p += 1
-            }
-          }
-          (0 until bands).map { b =>
-            val slice = sig.slice(b * rows, (b + 1) * rows).mkString(",")
-            val bucket = java.lang.Long.parseLong(md5Hex(md, slice).substring(0, 15), 16)
-            (id, b, bucket)
-          }
+          bandBucketsOf(md, text, a, c, bands, shingleK, seed)
+            .zipWithIndex.map { case (bucket, b) => (id, b, bucket) }
         }
       }
       .toDF("doc_id", "band", "bucket")

@@ -251,6 +251,10 @@ object Multimodal {
     var data: Option[(Int, Int)] = None // (offset, len)
     while (o + 8 <= bytes.length && (fmt.isEmpty || data.isEmpty)) {
       val id = tag(o); val len = le32(o + 4)
+      // corrupt blobs are data, not errors — but a negative chunk length
+      // (e.g. len = -8) would stall the walk (o += 8 + len fails to
+      // advance): treat it as a malformed stream and stop
+      if (len < 0) return None
       if (id == "fmt " && o + 8 + 16 <= bytes.length)
         fmt = Some((le16(o + 8), le16(o + 10), le32(o + 12)))
       else if (id == "data") data = Some((o + 8, math.min(len, bytes.length - o - 8)))

@@ -58,7 +58,10 @@ object GrnStream {
     case s: String => jstr(s)
     case b: Boolean => b.toString
     case f: Float => jsonValue(f.toDouble)
-    case d: Double => if (d == math.floor(d) && !d.isInfinite) {
+    // NaN/Infinity have no JSON representation — serialize as null rather
+    // than emitting an unparseable literal
+    case d: Double if d.isNaN || d.isInfinite => "null"
+    case d: Double => if (d == math.floor(d)) {
       // Groonga dumps integral floats as "1.0"
       val l = d.toLong
       if (l.toDouble == d) s"$l.0" else d.toString
@@ -68,14 +71,17 @@ object GrnStream {
     case other => jstr(other.toString)
   }
 
-  /** Emit the command stream for one DataFrame: `table_create` (+ one
-    * `column_create` per non-key column) followed by a single `load` in
-    * header-array row format — the reference's `dump` layout for data
+  /** Emit the command stream for one DataFrame into `out`: `table_create`
+    * (+ one `column_create` per non-key column) followed by a single `load`
+    * in header-array row format — the reference's `dump` layout for data
     * tables (commands separated by blank lines, rows joined with ",\n").
-    * Rows stream via `toLocalIterator`, so the driver never holds the
-    * table. Row order is the DataFrame's — pre-sort for a canonical dump.
+    * Rows stream via `toLocalIterator` straight into the Writer, so the
+    * driver holds one row at a time and the dump size is bounded only by
+    * the sink (write to a file/pipe for big tables). Row order is the
+    * DataFrame's — pre-sort for a canonical dump.
     */
-  def dumpText(name: String, df: DataFrame, keyCol: Option[String] = None): String = {
+  def dump(name: String, df: DataFrame, out: java.io.Writer,
+      keyCol: Option[String] = None): Unit = {
     val schema = df.schema
     keyCol.foreach(k => require(schema.fieldNames.contains(k), s"no key column $k"))
     val valueFields = schema.fields.filterNot(f => keyCol.contains(f.name))
@@ -92,18 +98,26 @@ object GrnStream {
     val header = (keyCol.map(_ => "_key").toSeq ++ valueFields.map(_.name))
       .map(jstr).mkString("[", ",", "]")
     val ordered = keyCol.map(k => df.select(k, valueFields.map(_.name): _*)).getOrElse(df)
-    val sb = new StringBuilder
-    sb.append(head).append("\n\n")
-    colLines.foreach(c => sb.append(c).append("\n\n"))
-    sb.append(s"load --table $name\n[\n").append(header)
+    out.write(head); out.write("\n\n")
+    colLines.foreach { c => out.write(c); out.write("\n\n") }
+    out.write(s"load --table $name\n[\n"); out.write(header)
     val rows = ordered.toLocalIterator()
     while (rows.hasNext) {
       val r = rows.next()
-      sb.append(",\n").append(
-        (0 until r.length).map(i => jsonValue(r.get(i))).mkString("[", ",", "]"))
+      out.write(",\n")
+      out.write((0 until r.length).map(i => jsonValue(r.get(i))).mkString("[", ",", "]"))
     }
-    sb.append("\n]\n")
-    sb.toString
+    out.write("\n]\n")
+  }
+
+  /** [[dump]] into one in-memory String — convenient for small tables and
+    * tests; the whole dump materializes on the driver (JVM String cap
+    * ~2G chars), so use the Writer form for anything big.
+    */
+  def dumpText(name: String, df: DataFrame, keyCol: Option[String] = None): String = {
+    val sw = new java.io.StringWriter()
+    dump(name, df, sw, keyCol)
+    sw.toString
   }
 
   private case class TableDecl(

@@ -31,6 +31,14 @@ object StreamDedup {
 
   /** Exact streaming dedup: emit only the first document per content
     * digest. `tsCol` is the event-time column the watermark ages state by.
+    *
+    * Uses `dropDuplicatesWithinWatermark`, whose state IS evicted once the
+    * watermark passes a digest's event time — plain `dropDuplicates` on a
+    * key subset that excludes the event-time column never evicts, so its
+    * state grows with the corpus. The semantic trade is the documented one:
+    * dedup is guaranteed only for duplicates arriving within the watermark
+    * delay of each other (the dedup horizon); a duplicate arriving after
+    * the horizon re-emits, which is the intended bounded-state behavior.
     */
   def exactDedup(
       stream: DataFrame,
@@ -41,7 +49,7 @@ object StreamDedup {
     stream
       .withColumn("digest", md5(col(textCol)))
       .withWatermark(tsCol, watermark)
-      .dropDuplicates("digest")
+      .dropDuplicatesWithinWatermark("digest")
 
   /** Per-bucket membership: docIds already seen in one (band, bucket). */
   case class BucketState(docIds: Array[Long])
@@ -52,6 +60,13 @@ object StreamDedup {
     * equals the batch [[Dedup.lshCandidatePairs]] output (modulo the
     * `maxBucketDocs` cap; pairs may repeat across bands/micro-batches, so
     * consumers dedup downstream, e.g. `.dropDuplicates` in the sink batch).
+    *
+    * State horizon: with `tsCol` set, the stream is watermarked and idle
+    * (band, bucket) groups age out via EventTimeTimeout once the watermark
+    * passes their last activity + the horizon — mirroring the exact path's
+    * bounded-state semantics (the number of live buckets is then bounded by
+    * the horizon's traffic, not the corpus). With `tsCol = None` state is
+    * kept forever (NoTimeout) — a bounded-corpus/test mode only.
     */
   def nearDupCandidates(
       stream: DataFrame,
@@ -60,31 +75,66 @@ object StreamDedup {
       bands: Int = 16,
       shingleK: Int = 3,
       seed: Long = 42L,
-      maxBucketDocs: Int = 64
+      maxBucketDocs: Int = 64,
+      tsCol: Option[String] = None,
+      horizonMs: Long = 600000L
   ): Dataset[(Long, Long)] = {
     val spark = stream.sparkSession
     import spark.implicits._
-    val sigs = Dedup.minhashSignatures(
-      stream.select(col("doc_id"), col(textCol)), textCol, numPerm, shingleK, seed)
-    val bandRows = sigs
-      .select(col("doc_id"), explode(Dedup.lshBandRowsExpr(numPerm, bands)).as("bb"))
-      .select(col("doc_id").cast("long"), col("bb.band"), col("bb.bucket"))
-      .as[(Long, Int, Long)]
+    val withTs = tsCol match {
+      case Some(tc) => stream
+        .select(col("doc_id").cast("long"), col(textCol).cast("string"),
+          col(tc).cast("timestamp").as("__ts"))
+      case None => stream
+        .select(col("doc_id").cast("long"), col(textCol).cast("string"),
+          lit(null).cast("timestamp").as("__ts"))
+    }
+    // one narrow kernel pass carries the event-time column alongside the
+    // band rows (same md5/permutation math as the batch minhashBands —
+    // DedupKernelSpec pins the kernel to the SQL specification); the
+    // watermark is declared on the DERIVED rows, after the typed map, since
+    // object serialization strips the event-time tag from upstream columns
+    require(numPerm % bands == 0, s"numPerm $numPerm not divisible by bands $bands")
+    val (aC, cC) = Dedup.permCoeffs(numPerm, seed)
+    val bandDf = withTs.as[(Long, String, java.sql.Timestamp)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, text, ts) =>
+          Dedup.bandBucketsOf(md, text, aC, cC, bands, shingleK, seed)
+            .zipWithIndex.map { case (bucket, b) => (id, b, bucket, ts) }
+        }
+      }
+      .toDF("doc_id", "band", "bucket", "__ts")
+    val bandRows = (if (tsCol.isDefined)
+        bandDf.withWatermark("__ts", s"$horizonMs milliseconds")
+      else bandDf)
+      .as[(Long, Int, Long, java.sql.Timestamp)]
+    val timeoutConf =
+      if (tsCol.isDefined) GroupStateTimeout.EventTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    val useTimeout = tsCol.isDefined
     bandRows
       .groupByKey(r => (r._2, r._3))
       .flatMapGroupsWithState[BucketState, (Long, Long)](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeoutConf) {
         case (_, rows, state: GroupState[BucketState]) =>
-          var seen = state.getOption.map(_.docIds).getOrElse(Array.empty[Long])
-          val out = Seq.newBuilder[(Long, Long)]
-          rows.foreach { case (d, _, _) =>
-            if (!seen.contains(d)) {
-              seen.foreach(s => out += (if (s < d) (s, d) else (d, s)))
-              if (seen.length < maxBucketDocs) seen = seen :+ d
+          if (useTimeout && state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var seen = state.getOption.map(_.docIds).getOrElse(Array.empty[Long])
+            val out = Seq.newBuilder[(Long, Long)]
+            rows.foreach { case (d, _, _, _) =>
+              if (!seen.contains(d)) {
+                seen.foreach(s => out += (if (s < d) (s, d) else (d, s)))
+                if (seen.length < maxBucketDocs) seen = seen :+ d
+              }
             }
+            state.update(BucketState(seen))
+            if (useTimeout)
+              state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + horizonMs)
+            out.result().iterator
           }
-          state.update(BucketState(seen))
-          out.result().iterator
       }
   }
 }

@@ -78,6 +78,18 @@ class MultimodalSpec extends AnyFunSuite {
     assert(r3.getLong(6) == 199L * 1000 / 799)
   }
 
+  test("corrupt WAV with negative chunk length returns None (no hang)") {
+    // RIFF/WAVE header followed by a chunk whose length field is -8: the
+    // walk must reject it instead of looping at the same offset forever
+    val b = new java.io.ByteArrayOutputStream()
+    b.write("RIFF".getBytes("US-ASCII")); b.write(Array[Byte](0, 1, 0, 0))
+    b.write("WAVE".getBytes("US-ASCII"))
+    b.write("junk".getBytes("US-ASCII"))
+    b.write(Array[Byte](-8, -1, -1, -1)) // len = -8 little-endian
+    b.write(new Array[Byte](32))
+    assert(Multimodal.decodeWavPcm(b.toByteArray).isEmpty)
+  }
+
   test("frame sampling emits every Nth chunk for videos only") {
     val frames = Multimodal.frameSample(media, everyN = 2, frameSize = 64)
     val byId = frames.groupBy("media_id").count().collect()

@@ -40,6 +40,24 @@ class GrnStreamSpec extends AnyFunSuite {
     assert(back.collect().map(_.toSeq).toSet == df.collect().map(_.toSeq).toSet)
   }
 
+  test("dump(Writer) streams the same bytes dumpText returns") {
+    val df = Seq((1L, "x"), (2L, "y")).toDF("n", "s")
+    val sw = new java.io.StringWriter()
+    GrnStream.dump("Logs", df, sw)
+    assert(sw.toString == GrnStream.dumpText("Logs", df))
+  }
+
+  test("non-finite doubles dump as null (valid JSON), and parse back as null") {
+    val df = Seq((1L, 1.5), (2L, Double.NaN), (3L, Double.PositiveInfinity))
+      .toDF("n", "v")
+    val text = GrnStream.dumpText("Vals", df)
+    assert(!text.contains("NaN") && !text.contains("Infinity"))
+    val back = GrnStream.parseCommands(spark, text)("Vals")
+    val byN = back.collect().map(r => r.getLong(0) -> r).toMap
+    assert(byN(1L).getDouble(1) == 1.5)
+    assert(byN(2L).isNullAt(1) && byN(3L).isNullAt(1))
+  }
+
   test("parses the reference's own dump output (fixture)") {
     // the dump-output section of
     // test/command/suite/dump/record/vector_long_key.expected

@@ -50,6 +50,33 @@ class StreamDedupSpec extends AnyFunSuite {
     assert(rows.toSeq == Seq(1L))
   }
 
+  test("nearDupCandidates with tsCol ages out idle bucket state past the horizon") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val stream = mem.toDF().toDF("doc_id", "text", "ts")
+    val q = StreamDedup.nearDupCandidates(stream, numPerm = 16, bands = 8,
+      tsCol = Some("ts"), horizonMs = 10000L)
+      .toDF("a", "b")
+      .writeStream.format("memory").queryName("sd_expire").outputMode("append").start()
+    val t0 = 1700000000000L
+    val text = docText(1)
+    // batch 1: two copies within the horizon -> pair emitted
+    mem.addData((0L, text, new Timestamp(t0)), (1L, text, new Timestamp(t0 + 1000)))
+    q.processAllAvailable()
+    // batch 2: unrelated far-future doc pushes the watermark past the
+    // horizon; docs 0/1's idle bucket groups time out and drop their state
+    mem.addData((2L, docText(5) + " unrelated filler words", new Timestamp(t0 + 100000)))
+    q.processAllAvailable()
+    // batch 3: a third copy AFTER expiry -> no pair against the forgotten docs
+    mem.addData((3L, text, new Timestamp(t0 + 101000)))
+    q.processAllAvailable()
+    q.stop()
+    val pairs = spark.table("sd_expire").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)), "within-horizon dup must pair")
+    assert(!pairs.exists(p => p._2 == 3L), s"expired buckets must not pair: $pairs")
+  }
+
   test("nearDupCandidates == batch lshCandidatePairs over the same corpus") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
