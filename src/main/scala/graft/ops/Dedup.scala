@@ -314,12 +314,50 @@ object Dedup {
     out
   }
 
+  /** Buckets whose population exceeds `maxBucketSize`: (band, bucket, n).
+    * The skew metric behind [[lshCandidatePairs]]'s cap — pipelines persist
+    * or log this so a truncated bucket is never silent.
+    */
+  def lshOverflowBuckets(bandRows: DataFrame, maxBucketSize: Long): DataFrame =
+    bandRows.groupBy("band", "bucket").agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxBucketSize)
+
   /** Candidate near-dup pairs from LSH buckets (a < b, distinct). The
     * self-join is keyed by (band, bucket) — only colliding docs meet.
+    *
+    * Degenerate-input guard: a bucket of m docs emits m²/2 pair rows, and a
+    * web crawl routinely has 10⁶-member boilerplate clusters whose identical
+    * signatures land every member in the same 16 buckets — ~10¹³ rows from
+    * one bucket. Buckets larger than `maxBucketSize` are therefore DROPPED
+    * from the pair join, and the drop is logged loudly (band, bucket count,
+    * member rows) — use [[lshOverflowBuckets]] for the full metric. The
+    * default cap (10k members = 50M candidate pairs per band-bucket) is far
+    * above anything a genuinely-near-dup bucket produces once exact
+    * duplicates are collapsed first — [[dedupCorpus]] does exactly that, so
+    * under it the cap is a backstop, not a correctness knob. Pass
+    * `Long.MaxValue` for the uncapped join.
     */
-  def lshCandidatePairs(bandRows: DataFrame): DataFrame = {
-    val l = bandRows.select(col("band"), col("bucket"), col("doc_id").as("a"))
-    val r = bandRows.select(col("band"), col("bucket"), col("doc_id").as("b"))
+  def lshCandidatePairs(bandRows: DataFrame, maxBucketSize: Long = 10000L): DataFrame = {
+    if (maxBucketSize < Long.MaxValue) {
+      // one cheap agg action so truncation is never silent (a metric, not a
+      // data pass: one row per overflowing bucket)
+      val over = lshOverflowBuckets(bandRows, maxBucketSize)
+        .agg(count(lit(1)).as("buckets"), coalesce(sum("n"), lit(0L)).as("members"))
+        .head()
+      if (over.getLong(0) > 0)
+        System.err.println(
+          s"[graft.Dedup] lshCandidatePairs DROPPED ${over.getLong(0)} bucket(s) " +
+            s"holding ${over.getLong(1)} member rows (> $maxBucketSize docs/bucket); " +
+            "run exact dedup first (dedupCorpus does) or raise maxBucketSize")
+    }
+    // singleton buckets can't pair; oversized buckets are dropped — the
+    // join input shrinks to buckets that can actually produce candidates
+    val keep = bandRows.groupBy("band", "bucket").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > 1 && col("__n") <= maxBucketSize)
+      .select("band", "bucket")
+    val pairable = bandRows.join(keep, Seq("band", "bucket"))
+    val l = pairable.select(col("band"), col("bucket"), col("doc_id").as("a"))
+    val r = pairable.select(col("band"), col("bucket"), col("doc_id").as("b"))
     l.join(r, Seq("band", "bucket"))
       .filter(col("a") < col("b"))
       .select("a", "b").distinct()
@@ -480,14 +518,89 @@ object Dedup {
   /** Connected components over a near-dup pair set: every doc gets
     * cluster_id = the smallest doc_id reachable through the pairs (docs
     * absent from `pairs` are their own singleton clusters if `docs` is
-    * given). Iterative min-label propagation — each round is one join +
-    * aggregation keyed by doc id, converging in O(component diameter)
-    * rounds; near-dup graphs are unions of small near-cliques, so 2-3
-    * rounds in practice (switch to large-star/small-star if a corpus ever
-    * produces long chains). The survivor filter falls out: keep rows
-    * where doc_id == cluster_id.
+    * given). The survivor filter falls out: keep rows where
+    * doc_id == cluster_id.
+    *
+    * Algorithm: alternating large-star / small-star (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14) — each round
+    * is two keyed agg+join passes, and the edge set contracts toward star
+    * graphs rooted at each component's minimum in O(log n) rounds even on
+    * long chains and giant components, where plain min-label propagation
+    * ([[dedupClustersPropagate]]) needs O(diameter) full-join rounds.
+    * Per-round work stays keyed by node id: the min-neighbor agg has
+    * map-side combine, so even a 10⁸-degree hub costs one combine tree,
+    * not a hot reducer.
     */
-  def dedupClusters(pairs: DataFrame, docs: Option[DataFrame] = None): DataFrame = {
+  def dedupClusters(pairs: DataFrame, docs: Option[DataFrame] = None): DataFrame =
+    dedupClustersStars(pairs, docs)._1
+
+  /** [[dedupClusters]] plus the number of star rounds it took (for tests
+    * pinning the O(log n) convergence).
+    */
+  def dedupClustersStars(pairs: DataFrame, docs: Option[DataFrame] = None): (DataFrame, Int) = {
+    // canonical undirected edge set: u < v, distinct, no self-loops
+    def canon(e: DataFrame): DataFrame =
+      e.filter(col("u") =!= col("v"))
+        .select(least(col("u"), col("v")).as("u"),
+          greatest(col("u"), col("v")).as("v"))
+        .distinct()
+    def bidir(e: DataFrame): DataFrame =
+      e.union(e.select(col("v").as("u"), col("u").as("v")))
+    // m(u) = min(N(u) ∪ {u}) per node — one agg keyed by u
+    def minNb(eb: DataFrame): DataFrame =
+      eb.groupBy("u").agg(min("v").as("__mn"))
+        .select(col("u"), least(col("u"), col("__mn")).as("m"))
+    // large-star: connect every neighbor v > u to m(u)
+    def largeStar(cur: DataFrame): DataFrame = {
+      val eb = bidir(cur)
+      canon(eb.filter(col("v") > col("u")).join(minNb(eb), "u")
+        .select(col("v").as("u"), col("m").as("v")))
+    }
+    // small-star: connect every neighbor v < u, and u itself, to m(u)
+    def smallStar(cur: DataFrame): DataFrame = {
+      val eb = bidir(cur)
+      val m = minNb(eb)
+      canon(eb.filter(col("v") < col("u")).join(m, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(m.select(col("u"), col("m").as("v"))))
+    }
+    // each round references `cur` six times (bidir + min-agg + joins), so
+    // carrying lineage across rounds grows the logical plan ~6^rounds —
+    // localCheckpoint truncates it (on a cluster with an unreliable-storage
+    // concern, swap for reliable checkpoint(); the algorithm is identical).
+    // The checkpointed RDD of a superseded round is dropped explicitly.
+    var cur = canon(pairs.select(col("a").cast("long").as("u"),
+      col("b").cast("long").as("v"))).localCheckpoint(true)
+    var curCount = cur.count()
+    var rounds = 0
+    var done = curCount == 0L
+    while (!done) {
+      val next = smallStar(largeStar(cur)).localCheckpoint(true)
+      val nextCount = next.count()
+      rounds += 1
+      done = nextCount == curCount && next.except(cur).isEmpty
+      cur.unpersist()
+      cur = next
+      curCount = nextCount
+    }
+    // converged: every component is a star (root = component min); labels
+    // read straight off the edges, singletons come from `docs`
+    val labels = cur.select(col("v").as("doc_id"), col("u").as("label"))
+      .union(cur.select(col("u").as("doc_id"), col("u").as("label")))
+      .groupBy("doc_id").agg(min("label").as("label"))
+    val nodes = docs.map(_.select(col("doc_id").cast("long")))
+      .getOrElse(bidir(cur).select(col("u").as("doc_id"))).distinct()
+    val out = nodes.join(labels, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("cluster_id"))
+    (out, rounds)
+  }
+
+  /** Min-label propagation connected components — the O(diameter) baseline
+    * kept as the cross-check twin of [[dedupClusters]] (DedupGuardSpec
+    * asserts equality); prefer the star algorithm everywhere else.
+    */
+  def dedupClustersPropagate(pairs: DataFrame, docs: Option[DataFrame] = None): DataFrame = {
     val edges = pairs.select(col("a").cast("long"), col("b").cast("long"))
       .union(pairs.select(col("b").cast("long"), col("a").cast("long")))
       .toDF("src", "dst")
@@ -519,11 +632,26 @@ object Dedup {
     labels.toDF("doc_id", "cluster_id")
   }
 
-  /** The complete near-dup dedup pipeline in one call: MinHash→LSH
-    * candidates → pair-restricted exact Jaccard ≥ `thresholdQ3` → connected
-    * components → survivors (smallest doc_id per cluster). Returns the
-    * deduplicated docs. Every stage is the bucketed/pair-restricted scale
-    * shape — work ∝ candidates, never corpus².
+  /** The complete near-dup dedup pipeline in one call: exact dedup →
+    * MinHash→LSH candidates over the exact representatives →
+    * pair-restricted exact Jaccard ≥ `thresholdQ3` → connected components →
+    * survivors (smallest doc_id per cluster), re-attached to the full
+    * corpus. Returns the deduplicated docs.
+    *
+    * The exact pre-pass is the degenerate-input guard: every member of an
+    * exact-dup cluster has an identical MinHash signature, so a cluster of
+    * m boilerplate copies (m ~ 10⁶ in real crawls) would land m rows in the
+    * same 16 buckets and emit 16·m²/2 candidate rows. Collapsing to one
+    * representative per content digest FIRST makes LSH work ∝
+    * representatives, never members — and changes no results: exact dups
+    * have Jaccard 1000 ≥ any threshold, so they were always in their
+    * representative's cluster, and the min doc_id of a component is always
+    * a representative (each digest group's rep is its min doc_id).
+    * [[lshCandidatePairs]]'s bucket cap stays on as the backstop for
+    * near-identical (not byte-identical) boilerplate.
+    *
+    * Every stage is the bucketed/pair-restricted scale shape — work ∝
+    * candidates, never corpus².
     */
   def dedupCorpus(
       docs: DataFrame,
@@ -534,10 +662,20 @@ object Dedup {
       shingleK: Int = 3,
       seed: Long = 42L
   ): DataFrame = {
-    val dupPairs = nearDupPairs(docs, textCol, numPerm, bands, shingleK, seed)
+    // one representative (min doc_id) per content digest — a single
+    // digest-keyed hash agg (uniform key, map-side combine)
+    val digests = docs.select(col("doc_id").cast("long").as("doc_id"),
+      md5(col(textCol)).as("digest"))
+    val reps = digests.groupBy("digest").agg(min("doc_id").as("rep_id"))
+    val repDocs = docs.join(
+      reps.select(col("rep_id").as("doc_id")), Seq("doc_id"), "left_semi")
+    val dupPairs = nearDupPairs(repDocs, textCol, numPerm, bands, shingleK, seed)
       .filter(col("jaccard_q3") >= thresholdQ3)
-    val clusters = dedupClusters(dupPairs, Some(docs))
-    docs.join(clusters.filter(col("doc_id") === col("cluster_id"))
+    // clusters over representatives; members inherit their rep's cluster.
+    // Survivors (doc_id == cluster_id) are necessarily representatives, so
+    // the semi-join can stay on the rep cluster table directly.
+    val repClusters = dedupClusters(dupPairs, Some(repDocs))
+    docs.join(repClusters.filter(col("doc_id") === col("cluster_id"))
       .select("doc_id"), Seq("doc_id"), "left_semi")
   }
 
