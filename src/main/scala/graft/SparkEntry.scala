@@ -21,6 +21,25 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Embeddings plus 25 planted near-duplicates: vec_id v < 25 gets a twin
+    * at v + 100000 with a deterministic per-dimension perturbation
+    * (((i·7 + v) mod 11 − 5) · 0.0005, computed in double then cast to
+    * float). Both engines evaluate the identical IEEE expression, so the
+    * planted table is bit-equal — cos(v, twin) ≈ 0.9999, giving the
+    * near-dup gates real pairs to find (the raw synthetic embeddings are
+    * near-orthogonal; see the sim_cos_pairs comment).
+    */
+  private def plantedEmb(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "embeddings").select("vec_id", "embedding")
+    val pert = t(s, d, "embeddings").filter(col("vec_id") < 25)
+      .select((col("vec_id") + 100000L).as("vec_id"),
+        expr("""transform(embedding, (x, i) ->
+                CAST(cast(x AS DOUBLE) +
+                     CAST((i * 7 + vec_id) % 11 - 5 AS DOUBLE) * 0.0005D AS FLOAT))""")
+          .as("embedding"))
+    e.unionByName(pert)
+  }
+
   /** ScoredDoc dataset → (doc_id, score bigint), ordered. */
   private def scored(ds: org.apache.spark.sql.Dataset[graft.search.ScoredDoc]): DataFrame =
     ds.toDF("doc_id", "s")
@@ -327,8 +346,12 @@ object SparkEntry {
       Dedup.simhash(t(s, d, "documents"))
         .select("doc_id", "sh_lo", "sh_hi").orderBy("doc_id")),
 
+    // the Manku block scheme at its scale setting (6 blocks -> C(6,3)=20
+    // tables with ~32-bit keys); the oracle is band-scheme-agnostic (exact
+    // hamming<=3 pairs), so this gate proves the blocked path end to end
     "dd_simhash_pairs" -> ((s, d) =>
-      Dedup.simhashPairs(Dedup.simhash(t(s, d, "documents")), maxDist = 3)
+      Dedup.simhashPairsBlocked(Dedup.simhash(t(s, d, "documents")),
+          maxDist = 3, blocks = 6)
         .select(col("a"), col("b"), col("hamming").cast("long").as("hamming"))
         .orderBy("a", "b")),
 
@@ -349,8 +372,20 @@ object SparkEntry {
     "sim_lsh_recall" -> ((s, d) =>
       Similarity.lshRecallAtK(t(s, d, "embeddings"), 0L, 10, planes = 4, probeDist = 2)),
 
+    // planted near-dup pairs + 4-table OR-amplified sign-LSH: the synthetic
+    // embeddings are near-orthogonal (max in-bucket cos ≈ 0.436), so the
+    // old single-table gate at threshold 400 matched on 0 rows — vacuous.
+    // plantedEmb adds 25 deterministic perturbed twins (cos ≈ 0.9999); at
+    // threshold 900 exactly those pairs qualify and the gate exercises the
+    // multi-table candidate union + verify end to end.
     "sim_cos_pairs" -> ((s, d) =>
-      Similarity.cosinePairsAboveLsh(t(s, d, "embeddings"), 400).orderBy("a", "b")),
+      Similarity.cosinePairsAboveLsh(plantedEmb(s, d), 900, planes = 8, tables = 4)
+        .orderBy("a", "b")),
+
+    // pair-level recall of the multi-table LSH vs the exact all-pairs
+    // baseline on the planted set (target >= 950; 4 tables measure 1000)
+    "sim_cos_pairs_recall" -> ((s, d) =>
+      Similarity.cosinePairsRecall(plantedEmb(s, d), 900, planes = 8, tables = 4)),
 
     "sim_quant_quality" -> ((s, d) =>
       Similarity.quantizeInt8Quality(t(s, d, "embeddings"))),
@@ -361,8 +396,15 @@ object SparkEntry {
     "sim_ivf_recall" -> ((s, d) =>
       Similarity.ivfRecallAtK(t(s, d, "embeddings"), 0L, 10, nlist = 16, nprobe = 4)),
 
+    // the synthetic corpus text is [a-z0-9 ]-clean, so the raw punct_ratio
+    // column is 0 for every row (a vacuous gate). Both engines append the
+    // same deterministic punctuation (doc_id % 4 bangs) so the column
+    // exercises nonzero values THROUGH the oracle, not just unit tests.
     "ta_quality" -> ((s, d) =>
-      TextAnalysis.quality(t(s, d, "documents")).orderBy("doc_id")),
+      TextAnalysis.quality(t(s, d, "documents")
+        .withColumn("text",
+          concat(col("text"), expr("repeat('!', CAST(doc_id % 4 AS INT))"))))
+        .orderBy("doc_id")),
 
     "ta_tokcount" -> ((s, d) =>
       TextAnalysis.tokenCounts(t(s, d, "documents")).orderBy("doc_id")),
@@ -471,6 +513,46 @@ object SparkEntry {
     * scale knob (each plane halves the probed fraction).
     */
   private lazy val BK4: String = bkCte(4)
+
+  /** Planted-embeddings CTE: DuckDB twin of [[plantedEmb]] — the identical
+    * IEEE double expression, cast to FLOAT, so the augmented table is
+    * bit-equal across engines (DuckDB comprehension index i is 1-based,
+    * hence the i−1).
+    */
+  private val PE =
+    """pe AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 100000,
+      |    [CAST(embedding[i] + CAST(((i - 1) * 7 + vec_id) % 11 - 5 AS DOUBLE) * 0.0005 AS FLOAT)
+      |     for i in range(1, len(embedding) + 1)]
+      |  FROM embeddings WHERE vec_id < 25)""".stripMargin
+
+  /** Multi-table sign-LSH CTE over the planted table: per table t the SAME
+    * ±1 literals Similarity folds into its plan (signMatrix at
+    * tableSeed(42, t)), unioned with the table id.
+    */
+  private def bkMultiCte(planes: Int, tables: Int, src: String): String = {
+    val selects = (0 until tables).map { tt =>
+      val sm = Similarity.signMatrix(64, planes, Similarity.tableSeed(42L, tt))
+      val bits = sm.zipWithIndex.map { case (row, p) =>
+        val lits = row.mkString("[", ", ", "]") + "::DOUBLE[]"
+        s"(CASE WHEN round(list_dot_product(embedding::DOUBLE[], $lits) * 1000000) >= 0 THEN (1::BIGINT << $p) ELSE 0 END)"
+      }.mkString(" + ")
+      s"SELECT vec_id, embedding, $tt AS t, CAST($bits AS BIGINT) AS bucket FROM $src"
+    }
+    s"bkm AS (${selects.mkString("\n  UNION ALL\n  ")})"
+  }
+
+  /** Shared candidate+verify CTE tail for the planted multi-table gates. */
+  private lazy val COSP: String =
+    s"""$PE,
+       |${bkMultiCte(8, 4, "pe")},
+       |cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+       |  FROM bkm x JOIN bkm y ON x.t = y.t AND x.bucket = y.bucket AND x.vec_id < y.vec_id),
+       |lshp AS (SELECT a, b,
+       |    CAST(round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) * 1000) AS BIGINT) AS sim_q3
+       |  FROM cand JOIN pe ea ON ea.vec_id = a JOIN pe eb ON eb.vec_id = b)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q1_drilldown_calc" ->
@@ -792,11 +874,22 @@ object SparkEntry {
          |FROM lsh JOIN ex USING (vec_id)""".stripMargin,
 
     "sim_cos_pairs" ->
-      s"""WITH $BK,
-         |p AS (SELECT x.vec_id AS a, y.vec_id AS b,
-         |  CAST(round(list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[]) * 1000) AS BIGINT) AS sim_q3
-         |  FROM bk x JOIN bk y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
-         |SELECT a, b, sim_q3 FROM p WHERE sim_q3 >= 400 ORDER BY a, b""".stripMargin,
+      s"""WITH $COSP
+         |SELECT a, b, sim_q3 FROM lshp WHERE sim_q3 >= 900 ORDER BY a, b""".stripMargin,
+
+    "sim_cos_pairs_recall" ->
+      s"""WITH $COSP,
+         |lsh AS (SELECT a, b FROM lshp WHERE sim_q3 >= 900),
+         |ex AS (SELECT x.vec_id AS a, y.vec_id AS b FROM pe x JOIN pe y ON x.vec_id < y.vec_id
+         |  WHERE CAST(round(list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[]) * 1000) AS BIGINT) >= 900),
+         |m AS (SELECT
+         |  (SELECT count(*) FROM ex) AS n_exact,
+         |  (SELECT count(*) FROM lsh) AS n_lsh,
+         |  (SELECT count(*) FROM ex JOIN lsh USING (a, b)) AS hits)
+         |SELECT CAST(n_exact AS BIGINT) AS n_exact, CAST(n_lsh AS BIGINT) AS n_lsh,
+         |  CAST(hits AS BIGINT) AS hits,
+         |  CAST(CASE WHEN n_exact = 0 THEN 1000 ELSE hits * 1000 // n_exact END AS BIGINT) AS recall_q3
+         |FROM m""".stripMargin,
 
     "sim_quant_quality" ->
       """WITH q AS (
@@ -841,7 +934,8 @@ object SparkEntry {
         |ORDER BY sim_q3 DESC, vec_id LIMIT 10""".stripMargin,
 
     "ta_quality" ->
-      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)
+      """WITH t0 AS (SELECT doc_id, text || repeat('!', (doc_id % 4)::INT) AS text FROM documents),
+        |t AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM t0)
         |SELECT doc_id, len(w)::BIGINT AS n_words, length(text)::BIGINT AS n_chars_c,
         | (CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) * 100) // len(w) AS avg_wlen_q2,
         | (len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is','on')))::BIGINT * 1000) // len(w) AS stop_ratio_q3,

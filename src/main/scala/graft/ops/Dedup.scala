@@ -434,29 +434,71 @@ object Dedup {
         col("__h")(0).as("sh_lo"), col("__h")(1).as("sh_hi"))
   }
 
-  /** Near-dup pairs by SimHash hamming distance ≤ maxDist (≤ 3 for the
-    * guarantee), via 16-bit sub-band buckets: hamming ≤ 3 ⇒ at least one of
-    * the four 16-bit bands is equal (pigeonhole), so the self-join keyed by
-    * (band, value) sees every qualifying pair; the hamming filter then
-    * verifies. Scale shape: explode ×4 + bucketed join — never all-pairs.
+  /** Near-dup pairs by SimHash hamming distance ≤ maxDist. Delegates to the
+    * Manku block scheme at its minimum table count (blocks = 4 for
+    * maxDist ≤ 3 keeps the historical 4×16-bit banding: hamming ≤ 3 ⇒ one
+    * of the four bands equal by pigeonhole). At corpus scale pass a larger
+    * `blocks` via [[simhashPairsBlocked]] to widen the join keys.
     */
-  def simhashPairs(fps: DataFrame, maxDist: Int = 3): DataFrame = {
+  def simhashPairs(fps: DataFrame, maxDist: Int = 3): DataFrame =
+    simhashPairsBlocked(fps, maxDist, blocks = math.max(4, maxDist + 1))
+
+  /** SQL fragment for the value of fingerprint bits [start, start+len) —
+    * spans the sh_lo/sh_hi 32-bit halves when needed.
+    */
+  private def blockValueExpr(start: Int, len: Int): String = {
+    val mask = (1L << len) - 1
+    if (start >= 32) s"(shiftright(sh_hi, ${start - 32}) & ${mask}L)"
+    else if (start + len <= 32) s"(shiftright(sh_lo, $start) & ${mask}L)"
+    else {
+      val loBits = 32 - start
+      val hiMask = (1L << (len - loBits)) - 1
+      s"((shiftright(sh_lo, $start) & ${(1L << loBits) - 1}L) | shiftleft(sh_hi & ${hiMask}L, $loBits))"
+    }
+  }
+
+  /** Manku block-permutation SimHash pairing (Manku, Jain & Das Sarma,
+    * "Detecting Near-Duplicates for Web Crawling", WWW'07 §3): split the 64
+    * bits into `blocks` near-equal contiguous blocks; for every combination
+    * of (blocks − maxDist) blocks build one table keyed by those blocks'
+    * concatenated values. Pigeonhole: ≤ maxDist flipped bits touch ≤
+    * maxDist blocks, so some combination is untouched and every qualifying
+    * pair collides in its table — exact recall, verified by the hamming
+    * filter. `blocks` is the corpus-scale dial: blocks = maxDist+1 gives
+    * one-block (16-bit) keys — bucket population N/2^16, quadratic per
+    * bucket at N ≥ 10⁸ — while blocks = 6, maxDist = 3 pays C(6,3) = 20
+    * tables for ~32-bit keys and N/2^32 buckets (SimhashBlockedSpec pins
+    * the population bound at a simulated large N). Scale shape per table:
+    * explode + bucketed self-join, never all-pairs.
+    */
+  def simhashPairsBlocked(fps: DataFrame, maxDist: Int = 3, blocks: Int = 6): DataFrame = {
+    require(blocks > maxDist, s"need blocks ($blocks) > maxDist ($maxDist) for the pigeonhole")
+    require(blocks <= 64, "at most one block per bit")
+    // near-equal contiguous blocks: the first (64 % blocks) get the extra bit
+    val widths = Array.tabulate(blocks)(i => 64 / blocks + (if (i < 64 % blocks) 1 else 0))
+    val starts = widths.scanLeft(0)(_ + _)
+    val combos = (0 until blocks).combinations(blocks - maxDist).toSeq
+    val comboExprs = combos.zipWithIndex.map { case (combo, ci) =>
+      // concatenate the chosen blocks' values into one ≤64-bit key
+      var shift = 0
+      val parts = combo.map { b =>
+        val e = s"shiftleft(${blockValueExpr(starts(b), widths(b))}, $shift)"
+        shift += widths(b)
+        e
+      }
+      s"named_struct('t', $ci, 'k', ${parts.mkString(" | ")})"
+    }
     val banded = fps.select(col("doc_id"), col("sh_lo"), col("sh_hi"),
-      explode(expr(
-        """array(
-          | named_struct('band', 0, 'v', sh_lo & 65535L),
-          | named_struct('band', 1, 'v', shiftright(sh_lo, 16) & 65535L),
-          | named_struct('band', 2, 'v', sh_hi & 65535L),
-          | named_struct('band', 3, 'v', shiftright(sh_hi, 16) & 65535L))""".stripMargin)).as("bb"))
+      explode(expr(comboExprs.mkString("array(", ", ", ")"))).as("bb"))
       .select(col("doc_id"), col("sh_lo"), col("sh_hi"),
-        col("bb.band").as("band"), col("bb.v").as("v"))
+        col("bb.t").as("t"), col("bb.k").as("k"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     banded.count(): Unit // both join sides read the materialized fingerprints
-    val l = banded.select(col("band"), col("v"), col("doc_id").as("a"),
+    val l = banded.select(col("t"), col("k"), col("doc_id").as("a"),
       col("sh_lo").as("alo"), col("sh_hi").as("ahi"))
-    val r = banded.select(col("band"), col("v"), col("doc_id").as("b"),
+    val r = banded.select(col("t"), col("k"), col("doc_id").as("b"),
       col("sh_lo").as("blo"), col("sh_hi").as("bhi"))
-    l.join(r, Seq("band", "v"))
+    l.join(r, Seq("t", "k"))
       .filter(col("a") < col("b"))
       .select(col("a"), col("b"),
         expr("bit_count(alo ^ blo) + bit_count(ahi ^ bhi)").as("hamming"))

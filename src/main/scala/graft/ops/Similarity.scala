@@ -65,25 +65,72 @@ object Similarity {
       .select(col("a"), col("b"), round(col("sim") * 1000).cast("long").as("sim_q3"))
   }
 
+  /** [[cosinePairsAbove]] with the threshold on the QUANTIZED sim_q3 — the
+    * exact-recall baseline the LSH path is measured against (identical
+    * boundary semantics on both sides, so recall is well defined).
+    */
+  def cosinePairsAboveQ3(emb: DataFrame, thresholdQ3: Long): DataFrame =
+    cosinePairsAbove(emb, -2.0).filter(col("sim_q3") >= thresholdQ3)
+
+  /** Table-t seed for multi-table LSH: table 0 keeps the single-table
+    * bucket definition; further tables stride by an odd 64-bit constant
+    * (golden-ratio mix) so their md5-derived sign matrices are independent.
+    */
+  def tableSeed(seed: Long, t: Int): Long = seed + 0x9E3779B97F4A7C15L * t
+
   /** Embedding near-dup pairs restricted to shared LSH buckets — the 100 TB
-    * shape of [[cosinePairsAbove]]: the self-join is keyed by bucket (each
-    * vector has exactly one sign-projection bucket, so every pair appears
-    * at most once), never all-pairs. The threshold compares on the
-    * quantized sim_q3 so engines agree at the boundary.
+    * shape of [[cosinePairsAbove]]: the self-join is keyed by (table,
+    * bucket), never all-pairs. `tables` is the OR-amplification dial: one
+    * 8-plane table catches a cos≈0.9 pair with probability (1−θ/π)⁸ ≈ 0.43,
+    * so the single-table setting silently loses more than half the true
+    * pairs; with T independent tables the miss rate decays as (1−p)^T
+    * (4 tables ⇒ ≈ 0.1 at cos 0.9, ≈ 10⁻⁶ at cos 0.999). Candidates from
+    * all tables union + dedup BEFORE the cosine verify, so each surviving
+    * pair is verified once. The threshold compares on the quantized sim_q3
+    * so engines agree at the boundary.
     */
   def cosinePairsAboveLsh(emb: DataFrame, thresholdQ3: Long, planes: Int = 8,
-      seed: Long = 42L): DataFrame = {
-    val b = lshBuckets(emb, planes, seed)
-    val l = b.select(col("vec_id").as("a"), col("embedding").as("ea"), col("bucket"))
-    val r = b.select(col("vec_id").as("b"), col("embedding").as("eb"), col("bucket"))
+      seed: Long = 42L, tables: Int = 1): DataFrame = {
+    val dims = emb.select(size(col("embedding"))).head().getInt(0)
+    val buckets = (0 until tables).map { t =>
+      s"named_struct('t', $t, 'bk', (${bucketSql("embedding", signMatrix(dims, planes, tableSeed(seed, t)))}))"
+    }
+    val b = emb.select(col("vec_id"), col("embedding"),
+      explode(expr(buckets.mkString("array(", ", ", ")"))).as("tb"))
+      .select(col("vec_id"), col("embedding"),
+        col("tb.t").as("t"), col("tb.bk").as("bucket"))
+    val cand = b.select(col("t"), col("bucket"), col("vec_id").as("a"))
+      .join(b.select(col("t"), col("bucket"), col("vec_id").as("b")), Seq("t", "bucket"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
     val dot = expr("aggregate(zip_with(ea, eb, (x, y) -> cast(x as double) * cast(y as double)), 0D, (a, x) -> a + x)")
     val na = expr("aggregate(ea, 0D, (a, x) -> a + cast(x as double) * cast(x as double))")
     val nb = expr("aggregate(eb, 0D, (a, x) -> a + cast(x as double) * cast(x as double))")
-    l.join(r, Seq("bucket"))
-      .filter(col("a") < col("b"))
+    cand
+      .join(emb.select(col("vec_id").as("a"), col("embedding").as("ea")), "a")
+      .join(emb.select(col("vec_id").as("b"), col("embedding").as("eb")), "b")
       .withColumn("sim_q3", round(dot / (sqrt(na) * sqrt(nb)) * 1000).cast("long"))
       .filter(col("sim_q3") >= thresholdQ3)
       .select("a", "b", "sim_q3")
+  }
+
+  /** Pair-level recall of the multi-table LSH near-dup path against the
+    * exact all-pairs baseline at the same quantized threshold: one row
+    * (n_exact, n_lsh, hits, recall_q3). The exact side is quadratic by
+    * design — this is the measurement harness, not the production path.
+    */
+  def cosinePairsRecall(emb: DataFrame, thresholdQ3: Long, planes: Int = 8,
+      seed: Long = 42L, tables: Int = 1): DataFrame = {
+    val exact = cosinePairsAboveQ3(emb, thresholdQ3).select("a", "b")
+    val lsh = cosinePairsAboveLsh(emb, thresholdQ3, planes, seed, tables).select("a", "b")
+    exact.withColumn("__e", lit(1))
+      .join(lsh.withColumn("__l", lit(1)), Seq("a", "b"), "full_outer")
+      .agg(
+        coalesce(sum("__e"), lit(0L)).cast("long").as("n_exact"),
+        coalesce(sum("__l"), lit(0L)).cast("long").as("n_lsh"),
+        coalesce(sum(col("__e") * col("__l")), lit(0L)).cast("long").as("hits"))
+      .select(col("n_exact"), col("n_lsh"), col("hits"),
+        expr("CASE WHEN n_exact = 0 THEN 1000 ELSE hits * 1000 div n_exact END").as("recall_q3"))
   }
 
   // ---- sign-random-projection LSH ---------------------------------------
@@ -110,13 +157,15 @@ object Similarity {
     s"aggregate(zip_with($embCol, $slit, (x, y) -> cast(x as double) * y), 0D, (a, x) -> a + x)"
   }
 
-  /** Bucket id column: bit p = sign of the p-th projection. */
-  def bucketExpr(embCol: String, sm: Array[Array[Int]]): Column = {
-    val bits = sm.zipWithIndex.map { case (row, p) =>
+  /** SQL text of the bucket id: bit p = sign of the p-th projection. */
+  private def bucketSql(embCol: String, sm: Array[Array[Int]]): String =
+    sm.zipWithIndex.map { case (row, p) =>
       s"shiftleft(IF(CAST(round(${dotExpr(embCol, row)} * 1000000) AS BIGINT) >= 0, 1, 0), $p)"
-    }
-    expr(bits.mkString(" + "))
-  }
+    }.mkString(" + ")
+
+  /** Bucket id column: bit p = sign of the p-th projection. */
+  def bucketExpr(embCol: String, sm: Array[Array[Int]]): Column =
+    expr(bucketSql(embCol, sm))
 
   /** Sign-random-projection LSH bucket id per row — one narrow projection,
     * sign matrix folded into the plan as literals.
