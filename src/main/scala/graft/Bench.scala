@@ -142,6 +142,22 @@ object Bench {
       s
     }.min
 
+    // ---- query-result cache: repeated identical selects skip job
+    // submission entirely (LocalRelation rebuild — a map lookup, not a job)
+    val selP = graft.command.SelectParams(query = Some("if " + Corpus.ident(40)),
+      sortby = Seq("-_score", "_id"), limit = 10,
+      outputColumns = Seq("_id", "_score"))
+    graft.command.QueryCache.clear()
+    graft.command.Select.runCached(reader, selP).hits.count(): Unit // prime (miss)
+    val cacheN = 200
+    val (_, cacheSec) = time {
+      var i = 0
+      while (i < cacheN) {
+        graft.command.Select.runCached(reader, selP).hits.count(): Unit
+        i += 1
+      }
+    }
+
     // ---- headline SparkEntry queries on the testdata tables --------------
     val headline = Seq("q1_drilldown_calc", "q4_ref_join", "q7_window_subrec",
       "ft_bm25_topk", "dd_ngram_jaccard", "dd_lsh_pairs", "sim_topk",
@@ -165,7 +181,8 @@ object Bench {
         s""""scaling_capped":{"n_cpus":$cpusN,"xn_cpus":$cpus,""" +
         s""""xn_files_per_sec":${f"${bestFps(cpus)}%.1f"},"efficiency":${f"$effHigh%.3f"},"bandwidth_ceiling":0.51},""" +
         s""""bm25":{"n_queries":${bmQueries.size},"p50_ms":${f"${pct(0.5)}%.1f"},"p95_ms":${f"${pct(0.95)}%.1f"}},""" +
-        s""""bm25_batch":{"n":${batch.size},"sec":${f"$batchSec%.3f"},"qps":${f"${batch.size / batchSec}%.1f"}}}""")
+        s""""bm25_batch":{"n":${batch.size},"sec":${f"$batchSec%.3f"},"qps":${f"${batch.size / batchSec}%.1f"}},""" +
+        s""""select_cached":{"n":$cacheN,"sec":${f"$cacheSec%.3f"},"qps":${f"${cacheN / cacheSec}%.1f"}}}""")
     spark.stop()
   }
 }

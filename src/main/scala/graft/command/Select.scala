@@ -105,6 +105,15 @@ object Select {
     if (neg) c.desc else c.asc
   }
 
+  /** [[run]] through the query-result cache: repeated identical selects on
+    * an unchanged index skip job submission entirely (see [[QueryCache]];
+    * reference grn_cache, lib/proc/proc_select.c:571-657). Use on the
+    * serving path — results materialize on the driver, which is exactly
+    * the offset/limit-bounded page the command returns anyway.
+    */
+  def runCached(reader: IndexReader, p: SelectParams): SelectResult =
+    QueryCache.fetch(reader, p)(run(reader, p))
+
   def run(reader: IndexReader, p: SelectParams): SelectResult = {
     // the single match column may carry a weight or scorer cap
     // ("title * 10", "scorer_tf_at_most(col, 3.0)")

@@ -189,6 +189,29 @@ class IndexReader(val spark: SparkSession, val dir: String) extends Serializable
     lexicon.filter(pred).select("term").as[String].orderBy("term").take(limit).toSeq
   }
 
+  /** Cache epoch: a string that changes whenever the index content changes
+    * — rebuilds/compactions rewrite the manifest (contentShaXor, numDocs,
+    * stage list), tombstone appends add files under `deletes/`. Result
+    * caches keyed on it invalidate naturally, the analogue of the reference
+    * clearing grn_cache on DB modification (lib/proc/proc_select.c:655
+    * fetches only when the cache generation is current).
+    */
+  def cacheEpoch: String = {
+    val del = Paths.get(dir, "deletes")
+    val delTag =
+      if (!Files.exists(del)) "0"
+      else {
+        val s = Files.list(del)
+        try {
+          var n = 0L
+          var bytes = 0L
+          s.forEach { p => n += 1; bytes += Files.size(p) }
+          s"$n:$bytes"
+        } finally s.close()
+      }
+    s"${manifest.contentShaXor}:${manifest.numDocs}:${manifest.stagesDone.size}:$delTag"
+  }
+
   /** Re-verify the per-row content digest invariant against the manifest
     * (north rule: every stage preserves content sha256 vs the source).
     */

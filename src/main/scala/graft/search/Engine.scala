@@ -143,6 +143,69 @@ object Engine {
     topK(perShard, k)
   }
 
+  /** AND of two term matches with the reference's too-many-matches escape
+    * (grn_ii_select's sequential-scan fallback: lib/ii.c:6536-6654,
+    * grn_ii_select_sequential_search_should_be_used compares df × ratio
+    * against the current result-set size): when one term's df exceeds
+    * `ratio` × the other's, the hot side's postings are NEVER decoded — the
+    * small side's result docs verify the hot term against the source
+    * content column instead (re-tokenize only the candidate docs), so cost
+    * is ∝ candidates where posting decode is ∝ df(hot). Result is
+    * identical to `SetOps.and(matchScores(a), matchScores(b))` — score =
+    * tf_a + tf_b on the intersection (AndAdaptiveSpec pins equality).
+    *
+    * `ratio` mirrors the reference's
+    * grn_ii_select_too_many_index_match_ratio knob. Default 8: the scan
+    * verify re-tokenizes ~|candidates| docs (one pass each), which pays off
+    * once the skipped posting list is roughly an order of magnitude larger
+    * than the candidate set. Falls back to the index path when the hot
+    * term isn't a single token of the index's analyzer (multi-token texts
+    * are phrase matches, whose tf isn't a plain token count).
+    */
+  def andAdaptive(
+      reader: IndexReader,
+      termA: String,
+      termB: String,
+      ratio: Double = 8.0
+  ): Dataset[ScoredDoc] = {
+    val spark = reader.spark
+    import spark.implicits._
+    val stats = reader.termStats(
+      Searcher.queryTokens(reader, termA).map(_.term) ++
+        Searcher.queryTokens(reader, termB).map(_.term))
+    def dfOf(text: String): Long = {
+      val toks = Searcher.queryTokens(reader, text).map(_.term)
+      if (toks.size != 1) -1L // multi-token: no single df; stay on the index path
+      else stats.get(toks.head).map(_._1).getOrElse(0L)
+    }
+    val (dfA, dfB) = (dfOf(termA), dfOf(termB))
+    if (dfA == 0L || dfB == 0L) return spark.emptyDataset[ScoredDoc]
+    def indexPath = SetOps.and(matchScores(reader, termA), matchScores(reader, termB))
+    if (dfA < 0L || dfB < 0L) return indexPath
+    val (small, hot, dfSmall, dfHot) =
+      if (dfA <= dfB) (termA, termB, dfA, dfB) else (termB, termA, dfB, dfA)
+    if (dfHot.toDouble <= ratio * dfSmall) indexPath
+    else {
+      val hotTok = Searcher.queryTokens(reader, hot).head.term
+      val tokName = reader.manifest.tokenizerName
+      matchScores(reader, small).toDF("docId", "s1")
+        .join(reader.liveDocs.select(col("docId"), col("content")), "docId")
+        .select(col("docId").cast("long"), col("s1").cast("double"),
+          col("content").cast("string"))
+        .as[(Long, Double, String)]
+        .mapPartitions { it =>
+          val tok = graft.analysis.Tokenizers.byName(tokName)
+          it.flatMap { case (id, s1, content) =>
+            // Add-mode tokenization = exactly what the build indexed, so
+            // the counted tf equals the posting tf it replaces
+            val tf = tok.tokenize(if (content == null) "" else content,
+              graft.analysis.TokenizeMode.Add).count(_.term == hotTok)
+            if (tf > 0) Some(ScoredDoc(id, s1 + tf)) else None
+          }
+        }
+    }
+  }
+
   /** Match with escalation (reference grn_ii_sel, lib/ii.c:7212-7233):
     * after EXACT, if the hit count is <= threshold, retry UNSPLIT (the
     * whole normalized query as one prefix-expanded key) and then PARTIAL

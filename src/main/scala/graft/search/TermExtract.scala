@@ -82,4 +82,62 @@ object TermExtract {
       }
       .toDF(idCol, "term", "offset")
   }
+
+  /** Join-based TERM_EXTRACT for lexicons too large to broadcast (the
+    * 10⁸+-term regime where [[dictOf]]'s driver collect dies): candidate
+    * substrings of each text (every offset, lengths 1..max term length)
+    * shuffle-join the lexicon TABLE on term — no driver materialization —
+    * then the identical greedy longest-match resolution runs per doc over
+    * its (small) hit list. Output ≡ [[termExtractColumn]]
+    * (TermExtractSpec pins equality); keep the broadcast form as the
+    * small-dictionary fast path.
+    *
+    * Cost shape: candidates are O(chars × maxTermLen) rows — the standard
+    * text-vs-dictionary join; maxTermLen is one lexicon aggregate (a
+    * scalar, not a collect). The per-doc resolution group is only the
+    * lexicon HITS of that doc, bounded by its length.
+    */
+  def termExtractColumnPartitioned(reader: IndexReader, df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = reader.spark
+    import spark.implicits._
+    val maxLenRow = reader.lexicon.agg(max(length(col("term")))).head()
+    val maxLen = if (maxLenRow.isNullAt(0)) 0 else maxLenRow.getInt(0)
+    val tokName = reader.manifest.tokenizerName
+    val cands = df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val norm = Tokenizers.byName(tokName).normalizer
+        it.flatMap { case (id, text) =>
+          val t = norm(if (text == null) "" else text).text
+          for {
+            i <- 0 until t.length
+            l <- 1 to math.min(maxLen, t.length - i)
+          } yield (id, i, t.substring(i, i + l))
+        }
+      }
+      .toDF("__id", "off", "term")
+    cands.join(reader.lexicon.select("term"), Seq("term"))
+      .select(col("__id"), col("off"), col("term"))
+      .as[(Long, Int, String)]
+      .groupByKey(_._1)
+      .flatMapGroups { (id, it) =>
+        // greedy longest-match over the sorted hit offsets: equivalent to
+        // the char walk — positions inside a taken match are skipped, and
+        // the first uncovered offset with a hit is where the walk would
+        // match next (unmatched positions between hits advance by one
+        // character in the walk, changing nothing)
+        val byOff = new java.util.TreeMap[Int, String]()
+        it.foreach { case (_, off, term) =>
+          val cur = byOff.get(off)
+          if (cur == null || term.length > cur.length) byOff.put(off, term): Unit
+        }
+        val out = scala.collection.mutable.ArrayBuffer[(Long, String, Int)]()
+        var nextFree = 0
+        byOff.forEach { (off, term) =>
+          if (off >= nextFree) { out += ((id, term, off)); nextFree = off + term.length }
+        }
+        out.iterator
+      }
+      .toDF(idCol, "term", "offset")
+  }
 }

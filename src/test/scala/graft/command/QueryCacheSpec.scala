@@ -1,0 +1,87 @@
+package graft.command
+
+import graft.SparkTestBase
+import graft.index.{Deletes, IndexBuilder, IndexConfig, IndexReader}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The select query-result cache: hit/miss accounting, result fidelity,
+  * LocalRelation (job-free) hits, and natural invalidation via the reader's
+  * cache epoch on tombstone appends.
+  */
+class QueryCacheSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  private def freshReader(): IndexReader = {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "apple banana apple", "f", 10),
+      (1L, "banana cherry", "f", 20),
+      (2L, "apple cherry date", "g", 30),
+      (3L, "date egg fig", "g", 40)
+    ).toDF("docId", "content", "grp", "val")
+    val dir = java.nio.file.Files.createTempDirectory("graft_qc_").toString
+    IndexBuilder.build(spark, docs, dir, IndexConfig(
+      tokenizerName = "TokenDelimit", nShards = 2, buildPartitions = 2,
+      hotTermDf = 100000L, nSalts = 2))
+    new IndexReader(spark, dir)
+  }
+
+  private val P = SelectParams(query = Some("apple"),
+    sortby = Seq("_id"), limit = 10, outputColumns = Seq("_id", "_score"))
+
+  private def ids(r: SelectResult): Seq[Long] =
+    r.hits.select("_id").collect().map(_.getLong(0)).toSeq
+
+  test("second identical select is a cache hit with identical rows") {
+    val reader = freshReader()
+    QueryCache.clear()
+    val r1 = Select.runCached(reader, P)
+    assert(QueryCache.stats == ((0L, 1L)))
+    val r2 = Select.runCached(reader, P)
+    assert(QueryCache.stats == ((1L, 1L)))
+    assert(ids(r1) == Seq(0L, 2L) && ids(r2) == ids(r1))
+    assert(r2.nHits == r1.nHits)
+    // a hit rebuilds from materialized rows: the plan must be a local
+    // relation (no scan, no exchange — no job submission)
+    val plan = r2.hits.queryExecution.optimizedPlan.toString
+    assert(plan.contains("LocalRelation"), s"expected LocalRelation, got:\n$plan")
+  }
+
+  test("different parameters miss; capacity is LRU-bounded") {
+    val reader = freshReader()
+    QueryCache.clear()
+    Select.runCached(reader, P)
+    Select.runCached(reader, P.copy(query = Some("cherry")))
+    assert(QueryCache.stats == ((0L, 2L)))
+    Select.runCached(reader, P.copy(query = Some("cherry")))
+    assert(QueryCache.stats == ((1L, 2L)))
+  }
+
+  test("tombstone append changes the epoch and invalidates naturally") {
+    val reader = freshReader()
+    QueryCache.clear()
+    val before = ids(Select.runCached(reader, P))
+    assert(before == Seq(0L, 2L))
+    val e1 = reader.cacheEpoch
+    Deletes.delete(reader, col("docId") === 0L)
+    reader.invalidateDeletes()
+    assert(reader.cacheEpoch != e1)
+    val after = ids(Select.runCached(reader, P))
+    assert(QueryCache.stats == ((0L, 2L)), "epoch change must be a miss")
+    assert(after == Seq(2L))
+  }
+
+  test("drilldowns are cached with the hits") {
+    val reader = freshReader()
+    QueryCache.clear()
+    val p = P.copy(drilldowns = Seq(DrilldownSpec(keys = Seq("grp"))))
+    val r1 = Select.runCached(reader, p)
+    val r2 = Select.runCached(reader, p)
+    assert(QueryCache.stats == ((1L, 1L)))
+    val dd = r2.drilldowns("grp").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(dd == r1.drilldowns("grp").collect().map(r => (r.getString(0), r.getLong(1))).toSet)
+    assert(dd == Set(("f", 1L), ("g", 1L)))
+    assert(r2.drilldownTotals("grp") == 2L)
+  }
+}

@@ -47,4 +47,20 @@ class TermExtractSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
     assert(got == Set((10L, "fast", 0), (10L, "streaming", 4), (10L, "spark", 13)))
   }
+
+  test("partitioned (join-based) variant == broadcast variant") {
+    import spark.implicits._
+    val df = Seq(
+      (10L, "fast streaming spark"),
+      (11L, "nothing here"),
+      (12L, "SPARKLE spark data engine"), // longest-match + normalization
+      (13L, "")
+    ).toDF("id", "txt")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    val bc = rows(TermExtract.termExtractColumn(reader, df, "id", "txt"))
+    val part = rows(TermExtract.termExtractColumnPartitioned(reader, df, "id", "txt"))
+    assert(part == bc)
+    assert(bc.contains((12L, "sparkle", 0)) && bc.contains((12L, "spark", 7)))
+  }
 }
