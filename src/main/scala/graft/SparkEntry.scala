@@ -175,6 +175,14 @@ object SparkEntry {
       scored(Engine.SetOps.andNot(
         Engine.matchScores(r, "spark"), Engine.matchScores(r, "dup")))
     }),
+    // too-many-matches AND escape (reference grn_ii_select sequential
+    // fallback, lib/ii.c:6536): df(batch)≈400 vs df(dup)=25 exceeds the
+    // ratio, so the hot term's postings are never decoded — candidates
+    // verify against the source column. The oracle is plain AND semantics,
+    // proving the escape is result-identical.
+    "ft_and_hot" -> ((s, d) =>
+      scored(Engine.andAdaptive(DocIndex.reader(s, d), "dup", "batch"))),
+
     // adjuster: additive boost factor*tf for members of the boost set
     // (reference lib/proc/proc_select.c:125)
     "ft_adjust" -> ((s, d) => {
@@ -631,6 +639,11 @@ object SparkEntry {
       s"""WITH a AS ${tfOf("spark")}, b AS ${tfOf("dup")}
          |SELECT a.doc_id, a.tf + 3 * b.tf AS score FROM a JOIN b USING (doc_id)
          |WHERE a.tf > 0 ORDER BY doc_id""".stripMargin,
+
+    "ft_and_hot" ->
+      s"""WITH a AS ${tfOf("dup")}, b AS ${tfOf("batch")}
+         |SELECT a.doc_id, a.tf + b.tf AS score FROM a JOIN b USING (doc_id)
+         |WHERE a.tf > 0 AND b.tf > 0 ORDER BY doc_id""".stripMargin,
 
     "ft_phrase" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -78,6 +78,27 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), s"unkeyed pair join:\n$p")
   }
 
+  test("sim_cos_pairs: multi-table candidates stay keyed — no cartesian, no UDF") {
+    val p = plan("sim_cos_pairs")
+    assert(!p.contains("CartesianProduct"), s"unkeyed pair join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"unkeyed pair join:\n$p")
+    assert(!p.contains("ScalaUDF"), s"UDF in the bucket/cosine path:\n$p")
+  }
+
+  test("dd_simhash_pairs: blocked tables stay keyed — no cartesian") {
+    val p = plan("dd_simhash_pairs")
+    assert(!p.contains("CartesianProduct"), s"unkeyed pair join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"unkeyed pair join:\n$p")
+  }
+
+  test("ft_and_hot: only the small term's postings are scanned") {
+    val p = plan("ft_and_hot")
+    assert(p.contains("EqualTo(term,dup)"),
+      s"small side's postings scan should be term-pruned:\n$p")
+    assert(!p.contains("term,batch") && !p.contains("[batch"),
+      s"hot term must never reach a postings scan:\n$p")
+  }
+
   test("index read paths: term predicates push down to the parquet scans") {
     // the scans behind every query: segments (postings) and lexicon (stats)
     // must be term-pruned file scans — with the term-ordered layout, parquet
