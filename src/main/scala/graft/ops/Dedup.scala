@@ -338,10 +338,16 @@ object Dedup {
     * `Long.MaxValue` for the uncapped join.
     */
   def lshCandidatePairs(bandRows: DataFrame, maxBucketSize: Long = 10000L): DataFrame = {
+    // the guard + join make several passes over the band rows (size agg,
+    // keep filter, two join sides): materialize once — the same
+    // signatures-table persist any storage-backed pipeline would have
+    // (never unpersisted here, like lshBands; re-persisting an already
+    // persisted input is a no-op)
+    val rows = bandRows.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     if (maxBucketSize < Long.MaxValue) {
       // one cheap agg action so truncation is never silent (a metric, not a
       // data pass: one row per overflowing bucket)
-      val over = lshOverflowBuckets(bandRows, maxBucketSize)
+      val over = lshOverflowBuckets(rows, maxBucketSize)
         .agg(count(lit(1)).as("buckets"), coalesce(sum("n"), lit(0L)).as("members"))
         .head()
       if (over.getLong(0) > 0)
@@ -352,10 +358,10 @@ object Dedup {
     }
     // singleton buckets can't pair; oversized buckets are dropped — the
     // join input shrinks to buckets that can actually produce candidates
-    val keep = bandRows.groupBy("band", "bucket").agg(count(lit(1)).as("__n"))
+    val keep = rows.groupBy("band", "bucket").agg(count(lit(1)).as("__n"))
       .filter(col("__n") > 1 && col("__n") <= maxBucketSize)
       .select("band", "bucket")
-    val pairable = bandRows.join(keep, Seq("band", "bucket"))
+    val pairable = rows.join(keep, Seq("band", "bucket"))
     val l = pairable.select(col("band"), col("bucket"), col("doc_id").as("a"))
     val r = pairable.select(col("band"), col("bucket"), col("doc_id").as("b"))
     l.join(r, Seq("band", "bucket"))
