@@ -372,6 +372,47 @@ object Similarity {
       .limit(k)
   }
 
+  /** Write the corpus as an IVF-bucketed table: one partition directory
+    * per inverted list (`cid=N/`). This is the DEPLOYMENT shape of the IVF
+    * index at corpus scale: a query's nprobe filter then prunes at the
+    * partition level — the unprobed lists' files are never even listed
+    * into the scan, so the scan fraction is nprobe/nlist of the corpus by
+    * construction (IvfBucketedSpec pins `PartitionFilters` in the plan).
+    */
+  def ivfWriteBucketed(emb: DataFrame, cents: Array[(Int, Array[Double])],
+      path: String): Unit =
+    ivfAssign(emb, cents).select("vec_id", "cid")
+      .join(emb, "vec_id")
+      .write.partitionBy("cid").mode("overwrite").parquet(path)
+
+  /** ANN top-k over an [[ivfWriteBucketed]] table: identical semantics to
+    * [[ivfTopK]] (same probe selection, same quantized cosine), but the
+    * probe is a partition-pruning predicate over the bucketed layout
+    * instead of a filter over a full scan.
+    */
+  def ivfTopKBucketed(spark: org.apache.spark.sql.SparkSession, path: String,
+      cents: Array[(Int, Array[Double])], queryId: Long, k: Int,
+      nprobe: Int = 4): DataFrame = {
+    val table = spark.read.parquet(path)
+    val q: Array[Double] = table.filter(col("vec_id") === queryId)
+      .select("embedding").collect()(0)
+      .getSeq[Float](0).map(_.toDouble).toArray
+    val qn = math.sqrt(q.map(x => x * x).sum)
+    val probes = cents
+      .map { case (cid, v) =>
+        val dot = v.zip(q).map { case (a, b) => a * b }.sum
+        val nrm = math.sqrt(v.map(x => x * x).sum)
+        (cid, math.round(dot / (nrm * qn) * 1e6))
+      }
+      .sortBy { case (cid, q6) => (-q6, cid) }
+      .take(nprobe).map(_._1)
+    table.filter(col("cid").isin(probes: _*) && col("vec_id") =!= queryId)
+      .select(col("vec_id"),
+        round(cosineToQuery("embedding", q) * 1000).cast("long").as("sim_q3"))
+      .orderBy(desc("sim_q3"), asc("vec_id"))
+      .limit(k)
+  }
+
   /** Recall@k of the IVF ANN against the exact brute-force top-k. */
   def ivfRecallAtK(emb: DataFrame, queryId: Long, k: Int, nlist: Int = 16,
       nprobe: Int = 4, seed: Long = 42L, iters: Int = 0): DataFrame = {
