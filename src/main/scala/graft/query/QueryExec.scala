@@ -142,8 +142,21 @@ object QueryExec {
       case AndNot(l, r) if tokenless(ctx, r) => eval(ctx, l, esc, escalating)
       case Adjust(l, r, _) if tokenless(ctx, r) => eval(ctx, l, esc, escalating)
       case And(l, r) =>
-        Engine.SetOps.and(eval(ctx, l, esc, escalating),
-          eval(ctx, r, esc, escalating = false))
+        val left = eval(ctx, l, esc, escalating)
+        // too-many-matches escape (reference grn_ii_select sequential
+        // fallback, lib/ii.c:6536): when the right clause is a plain
+        // single-token match whose df dwarfs the left set's upper bound,
+        // verify the term against the candidates' source column instead of
+        // decoding its postings — cost ∝ candidates, not ∝ df(hot). The
+        // bound is the static df estimate (grn_ii_estimate_size spirit),
+        // so the decision is action-free.
+        scanFallbackTerm(ctx, r) match {
+          case Some((reader, hotTok, dfHot))
+              if dfHot > TooManyMatchRatio * estimateSize(ctx, l) =>
+            Engine.andScanVerify(left, reader, hotTok)
+          case _ =>
+            Engine.SetOps.and(left, eval(ctx, r, esc, escalating = false))
+        }
       case Or(l, r) =>
         Engine.SetOps.or(eval(ctx, l, esc, escalating),
           eval(ctx, r, esc, escalating))
@@ -166,6 +179,67 @@ object QueryExec {
       case ColAssign(_, _) =>
         ctx.docs.select(col("docId"), lit(1.0).as("score")).as[ScoredDoc]
     }
+  }
+
+  /** Right-side-df : left-size ratio beyond which an AND clause takes the
+    * sequential scan-verify path — the analogue of the reference's
+    * grn_ii_select_too_many_index_match_ratio knob (default off there, but
+    * the check itself is the documented escape hatch; 8 means the skipped
+    * posting list must be nearly an order of magnitude larger than the
+    * candidate bound before re-tokenizing candidates pays).
+    */
+  val TooManyMatchRatio: Double = 8.0
+
+  /** The (reader, normalized token, df) of a right-side clause eligible for
+    * the scan-verify escape: a plain single-token Match in a single-section
+    * context with default weight/cap/scorer (anything else changes the
+    * score algebra the escape reproduces).
+    */
+  private def scanFallbackTerm(ctx: Ctx, node: Node): Option[(IndexReader, String, Long)] =
+    node match {
+      case Match(text, _) if ctx.sections.size == 1 =>
+        val (reader, sw) = ctx.sections.head
+        // WITH_WEIGHT indexes score (tf + tscore) — a plain tf recount
+        // would drop the stored weights, so they stay on the index path
+        if (sw.weight != 1.0 || sw.cap.nonEmpty || sw.tfIdf ||
+          reader.manifest.withWeights) None
+        else graft.search.Searcher.queryTokens(reader, text).map(_.term) match {
+          case Seq(tok) =>
+            reader.termStats(Seq(tok)).get(tok).map { case (df, _) => (reader, tok, df) }
+          case _ => None
+        }
+      case _ => None
+    }
+
+  /** Static upper bound on a subtree's result-set size, from query-term
+    * dfs only (no Spark action — the grn_ii_estimate_size discipline):
+    * a match is bounded by its rarest token's df; AND by the smaller side;
+    * AND_NOT/ADJUST by the left side; OR by the sum. Column predicates and
+    * whole-table nodes are unbounded (no fallback triggers through them).
+    */
+  private def estimateSize(ctx: Ctx, node: Node): Long = {
+    val Unbounded = Long.MaxValue / 4
+    def est(n: Node): Long = n match {
+      case Match(text, _) =>
+        val perSection = ctx.sections.map { case (r, _) =>
+          val toks = graft.search.Searcher.queryTokens(r, text).map(_.term)
+          if (toks.isEmpty) 0L
+          else {
+            val st = r.termStats(toks)
+            toks.map(t => st.get(t).map(_._1).getOrElse(0L)).min
+          }
+        }
+        val s = perSection.sum
+        if (s < 0) Unbounded else s
+      case And(a, b) => math.min(est(a), est(b))
+      case AndNot(a, _) => est(a)
+      case Adjust(a, _, _) => est(a)
+      case Or(a, b) =>
+        val s = est(a) + est(b)
+        if (s < 0 || s > Unbounded) Unbounded else s
+      case _ => Unbounded
+    }
+    est(node)
   }
 
   /** Back-compat single-reader eval (used by tests). */

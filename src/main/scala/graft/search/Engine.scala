@@ -185,25 +185,36 @@ object Engine {
     val (small, hot, dfSmall, dfHot) =
       if (dfA <= dfB) (termA, termB, dfA, dfB) else (termB, termA, dfB, dfA)
     if (dfHot.toDouble <= ratio * dfSmall) indexPath
-    else {
-      val hotTok = Searcher.queryTokens(reader, hot).head.term
-      val tokName = reader.manifest.tokenizerName
-      matchScores(reader, small).toDF("docId", "s1")
-        .join(reader.liveDocs.select(col("docId"), col("content")), "docId")
-        .select(col("docId").cast("long"), col("s1").cast("double"),
-          col("content").cast("string"))
-        .as[(Long, Double, String)]
-        .mapPartitions { it =>
-          val tok = graft.analysis.Tokenizers.byName(tokName)
-          it.flatMap { case (id, s1, content) =>
-            // Add-mode tokenization = exactly what the build indexed, so
-            // the counted tf equals the posting tf it replaces
-            val tf = tok.tokenize(if (content == null) "" else content,
-              graft.analysis.TokenizeMode.Add).count(_.term == hotTok)
-            if (tf > 0) Some(ScoredDoc(id, s1 + tf)) else None
-          }
+    else andScanVerify(matchScores(reader, small), reader,
+      Searcher.queryTokens(reader, hot).head.term)
+  }
+
+  /** The scan-verify half of the too-many-matches escape: AND a hot term
+    * onto an already-evaluated result set by re-tokenizing ONLY the
+    * candidate docs' source content — never decoding the hot term's
+    * postings. `hotTok` must be an index token (already normalized).
+    * Scores follow res_add AND semantics: candidate score + tf.
+    */
+  def andScanVerify(left: Dataset[ScoredDoc], reader: IndexReader,
+      hotTok: String): Dataset[ScoredDoc] = {
+    val spark = reader.spark
+    import spark.implicits._
+    val tokName = reader.manifest.tokenizerName
+    left.toDF("docId", "s1")
+      .join(reader.liveDocs.select(col("docId"), col("content")), "docId")
+      .select(col("docId").cast("long"), col("s1").cast("double"),
+        col("content").cast("string"))
+      .as[(Long, Double, String)]
+      .mapPartitions { it =>
+        val tok = graft.analysis.Tokenizers.byName(tokName)
+        it.flatMap { case (id, s1, content) =>
+          // Add-mode tokenization = exactly what the build indexed, so
+          // the counted tf equals the posting tf it replaces
+          val tf = tok.tokenize(if (content == null) "" else content,
+            graft.analysis.TokenizeMode.Add).count(_.term == hotTok)
+          if (tf > 0) Some(ScoredDoc(id, s1 + tf)) else None
         }
-    }
+      }
   }
 
   /** Match with escalation (reference grn_ii_sel, lib/ii.c:7212-7233):

@@ -48,4 +48,21 @@ class AndAdaptiveSpec extends AnyFunSuite {
   test("absent term short-circuits to empty") {
     assert(Engine.andAdaptive(reader, "fig", "zzz-not-here").isEmpty)
   }
+
+  test("query-syntax AND takes the escape when the right term is hot") {
+    import graft.query.QueryExec
+    // df(the)=60 > 8 x df(fig)=6: "fig the" routes the right clause through
+    // the scan verify; results must equal the plain set-algebra evaluation
+    val viaQuery = scoresOf(QueryExec.run(reader, "fig the"))
+    val direct = scoresOf(Engine.SetOps.and(
+      Engine.matchScores(reader, "fig"), Engine.matchScores(reader, "the")))
+    assert(viaQuery == direct && viaQuery.nonEmpty)
+    // the escape is visible in the plan: no postings scan for "the"
+    val plan = QueryExec.run(reader, "fig the").queryExecution.sparkPlan.toString
+    assert(!plan.contains("term,the") && plan.contains("EqualTo(term,fig)"),
+      s"hot term should not reach a postings scan:\n$plan")
+    // reversed order stays on the index path (left bound is the hot term)
+    val rev = scoresOf(QueryExec.run(reader, "the fig"))
+    assert(rev == direct)
+  }
 }
