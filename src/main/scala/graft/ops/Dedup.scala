@@ -233,14 +233,6 @@ object Dedup {
          |    transform(slice(sig, b * $rows + 1, $rows), v -> CAST(v AS STRING)))), 1, 15), 16, 10) AS BIGINT)))""".stripMargin)
   }
 
-  /** Fused signature→band kernel: one mapPartitions pass emits the
-    * (doc_id, band, bucket) rows directly — same md5-of-decimal-joined-
-    * band-slice bucket definition as [[lshBandRowsExpr]] (DedupKernelSpec
-    * asserts equality), without materializing the sig column or paying the
-    * interpreted band-hash expression (~0.27 ms/doc → ~0.03 ms/doc).
-    * Unpersisted, un-counted: callers that reuse the rows persist them
-    * (as [[lshBands]] does for the batch pipeline).
-    */
   /** Per-doc band buckets via the typed kernel — the per-row body shared by
     * [[minhashBands]] and the streaming path ([[graft.streaming.StreamDedup]]
     * carries an event-time column alongside, which the batch entry point
@@ -276,6 +268,14 @@ object Dedup {
     }
   }
 
+  /** Fused signature→band kernel: one mapPartitions pass emits the
+    * (doc_id, band, bucket) rows directly — same md5-of-decimal-joined-
+    * band-slice bucket definition as [[lshBandRowsExpr]] (DedupKernelSpec
+    * asserts equality), without materializing the sig column or paying the
+    * interpreted band-hash expression (~0.27 ms/doc → ~0.03 ms/doc).
+    * Unpersisted, un-counted: callers that reuse the rows persist them
+    * (as [[lshBands]] does for the batch pipeline).
+    */
   def minhashBands(
       docs: DataFrame,
       textCol: String = "text",
