@@ -176,6 +176,23 @@ object Similarity {
     emb.withColumn("bucket", bucketExpr("embedding", sm))
   }
 
+  /** One (t, bucket) row per (table, vector): the multi-table bucketing
+    * behind [[cosinePairsAboveLsh]] and [[lshTopKMulti]] — table 0 equals
+    * the single-table [[lshBuckets]] definition, further tables use
+    * seed-derived independent sign matrices ([[tableSeed]]).
+    */
+  def lshBucketsMulti(emb: DataFrame, planes: Int = 8, seed: Long = 42L,
+      tables: Int = 1): DataFrame = {
+    val dims = emb.select(size(col("embedding"))).head().getInt(0)
+    val buckets = (0 until tables).map { t =>
+      s"named_struct('t', $t, 'bk', (${bucketSql("embedding", signMatrix(dims, planes, tableSeed(seed, t)))}))"
+    }
+    emb.select(col("vec_id"), col("embedding"),
+      explode(expr(buckets.mkString("array(", ", ", ")"))).as("tb"))
+      .select(col("vec_id"), col("embedding"),
+        col("tb.t").as("t"), col("tb.bk").as("bucket"))
+  }
+
   /** The query bucket plus all buckets at hamming distance ≤ `probeDist`
     * (multi-probe LSH: the closest alternative buckets are those where one
     * marginal projection flipped).
@@ -204,6 +221,34 @@ object Similarity {
     val q = qRow.getSeq[Float](0).map(_.toDouble).toArray
     val probes = probeBuckets(qRow.getInt(1), planes, probeDist)
     bucketed.filter(col("bucket").isin(probes: _*) && col("vec_id") =!= queryId)
+      .select(col("vec_id"),
+        round(cosineToQuery("embedding", q) * 1000).cast("long").as("sim_q3"))
+      .orderBy(desc("sim_q3"), asc("vec_id"))
+      .limit(k)
+  }
+
+  /** ANN top-k with OR-amplification across `tables` independent sign
+    * matrices: probe every table's query bucket (plus its hamming-≤
+    * `probeDist` neighbors), union the probed candidates, brute-force
+    * cosine within them. Recall follows the pair path's 1−(1−p)^T law —
+    * the query-side twin of [[cosinePairsAboveLsh]]'s amplification, for
+    * workloads where multi-probe alone leaves recall short. At tables = 1
+    * this reduces exactly to [[lshTopK]] (same seed → same buckets).
+    */
+  def lshTopKMulti(emb: DataFrame, queryId: Long, k: Int, planes: Int = 8,
+      seed: Long = 42L, probeDist: Int = 1, tables: Int = 4): DataFrame = {
+    val b = lshBucketsMulti(emb, planes, seed, tables)
+    val qRows = b.filter(col("vec_id") === queryId)
+      .select("t", "bucket", "embedding").collect()
+    val q = qRows(0).getSeq[Float](2).map(_.toDouble).toArray
+    // per-table probe sets (t, bucket): an OR of tiny per-table IN filters
+    val probePred = qRows.map { r =>
+      val probes = probeBuckets(r.getInt(1), planes, probeDist)
+      col("t") === r.getInt(0) && col("bucket").isin(probes: _*)
+    }.reduce(_ || _)
+    b.filter(probePred && col("vec_id") =!= queryId)
+      .select("vec_id").distinct()
+      .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
       .select(col("vec_id"),
         round(cosineToQuery("embedding", q) * 1000).cast("long").as("sim_q3"))
       .orderBy(desc("sim_q3"), asc("vec_id"))
