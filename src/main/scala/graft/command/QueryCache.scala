@@ -56,21 +56,61 @@ object QueryCache {
 
   def clear(): Unit = lru.synchronized { lru.clear(); nHit = 0L; nMiss = 0L }
 
+  /** Unique ids for UDF function objects: Column.toString renders every
+    * ScalaUDF as `UDF(args)` regardless of WHICH function it wraps, so two
+    * different UDF filters over the same column would render — and key —
+    * identically. Appending a per-function-object id restores the
+    * false-HIT-impossible property: the same UserDefinedFunction applied
+    * twice keys equal (same function object), a different lambda keys
+    * apart. WeakHashMap so retired UDFs don't pin their closures.
+    */
+  private val fnIds = new java.util.WeakHashMap[AnyRef, java.lang.Long]()
+  private var nextFnId = 0L
+  private def fnIdOf(f: AnyRef): Long = fnIds.synchronized {
+    val got = fnIds.get(f)
+    if (got != null) got.longValue
+    else { nextFnId += 1; fnIds.put(f, nextFnId); nextFnId }
+  }
+
+  /** Fingerprint of a Column's expression tree beyond its toString: the
+    * identity of every embedded UDF (see [[fnIdOf]]). None when the tree
+    * contains a NON-DETERMINISTIC node (rand() etc.) — such a select is
+    * not cacheable at all (serving a prior run's rows would freeze the
+    * randomness), so [[fetch]] bypasses the cache entirely.
+    */
+  private def fingerprint(c: org.apache.spark.sql.Column): Option[String] =
+    org.apache.spark.sql.GraftColumnBridge.udfIdentities(c).map {
+      case Seq() => ""
+      case fns => fns.map(fnIdOf).mkString("#udf[", ",", "]")
+    }
+
   /** Cache key = index identity + content epoch + the rendered parameter
     * set (SelectParams is a case class; Column parameters render their
-    * expression trees, so structurally identical filters key equal and
-    * different ones key apart — an unparseable-corner false MISS is safe,
-    * a false HIT is not possible).
+    * expression trees) + a fingerprint per Column parameter covering what
+    * toString cannot (UDF identity — see [[fingerprint]]). Structurally
+    * identical filters key equal, different ones key apart: an
+    * unparseable-corner false MISS is safe, a false HIT is not possible.
+    * None = not cacheable (a non-deterministic expression parameter).
     */
-  private def keyOf(reader: IndexReader, p: SelectParams): String =
-    s"${reader.dir}\u0001${reader.cacheEpoch}\u0001$p"
+  private def keyOf(reader: IndexReader, p: SelectParams): Option[String] = {
+    val cols = p.filter.toSeq ++ p.filterScore.toSeq ++
+      p.scorerAssigns.map(_._2) ++ p.outputExprs.toSeq.flatten.map(_._2) ++
+      p.sortByCols.toSeq.flatten
+    val fps = cols.map(fingerprint)
+    if (fps.exists(_.isEmpty)) None
+    else Some(s"${reader.dir}\u0001${reader.cacheEpoch}\u0001$p\u0001" +
+      fps.flatten.mkString(";"))
+  }
 
   /** Look up `p` for `reader`; on a miss run `exec`, materialize and store.
     * Returns a result whose DataFrames are local relations in BOTH cases
     * (the miss path materializes anyway to populate the cache).
     */
   def fetch(reader: IndexReader, p: SelectParams)(exec: => SelectResult): SelectResult = {
-    val key = keyOf(reader, p)
+    val key = keyOf(reader, p) match {
+      case Some(k) => k
+      case None => return exec // non-deterministic parameter: not cacheable
+    }
     val cached = lru.synchronized {
       val e = Option(lru.get(key))
       if (e.isDefined) nHit += 1 else nMiss += 1

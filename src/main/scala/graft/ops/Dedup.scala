@@ -616,19 +616,35 @@ object Dedup {
     // carrying lineage across rounds grows the logical plan ~6^rounds —
     // localCheckpoint truncates it (on a cluster with an unreliable-storage
     // concern, swap for reliable checkpoint(); the algorithm is identical).
-    // The checkpointed RDD of a superseded round is dropped explicitly.
-    var cur = canon(pairs.select(col("a").cast("long").as("u"),
-      col("b").cast("long").as("v"))).localCheckpoint(true)
+    // Dropping a superseded round's blocks needs RDD-level unpersist:
+    // Dataset.unpersist only uncaches CacheManager entries and never
+    // touches the RDD a localCheckpoint pinned, so without this each
+    // round's full edge set would stay in MEMORY_AND_DISK until GC. We
+    // diff SparkContext.getPersistentRDDs around each checkpoint to learn
+    // its RDD ids (assumes no concurrent checkpointing in the session —
+    // worst case a foreign id is evicted early, never a correctness issue).
+    val sc = pairs.sparkSession.sparkContext
+    def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
+      val before = sc.getPersistentRDDs.keySet
+      val ck = df.localCheckpoint(true)
+      (ck, (sc.getPersistentRDDs.keySet -- before).toSet)
+    }
+    def dropBlocks(ids: Set[Int]): Unit =
+      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+    var (cur, curIds) = checkpointTracked(
+      canon(pairs.select(col("a").cast("long").as("u"),
+        col("b").cast("long").as("v"))))
     var curCount = cur.count()
     var rounds = 0
     var done = curCount == 0L
     while (!done) {
-      val next = smallStar(largeStar(cur)).localCheckpoint(true)
+      val (next, nextIds) = checkpointTracked(smallStar(largeStar(cur)))
       val nextCount = next.count()
       rounds += 1
       done = nextCount == curCount && next.except(cur).isEmpty
-      cur.unpersist()
+      dropBlocks(curIds)
       cur = next
+      curIds = nextIds
       curCount = nextCount
     }
     // converged: every component is a star (root = component min); labels

@@ -251,14 +251,18 @@ object Multimodal {
     var data: Option[(Int, Int)] = None // (offset, len)
     while (o + 8 <= bytes.length && (fmt.isEmpty || data.isEmpty)) {
       val id = tag(o); val len = le32(o + 4)
-      // corrupt blobs are data, not errors — but a negative chunk length
+      // corrupt blobs are data, not errors — a negative chunk length
       // (e.g. len = -8) would stall the walk (o += 8 + len fails to
       // advance): treat it as a malformed stream and stop
       if (len < 0) return None
       if (id == "fmt " && o + 8 + 16 <= bytes.length)
         fmt = Some((le16(o + 8), le16(o + 10), le32(o + 12)))
       else if (id == "data") data = Some((o + 8, math.min(len, bytes.length - o - 8)))
-      o += 8 + len + (len & 1) // chunks are word-aligned
+      // advance in Long: a large positive len (e.g. 0x7FFFFFF7) overflows
+      // the Int sum to a NEGATIVE o, whose o+8 <= length check passes and
+      // crashes tag(o) — a truncated/corrupt tail just ends the walk
+      val next = o.toLong + 8L + len.toLong + (len & 1)
+      o = if (next > bytes.length) bytes.length else next.toInt
     }
     for {
       (af, ch, rate) <- fmt if af == 1 && ch >= 1

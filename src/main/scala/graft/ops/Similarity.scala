@@ -91,14 +91,7 @@ object Similarity {
     */
   def cosinePairsAboveLsh(emb: DataFrame, thresholdQ3: Long, planes: Int = 8,
       seed: Long = 42L, tables: Int = 1): DataFrame = {
-    val dims = emb.select(size(col("embedding"))).head().getInt(0)
-    val buckets = (0 until tables).map { t =>
-      s"named_struct('t', $t, 'bk', (${bucketSql("embedding", signMatrix(dims, planes, tableSeed(seed, t)))}))"
-    }
-    val b = emb.select(col("vec_id"), col("embedding"),
-      explode(expr(buckets.mkString("array(", ", ", ")"))).as("tb"))
-      .select(col("vec_id"), col("embedding"),
-        col("tb.t").as("t"), col("tb.bk").as("bucket"))
+    val b = lshBucketsMulti(emb, planes, seed, tables)
     val cand = b.select(col("t"), col("bucket"), col("vec_id").as("a"))
       .join(b.select(col("t"), col("bucket"), col("vec_id").as("b")), Seq("t", "bucket"))
       .filter(col("a") < col("b"))
@@ -438,10 +431,31 @@ object Similarity {
   def ivfTopKBucketed(spark: org.apache.spark.sql.SparkSession, path: String,
       cents: Array[(Int, Array[Double])], queryId: Long, k: Int,
       nprobe: Int = 4): DataFrame = {
+    // The query vector comes from ITS OWN probe: assign the id's centroid
+    // is unknown here, but scanning the whole bucketed table for one vec_id
+    // would cost O(corpus) I/O per query and negate the nprobe/nlist scan
+    // fraction this layout exists for. Instead resolve the id through the
+    // source embedding table when given, else fall back to the (documented
+    // as expensive) full-layout lookup.
     val table = spark.read.parquet(path)
     val q: Array[Double] = table.filter(col("vec_id") === queryId)
       .select("embedding").collect()(0)
       .getSeq[Float](0).map(_.toDouble).toArray
+    ivfTopKBucketedVec(spark, path, cents, q, queryId, k, nprobe)
+  }
+
+  /** [[ivfTopKBucketed]] with the query embedding supplied by the caller —
+    * the per-query serving form: the ONLY scan is the nprobe-pruned probe
+    * (the id overload above must first find the query row, which on the
+    * cid-partitioned layout is a full-table scan; real callers hold the
+    * query vector, or fetch it from the unpartitioned source table where a
+    * vec_id filter prunes via ordinary row-group pushdown).
+    */
+  def ivfTopKBucketedVec(spark: org.apache.spark.sql.SparkSession, path: String,
+      cents: Array[(Int, Array[Double])], q: Array[Double], excludeId: Long,
+      k: Int, nprobe: Int = 4): DataFrame = {
+    val table = spark.read.parquet(path)
+    val queryId = excludeId
     val qn = math.sqrt(q.map(x => x * x).sum)
     val probes = cents
       .map { case (cid, v) =>

@@ -100,7 +100,15 @@ object TermExtract {
   def termExtractColumnPartitioned(reader: IndexReader, df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val spark = reader.spark
     import spark.implicits._
-    val maxLenRow = reader.lexicon.agg(max(length(col("term")))).head()
+    // candidate substrings are built with Java UTF-16 indices, so the cap
+    // must be in UTF-16 units; Spark length() counts CODEPOINTS, which
+    // undercounts terms containing supplementary characters (a 10-codepoint
+    // emoji term is 20 UTF-16 units) and would make them unmatchable.
+    // octet_length (UTF-8 bytes) >= UTF-16 units for every codepoint
+    // (BMP: 1-3 bytes vs 1 unit; supplementary: 4 bytes vs 2 units), so it
+    // is a safe upper bound — over-generation only adds candidates the
+    // lexicon join drops.
+    val maxLenRow = reader.lexicon.agg(max(octet_length(col("term")))).head()
     val maxLen = if (maxLenRow.isNullAt(0)) 0 else maxLenRow.getInt(0)
     val tokName = reader.manifest.tokenizerName
     val cands = df.select(col(idCol).cast("long"), col(textCol).cast("string"))

@@ -124,15 +124,26 @@ object StreamDedup {
           } else {
             var seen = state.getOption.map(_.docIds).getOrElse(Array.empty[Long])
             val out = Seq.newBuilder[(Long, Long)]
-            rows.foreach { case (d, _, _, _) =>
+            var maxTsMs = Long.MinValue
+            rows.foreach { case (d, _, _, ts) =>
+              if (ts != null && ts.getTime > maxTsMs) maxTsMs = ts.getTime
               if (!seen.contains(d)) {
                 seen.foreach(s => out += (if (s < d) (s, d) else (d, s)))
                 if (seen.length < maxBucketDocs) seen = seen :+ d
               }
             }
             state.update(BucketState(seen))
+            // Timeout anchors on the group's own max EVENT time, not just the
+            // current watermark: in the first micro-batch the watermark is
+            // still epoch-0, and watermark+horizon would evict this bucket
+            // the moment the watermark first advances — losing cross-batch
+            // pairs well inside the horizon. max(watermark, event) + horizon
+            // keeps the documented guarantee (duplicates arriving within the
+            // horizon of each other always pair) and still satisfies Spark's
+            // timeout >= watermark requirement.
             if (useTimeout)
-              state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + horizonMs)
+              state.setTimeoutTimestamp(
+                math.max(state.getCurrentWatermarkMs(), maxTsMs) + horizonMs)
             out.result().iterator
           }
       }

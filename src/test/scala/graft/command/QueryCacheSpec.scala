@@ -72,6 +72,37 @@ class QueryCacheSpec extends AnyFunSuite {
     assert(after == Seq(2L))
   }
 
+  test("two DIFFERENT UDF filters never share a cache entry") {
+    val reader = freshReader()
+    QueryCache.clear()
+    // Column.toString renders both of these as "UDF(val)" — without the
+    // function-identity fingerprint the second select would serve the
+    // first one's rows (wrong results, silently)
+    val gt = udf((v: Int) => v > 15)
+    val lt = udf((v: Int) => v < 15)
+    val base = SelectParams(sortby = Seq("_id"), limit = 10,
+      outputColumns = Seq("_id"))
+    val r1 = ids(Select.runCached(reader, base.copy(filter = Some(gt(col("val"))))))
+    val r2 = ids(Select.runCached(reader, base.copy(filter = Some(lt(col("val"))))))
+    assert(r1 == Seq(1L, 2L, 3L) && r2 == Seq(0L), s"got $r1 / $r2")
+    assert(QueryCache.stats == ((0L, 2L)), "distinct UDFs must both MISS")
+    // ...while the SAME UDF object re-applied is still a hit
+    val r3 = ids(Select.runCached(reader, base.copy(filter = Some(gt(col("val"))))))
+    assert(r3 == r1 && QueryCache.stats == ((1L, 2L)))
+  }
+
+  test("non-deterministic filter bypasses the cache entirely") {
+    val reader = freshReader()
+    QueryCache.clear()
+    val p = SelectParams(sortby = Seq("_id"), limit = 10,
+      outputColumns = Seq("_id"),
+      filter = Some(rand(7L) >= lit(-1.0))) // always true, but NOT cacheable
+    val r1 = ids(Select.runCached(reader, p))
+    val r2 = ids(Select.runCached(reader, p))
+    assert(r1 == Seq(0L, 1L, 2L, 3L) && r2 == r1)
+    assert(QueryCache.stats == ((0L, 0L)), "rand() select must not be cached")
+  }
+
   test("drilldowns are cached with the hits") {
     val reader = freshReader()
     QueryCache.clear()

@@ -47,6 +47,24 @@ class DedupGuardSpec extends AnyFunSuite {
     assert(rounds <= 12, s"expected O(log n) rounds, got $rounds")
   }
 
+  test("superseded star rounds free their checkpoint blocks (no RDD pile-up)") {
+    // Dataset.unpersist does NOT drop a localCheckpoint's RDD blocks, so
+    // without RDD-level tracking each round's full edge set would stay
+    // pinned in MEMORY_AND_DISK for the whole clustering run
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val n = 256
+    val chain = (0 until n - 1).map(i => (i.toLong, (i + 1).toLong)).toDF("a", "b")
+    val (out, rounds) = Dedup.dedupClustersStars(chain)
+    out.collect(): Unit
+    val leftover = (sc.getPersistentRDDs.keySet -- before).size
+    assert(rounds >= 3, s"test needs multiple rounds to be meaningful: $rounds")
+    // only the FINAL round's checkpoint may remain (the returned DataFrame
+    // reads from it); every superseded round must have been dropped
+    assert(leftover <= 1,
+      s"$leftover persisted RDDs left after $rounds rounds — superseded checkpoints leaked")
+  }
+
   test("bucket cap drops oversized buckets loudly, keeps the rest") {
     // band rows: bucket 100 holds 5 docs (dropped at cap 4), bucket 200
     // holds 2 (kept), bucket 300 is a singleton (unpairable)

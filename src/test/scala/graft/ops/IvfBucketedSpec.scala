@@ -23,6 +23,15 @@ class IvfBucketedSpec extends AnyFunSuite {
     val b = direct.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(a == b && a.size == 10)
 
+    // the serving form — query vector supplied by the caller, so the ONLY
+    // scan is the pruned probe — returns identical rows
+    val q = emb.filter(org.apache.spark.sql.functions.col("vec_id") === 0L)
+      .select("embedding").collect()(0).getSeq[Float](0).map(_.toDouble).toArray
+    val viaVec = Similarity.ivfTopKBucketedVec(spark, path, cents, q,
+      excludeId = 0L, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(viaVec == a)
+
     // the probe must reach the scan as a partition filter (directory-level
     // pruning), not a post-scan filter over all lists
     val plan = bucketed.queryExecution.executedPlan.toString

@@ -90,6 +90,19 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodeWavPcm(b.toByteArray).isEmpty)
   }
 
+  test("corrupt WAV with a huge positive chunk length returns None (no Int overflow)") {
+    // len = 0x7FFFFFF7 passes a len<0 check, but 8+len+(len&1) overflows
+    // Int to a NEGATIVE offset whose o+8<=length guard still passes —
+    // tag(o) would throw StringIndexOutOfBoundsException and kill the task
+    val b = new java.io.ByteArrayOutputStream()
+    b.write("RIFF".getBytes("US-ASCII")); b.write(Array[Byte](0, 1, 0, 0))
+    b.write("WAVE".getBytes("US-ASCII"))
+    b.write("junk".getBytes("US-ASCII"))
+    b.write(Array[Byte](-9, -1, -1, 127)) // len = 0x7FFFFFF7 little-endian
+    b.write(new Array[Byte](64))
+    assert(Multimodal.decodeWavPcm(b.toByteArray).isEmpty)
+  }
+
   test("frame sampling emits every Nth chunk for videos only") {
     val frames = Multimodal.frameSample(media, everyN = 2, frameSize = 64)
     val byId = frames.groupBy("media_id").count().collect()

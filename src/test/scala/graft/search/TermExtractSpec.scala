@@ -63,4 +63,25 @@ class TermExtractSpec extends AnyFunSuite {
     assert(part == bc)
     assert(bc.contains((12L, "sparkle", 0)) && bc.contains((12L, "spark", 7)))
   }
+
+  test("partitioned variant matches terms with supplementary (non-BMP) chars") {
+    import spark.implicits._
+    // a 3-codepoint emoji term is 6 UTF-16 units: a candidate-length cap
+    // computed in CODEPOINTS (Spark length()) would truncate its candidates
+    // and silently never match it in the join path
+    val d = java.nio.file.Files.createTempDirectory("graft_tx_emoji_").toString
+    val docs = Seq((0L, "😀😀😀 data")).toDF("docId", "content")
+    IndexBuilder.build(spark, docs, d,
+      IndexConfig(tokenizerName = "TokenDelimit", nShards = 1,
+        buildPartitions = 1, hotTermDf = 1000, nSalts = 1))
+    val rdr = new IndexReader(spark, d)
+    val df = Seq((0L, "😀😀😀 data")).toDF("id", "txt")
+    def rows(x: org.apache.spark.sql.DataFrame) =
+      x.collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    val bc = rows(TermExtract.termExtractColumn(rdr, df, "id", "txt"))
+    val part = rows(TermExtract.termExtractColumnPartitioned(rdr, df, "id", "txt"))
+    assert(part == bc, s"partitioned $part != broadcast $bc")
+    assert(part.exists(_._2 == "😀😀😀"),
+      s"supplementary-char term not extracted: $part")
+  }
 }

@@ -77,6 +77,35 @@ class StreamDedupSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._2 == 3L), s"expired buckets must not pair: $pairs")
   }
 
+  test("first-batch bucket state survives a watermark advance WITHIN the horizon") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val stream = mem.toDF().toDF("doc_id", "text", "ts")
+    val q = StreamDedup.nearDupCandidates(stream, numPerm = 16, bands = 8,
+      tsCol = Some("ts"), horizonMs = 10000L)
+      .toDF("a", "b")
+      .writeStream.format("memory").queryName("sd_firstbatch").outputMode("append").start()
+    val t0 = 1700000000000L
+    val text = docText(2)
+    // batch 1: one doc; the watermark is still epoch-0, so a timeout keyed
+    // on watermark+horizon alone would be ~1970 and fire immediately
+    mem.addData((0L, text, new Timestamp(t0)))
+    q.processAllAvailable()
+    // batch 2: unrelated doc 2s later advances the watermark to ~t0-8s —
+    // far past a 1970 timeout, still inside doc 0's 10s horizon
+    mem.addData((1L, docText(6) + " unrelated filler words", new Timestamp(t0 + 2000)))
+    q.processAllAvailable()
+    // batch 3: a duplicate 3s after doc 0 (well inside the horizon) MUST
+    // still pair — the event-time-anchored timeout keeps the state alive
+    mem.addData((2L, text, new Timestamp(t0 + 3000)))
+    q.processAllAvailable()
+    q.stop()
+    val pairs = spark.table("sd_firstbatch").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 2L)),
+      s"first-batch state was evicted inside the horizon: $pairs")
+  }
+
   test("nearDupCandidates == batch lshCandidatePairs over the same corpus") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
