@@ -39,11 +39,21 @@ final class Normalized(
   def slice(from: Int, until: Int): String = new String(cps, from, until - from)
 }
 
-/** `NormalizerAuto` for UTF-8 input: NFKC + per-codepoint lowercasing + blank
-  * tracking (reference lib/normalizer.c:1177-1191; generated NFKC tables in
-  * lib/nfkc.c). We use the JDK's Unicode NFKC (public standard) applied
-  * per-codepoint so original offsets are preserved; exact for ASCII, which is
-  * the payload (source code / english docs) this engine targets.
+/** `NormalizerAuto` for UTF-8 input: NFKC + lowercasing + blank tracking
+  * (reference lib/normalizer.c:1177-1191; generated NFKC tables in
+  * lib/nfkc.c).
+  *
+  * Coverage, precisely: the mapping is the JDK's Unicode NFKC (the public
+  * standard the reference's generated tables implement), so EVERY Unicode
+  * block normalizes — full-width/half-width forms, compatibility
+  * ligatures, circled/superscript digits, Hangul compatibility jamo, CJK
+  * compatibility ideographs, all singleton decompositions. Combining
+  * sequences compose at the base+marks cluster level (decomposed
+  * "e"+U+0301 ≡ precomposed "é", matching the reference's
+  * grn_nfkc_compose); composition ACROSS a cluster boundary (reordered
+  * marks split by other text) is the only out-of-scope case. Offsets map
+  * each normalized codepoint to the ORIGINAL codepoint index of its
+  * cluster base, which is what highlight/snippet need.
   */
 object Normalizer {
 
@@ -62,6 +72,19 @@ object Normalizer {
 
   @inline private def isBlank(cp: Int): Boolean =
     Character.isWhitespace(cp) || cp == 0x3000 || cp == 0xfffe
+
+  /** Combining mark (Mn/Mc/Me)? Gates the composition path: a base char
+    * followed by marks is normalized as one cluster so decomposed input
+    * ("e" + U+0301) composes to the same codepoints as precomposed input
+    * ("é") — the reference's nfkc tables compose too (lib/nfkc.c
+    * grn_nfkc_compose), and web-crawl text mixes both forms freely. The
+    * cp >= 0x300 pre-check keeps the ASCII/ideograph fast path branchless.
+    */
+  @inline private def isCombining(cp: Int): Boolean = {
+    val t = Character.getType(cp)
+    t == Character.NON_SPACING_MARK || t == Character.COMBINING_SPACING_MARK ||
+      t == Character.ENCLOSING_MARK
+  }
 
   /** Per-codepoint NFKC: decompose/compose a single codepoint. Multi-codepoint
     * interactions (rare compositions) are intentionally out of scope — Groonga's
@@ -121,8 +144,24 @@ object Normalizer {
       val cp = s.codePointAt(i)
       if (isBlank(cp)) {
         if (out > 0) scr.blanks(out - 1) = true
+        i += Character.charCount(cp)
+        cpIdx += 1
       } else {
-        val mapped = nfkcOne(cp)
+        // extend to the full base+marks cluster (see isCombining) — for
+        // ASCII and unmarked text this loop body never runs
+        var clChars = Character.charCount(cp)
+        var clCps = 1
+        var more = true
+        while (more && i + clChars < n) {
+          val mcp = s.codePointAt(i + clChars)
+          if (mcp >= 0x300 && isCombining(mcp)) {
+            clChars += Character.charCount(mcp); clCps += 1
+          } else more = false
+        }
+        val mapped =
+          if (clCps == 1) nfkcOne(cp)
+          else java.text.Normalizer.normalize(
+            s.substring(i, i + clChars), java.text.Normalizer.Form.NFKC)
         if (mapped == null) {
           val lc = Character.toLowerCase(cp)
           scr.ensure(out + 1)
@@ -144,9 +183,9 @@ object Normalizer {
             j += Character.charCount(mcp)
           }
         }
+        i += clChars
+        cpIdx += clCps
       }
-      i += Character.charCount(cp)
-      cpIdx += 1
     }
     new Normalized(scr.cps, scr.types, scr.blanks, scr.offsets, out)
   }
@@ -170,8 +209,23 @@ object Normalizer {
         scr.cps(out) = cp; scr.types(out) = CharType.Others
         scr.blanks(out) = true; scr.offsets(out) = cpIdx
         out += 1
+        i += Character.charCount(cp)
+        cpIdx += 1
       } else {
-        val mapped = nfkcOne(cp)
+        // base+marks cluster composition — same as [[autoScratch]]
+        var clChars = Character.charCount(cp)
+        var clCps = 1
+        var more = true
+        while (more && i + clChars < n) {
+          val mcp = s.codePointAt(i + clChars)
+          if (mcp >= 0x300 && isCombining(mcp)) {
+            clChars += Character.charCount(mcp); clCps += 1
+          } else more = false
+        }
+        val mapped =
+          if (clCps == 1) nfkcOne(cp)
+          else java.text.Normalizer.normalize(
+            s.substring(i, i + clChars), java.text.Normalizer.Form.NFKC)
         if (mapped == null) {
           val lc = Character.toLowerCase(cp)
           scr.ensure(out + 1)
@@ -192,9 +246,9 @@ object Normalizer {
             j += Character.charCount(mcp)
           }
         }
+        i += clChars
+        cpIdx += clCps
       }
-      i += Character.charCount(cp)
-      cpIdx += 1
     }
     new Normalized(scr.cps, scr.types, scr.blanks, scr.offsets, out)
   }
