@@ -1,0 +1,93 @@
+package graft.tools
+
+import graft.core.Corpus
+import graft.index.{IndexBuilder, IndexConfig, IndexReader}
+import graft.search.Engine
+import org.apache.spark.sql.SparkSession
+
+/** The north-star job packaged for `spark-submit` (north rule: "run via
+  * spark-submit ... at two cluster sizes"): unlike [[ScalingBench]] (which
+  * alternates masters inside one JVM to defeat host throttle bursts), this
+  * main sets NO master — parallelism comes entirely from
+  * `spark-submit --master local[N]` (or a real cluster manager), so one
+  * submission IS one cluster size. `scripts/run_spark_submit.sh` packages
+  * the jar and submits at N and 4N, then reports scaling efficiency.
+  *
+  * Within one submission it runs `reps` full legs (fresh build into tmpfs +
+  * BM25 batch + single-query latencies) and reports the best leg — same
+  * best-of methodology as ScalingBench (see BASELINE.md §3: the host
+  * throttles CPU in bursts, so the best leg is the un-throttled capability).
+  *
+  * Args: [nFiles] [reps]. Prints one JSON line on stdout.
+  */
+object SubmitBench {
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
+    f.delete(): Unit
+  }
+
+  def main(args: Array[String]): Unit = {
+    val nFiles = if (args.nonEmpty) args(0).toLong else 160000L
+    val reps = if (args.length > 1) args(1).toInt else 3
+    val spark = SparkSession.builder()
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val cores = spark.sparkContext.defaultParallelism
+
+    val queryTerms: Seq[String] =
+      Seq("if", "return", "while") ++ Seq(5, 40, 300).map(Corpus.ident) ++
+        Seq(2000, 3000, 4000, 4500).map(Corpus.ident)
+    val batch = (0 until 256).map { i =>
+      val a = queryTerms(i % queryTerms.size)
+      val b = queryTerms((i * 7 + 3) % queryTerms.size)
+      val c = Corpus.ident(800 + (i * 13) % 3000)
+      (i.toLong, if (a == b) s"$a $c" else s"$a $b $c")
+    }
+
+    var bestFps = 0.0
+    var bestQps = 0.0
+    var bestP50 = Double.MaxValue
+    val dir = "/dev/shm/graft-submit-build"
+    for (rep <- 1 to reps) {
+      deleteRecursively(new java.io.File(dir))
+      val docs = spark.range(0, nFiles, 1, 64).map { i =>
+        val f = Corpus.file(42L, i)
+        (i, f.repo, f.path, f.commit, f.lang, f.content)
+      }.toDF("docId", "repo", "path", "commit", "lang", "content")
+      val t0 = System.nanoTime()
+      IndexBuilder.build(spark, docs, dir,
+        IndexConfig(tokenizerName = "TokenBigram", withPositions = true,
+          nShards = 64, buildPartitions = 64,
+          hotTermDf = math.max(1000L, nFiles / 8), nSalts = 8))
+      val fps = nFiles / ((System.nanoTime() - t0) / 1e9)
+      if (fps > bestFps) bestFps = fps
+
+      val reader = new IndexReader(spark, dir).cacheForServing()
+      Engine.bm25TopKBatch(reader, batch, 10).count() // warm
+      val tq = System.nanoTime()
+      Engine.bm25TopKBatch(reader, batch, 10).count()
+      val qps = batch.size / ((System.nanoTime() - tq) / 1e9)
+      if (qps > bestQps) bestQps = qps
+      val lats = queryTerms.take(6).map { q =>
+        val t = System.nanoTime()
+        Engine.bm25TopK(reader, q, 10).collect()
+        (System.nanoTime() - t) / 1e6
+      }.sorted
+      val p50 = lats(lats.size / 2)
+      if (p50 < bestP50) bestP50 = p50
+      System.err.println(
+        f"rep $rep cores=$cores: build $fps%.1f files/s, batch $qps%.1f qps, p50 $p50%.0f ms")
+    }
+    deleteRecursively(new java.io.File(dir))
+    println(
+      s"""{"metric":"spark_submit_leg","cores":$cores,"n_files":$nFiles,"reps":$reps,""" +
+        s""""build_files_per_sec":${f"$bestFps%.1f"},"bm25_batch_qps":${f"$bestQps%.1f"},""" +
+        s""""bm25_p50_ms":${f"$bestP50%.1f"}}""")
+    spark.stop()
+  }
+}
