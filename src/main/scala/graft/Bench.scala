@@ -142,6 +142,26 @@ object Bench {
       s
     }.min
 
+    // ---- driver-local serving (LocalServing): same WAND kernel over an
+    // LRU postings cache, no job submission — the reference's warmed
+    // select-path analogue. First pass pays one term-pruned fetch per
+    // novel term; steady state is the postings walk alone.
+    val local = new graft.search.LocalServing(reader)
+    bmQueries.foreach(q => local.bm25TopK(q, 10)) // warm the term cache
+    val localLats = bmQueries.map { q =>
+      (1 to 3).map { _ =>
+        val (_, s) = time(local.bm25TopK(q, 10))
+        s * 1000.0
+      }.min
+    }.sorted
+    def lpct(p: Double): Double =
+      localLats(math.min(localLats.size - 1, (p * localLats.size).toInt))
+    val localN = 2000
+    val (_, localSec) = time {
+      var i = 0
+      while (i < localN) { local.bm25TopK(bmQueries(i % bmQueries.size), 10); i += 1 }
+    }
+
     // ---- query-result cache: repeated identical selects skip job
     // submission entirely (LocalRelation rebuild — a map lookup, not a
     // job). Reads go through collect(): LocalTableScan executeCollect is
@@ -191,6 +211,7 @@ object Bench {
         s""""xn_files_per_sec":${f"${bestFps(cpus)}%.1f"},"efficiency":${f"$effHigh%.3f"},"bandwidth_ceiling":0.51},""" +
         s""""bm25":{"n_queries":${bmQueries.size},"p50_ms":${f"${pct(0.5)}%.1f"},"p95_ms":${f"${pct(0.95)}%.1f"}},""" +
         s""""bm25_batch":{"n":${batch.size},"sec":${f"$batchSec%.3f"},"qps":${f"${batch.size / batchSec}%.1f"}},""" +
+        s""""bm25_local":{"n_queries":${bmQueries.size},"p50_ms":${f"${lpct(0.5)}%.2f"},"p95_ms":${f"${lpct(0.95)}%.2f"},"qps":${f"${localN / localSec}%.1f"}},""" +
         s""""select_cached":{"n":$cacheN,"sec":${f"$cacheSec%.3f"},"qps":${f"${cacheN / cacheSec}%.1f"}}}""")
     spark.stop()
   }

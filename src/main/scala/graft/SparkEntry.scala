@@ -242,6 +242,14 @@ object SparkEntry {
       scoredQ4(Engine.bm25TopK(DocIndex.reader(s, d), "spark dup", 10))
         .orderBy(desc("score_q4"), asc("doc_id"))),
 
+    // driver-local serving path (LRU postings cache + the same WAND
+    // kernel, zero job submission) — must match the distributed path and
+    // therefore the same oracle as ft_bm25_topk
+    "ft_bm25_local_topk" -> ((s, d) =>
+      scoredQ4(new graft.search.LocalServing(DocIndex.reader(s, d))
+        .bm25TopKDs("spark dup", 10))
+        .orderBy(desc("score_q4"), asc("doc_id"))),
+
     // lexicon = term dictionary with global df/cf (reference grn_ii stats)
     "ft_lexicon" -> ((s, d) => DocIndex.reader(s, d).lexicon
       .select(col("term"), col("df"), col("cf")).orderBy("term")),
@@ -717,6 +725,23 @@ object SparkEntry {
          |FROM sc ORDER BY doc_id""".stripMargin,
 
     "ft_bm25_topk" ->
+      s"""WITH $W,
+         |dl AS (SELECT doc_id, count(*) AS dl FROM words GROUP BY doc_id),
+         |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+         |tf AS (SELECT doc_id, w, count(*) AS tf FROM words
+         |  WHERE w IN ('spark', 'dup') GROUP BY doc_id, w),
+         |dfx AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+         |sc AS (SELECT tf.doc_id,
+         |  sum(ln((n - df + 0.5) / (df + 0.5) + 1.0)
+         |      * tf * (1.2 + 1.0) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))) AS score
+         | FROM tf JOIN dfx USING (w) JOIN dl USING (doc_id) CROSS JOIN stats
+         | GROUP BY tf.doc_id)
+         |SELECT doc_id, CAST(round(score * 10000) AS BIGINT) AS score_q4
+         |FROM sc ORDER BY score_q4 DESC, doc_id LIMIT 10""".stripMargin,
+
+    // identical math to ft_bm25_topk — the local serving path must be
+    // rank- and score-identical to the distributed one
+    "ft_bm25_local_topk" ->
       s"""WITH $W,
          |dl AS (SELECT doc_id, count(*) AS dl FROM words GROUP BY doc_id),
          |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),

@@ -1,0 +1,163 @@
+package graft.search
+
+import graft.codec.{Norms, PostingBlock}
+import graft.index.IndexReader
+import org.apache.spark.sql.Dataset
+
+/** Driver-local BM25 serving over a warmed reader — the Spark-free analogue
+  * of the reference's select path on an always-mmap'd index (postings walk
+  * lib/ii.c:4182-4212 + top-k): a query touches ONLY its terms' posting
+  * lists, cached in a byte-bounded LRU, and runs the same block-max WAND
+  * kernel the distributed path runs, entirely on the calling thread. No job
+  * submission, no shuffle — latency is the postings walk itself (~µs-ms),
+  * not Spark scheduling (~100 ms+).
+  *
+  * Scale honesty (100 TB): this is the PER-SHARD-SERVER loop, not a driver
+  * funnel. Cost and memory are ∝ the query terms' postings (bounded by the
+  * LRU budget), never ∝ the index. A term whose estimated postings exceed
+  * the budget falls back to the distributed [[Engine.bm25TopK]] — correct
+  * on any input, fast on the serving working set. At web scale the corpus
+  * is sharded across serving nodes, each running exactly this loop over its
+  * shard group; the Spark path remains for batch analytics.
+  *
+  * Rank identity: the cursors, WAND kernel, and (score desc, docId asc)
+  * ordering are the SAME code objects as the distributed path, so results
+  * are bit-identical (LocalServingSpec pins equality, fallback included).
+  *
+  * A LocalServing instance is bound to one reader snapshot — rebuild or
+  * compaction means a new reader and a new instance (same epoch discipline
+  * as the select result cache).
+  *
+  * @param maxCachedBytes LRU budget over encoded posting bytes (default 256 MiB)
+  */
+final class LocalServing(
+    val reader: IndexReader,
+    maxCachedBytes: Long = 256L << 20
+) {
+  require(maxCachedBytes > 0, "maxCachedBytes must be positive")
+
+  /** Cached postings of one term: per-shard merged (salt-combined) blocks. */
+  private final class Entry(val perShard: Array[(Int, Array[PostingBlock])], val bytes: Long)
+
+  private val cache = new java.util.LinkedHashMap[String, Entry](64, 0.75f, true)
+  private var cachedBytes = 0L
+  private var hitCount = 0L
+  private var missCount = 0L
+  private var fallbackCount = 0L
+
+  def hits: Long = synchronized(hitCount)
+  def misses: Long = synchronized(missCount)
+  def fallbacks: Long = synchronized(fallbackCount)
+
+  /** ~bytes per posting for the pre-fetch budget check (delta-varint docId +
+    * varint tf; positions add more, so this under-estimate only errs toward
+    * allowing a fetch the LRU then bounds anyway).
+    */
+  private val estBytesPerPosting = 6L
+
+  /** Per-shard decoded norms, built once per shard on first use — decoding
+    * the varint blob per query would dominate the postings walk. One int
+    * per doc of the shard: the same footprint the executor-side broadcast
+    * already pays, held once per serving process.
+    */
+  private val normsCache = new java.util.concurrent.ConcurrentHashMap[Int, Norms.Lookup]()
+  private def normsFor(shard: Int): Norms.Lookup =
+    normsCache.computeIfAbsent(shard, sh => Norms.decode(reader.normsBroadcast.value(sh)))
+
+  private def evictTo(budget: Long): Unit = {
+    val it = cache.entrySet().iterator()
+    while (cachedBytes > budget && it.hasNext) {
+      val e = it.next()
+      cachedBytes -= e.getValue.bytes
+      it.remove()
+    }
+  }
+
+  /** Fetch-and-cache postings for `terms` (one term-pruned job for all
+    * misses together). Returns None when the missing terms' estimated bytes
+    * exceed the whole budget — the caller must use the distributed path.
+    */
+  private def postingsFor(
+      terms: Seq[String],
+      dfs: Map[String, Long]): Option[Map[String, Array[(Int, Array[PostingBlock])]]] =
+    synchronized {
+      val missing = terms.filterNot(cache.containsKey)
+      val estMissing = missing.map(t => dfs.getOrElse(t, 0L) * estBytesPerPosting).sum
+      if (estMissing > maxCachedBytes) { fallbackCount += 1; return None }
+      if (missing.nonEmpty) {
+        missCount += missing.size
+        val rows = reader.segmentsFor(missing).collect()
+        val withPos = reader.manifest.withPositions
+        missing.foreach { t =>
+          val mine = rows.filter(_.term == t)
+          val perShard = mine.groupBy(_.shard).toArray.map { case (sh, rs) =>
+            sh -> TermCursor.mergedBlocks(rs.toSeq, withPos)
+          }
+          val bytes = perShard.iterator
+            .flatMap(_._2.iterator).map(_.data.length.toLong).sum
+          cache.put(t, new Entry(perShard, bytes))
+          cachedBytes += bytes
+        }
+        evictTo(maxCachedBytes)
+      }
+      val got = terms.flatMap { t =>
+        Option(cache.get(t)).map(e => t -> e.perShard)
+      }.toMap
+      hitCount += (terms.size - missing.size)
+      // a term can be evicted by a same-call sibling before it is read back;
+      // serve the distributed path rather than partial data
+      val incomplete = terms.exists(t => dfs.getOrElse(t, 0L) > 0L && !got.contains(t))
+      if (incomplete) { fallbackCount += 1; None } else Some(got)
+    }
+
+  /** Top-k BM25, driver-local. Result ordering and scores are bit-identical
+    * to `Engine.bm25TopK(reader, text, k).collect()` sorted by
+    * (score desc, docId asc).
+    */
+  def bm25TopK(text: String, k: Int, bm25: Bm25 = Bm25()): Seq[ScoredDoc] = {
+    val qtoks = Searcher.queryTokens(reader, text)
+    if (qtoks.isEmpty) return Seq.empty
+    val terms = qtoks.map(_.term).distinct
+    val stats = reader.termStats(terms)
+    val dfs = terms.map(t => t -> stats.get(t).map(_._1).getOrElse(0L)).toMap
+    val n = reader.manifest.numDocs
+    val avgdl = reader.manifest.avgDoclen
+    val withPos = reader.manifest.withPositions
+    val termIdx: Map[String, Int] = terms.zipWithIndex.toMap
+    val idfs: Map[String, Double] = terms.map(t => t -> bm25.idf(n, dfs(t))).toMap
+
+    postingsFor(terms, dfs) match {
+      case None =>
+        // distributed fallback: same kernel, cluster-side
+        Engine.bm25TopK(reader, text, k, useWand = true, bm25 = bm25)
+          .collect().toSeq
+          .sortWith((a, b) => a.score > b.score || (a.score == b.score && a.docId < b.docId))
+      case Some(byTerm) =>
+        val deleted = reader.deletedIds
+        // regroup term->shards as shard->cursors
+        val byShard = scala.collection.mutable.Map[Int, List[TermCursor]]()
+        byTerm.foreach { case (t, perShard) =>
+          perShard.foreach { case (sh, blocks) =>
+            val c = new TermCursor(blocks, withPos, termIdx(t), idfs(t), bm25)
+            byShard(sh) = c :: byShard.getOrElse(sh, Nil)
+          }
+        }
+        val candidates = byShard.iterator.flatMap { case (sh, cursors) =>
+          val lookup = normsFor(sh)
+          Bm25Shard.wand(cursors.sortBy(_.termIdx), lookup.apply, avgdl, bm25, k, deleted)
+        }.toSeq
+        candidates
+          .sortWith((a, b) => a.score > b.score || (a.score == b.score && a.docId < b.docId))
+          .take(k)
+    }
+  }
+
+  /** Dataset view of [[bm25TopK]] (a LocalRelation — composes with SetOps /
+    * drilldowns without launching a job for the search itself).
+    */
+  def bm25TopKDs(text: String, k: Int, bm25: Bm25 = Bm25()): Dataset[ScoredDoc] = {
+    val spark = reader.spark
+    import spark.implicits._
+    spark.createDataset(bm25TopK(text, k, bm25))
+  }
+}
