@@ -161,6 +161,25 @@ object Bench {
       var i = 0
       while (i < localN) { local.bm25TopK(bmQueries(i % bmQueries.size), 10); i += 1 }
     }
+    // concurrent serving: queries are independent postings walks (the LRU
+    // lock covers only the cache lookup), so a serving node scales with
+    // threads — measure 8 workers over the same warmed cache
+    val mtThreads = 8
+    val (_, localMtSec) = time {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(mtThreads)
+      val done = new java.util.concurrent.CountDownLatch(localN)
+      var i = 0
+      while (i < localN) {
+        val q = bmQueries(i % bmQueries.size)
+        pool.execute { () =>
+          try local.bm25TopK(q, 10): Unit
+          finally done.countDown() // a throwing task must not hang await()
+        }
+        i += 1
+      }
+      done.await()
+      pool.shutdown()
+    }
 
     // ---- query-result cache: repeated identical selects skip job
     // submission entirely (LocalRelation rebuild — a map lookup, not a
@@ -211,7 +230,7 @@ object Bench {
         s""""xn_files_per_sec":${f"${bestFps(cpus)}%.1f"},"efficiency":${f"$effHigh%.3f"},"bandwidth_ceiling":0.51},""" +
         s""""bm25":{"n_queries":${bmQueries.size},"p50_ms":${f"${pct(0.5)}%.1f"},"p95_ms":${f"${pct(0.95)}%.1f"}},""" +
         s""""bm25_batch":{"n":${batch.size},"sec":${f"$batchSec%.3f"},"qps":${f"${batch.size / batchSec}%.1f"}},""" +
-        s""""bm25_local":{"n_queries":${bmQueries.size},"p50_ms":${f"${lpct(0.5)}%.2f"},"p95_ms":${f"${lpct(0.95)}%.2f"},"qps":${f"${localN / localSec}%.1f"}},""" +
+        s""""bm25_local":{"n_queries":${bmQueries.size},"p50_ms":${f"${lpct(0.5)}%.2f"},"p95_ms":${f"${lpct(0.95)}%.2f"},"qps":${f"${localN / localSec}%.1f"},"qps_mt$mtThreads":${f"${localN / localMtSec}%.1f"}},""" +
         s""""select_cached":{"n":$cacheN,"sec":${f"$cacheSec%.3f"},"qps":${f"${cacheN / cacheSec}%.1f"}}}""")
     spark.stop()
   }

@@ -20,21 +20,26 @@ object CharType {
   * blanks are removed from the normalized text and a blank flag is set on the
   * character that preceded the removed run.
   *
-  * @param cps     normalized codepoints (blank characters removed)
-  * @param types   char class per normalized codepoint ([[CharType]])
-  * @param blanks  true when a blank followed this char in the original text
-  * @param offsets original codepoint index for each normalized codepoint
-  *                (the "checks" analogue used by highlight/snippet)
+  * @param cps        normalized codepoints (blank characters removed)
+  * @param types      char class per normalized codepoint ([[CharType]])
+  * @param blanks     true when a blank followed this char in the original text
+  * @param offsets    original codepoint index where this normalized codepoint
+  *                   STARTS (cluster base — the "checks" analogue used by
+  *                   highlight/snippet span starts)
+  * @param endOffsets end-exclusive original codepoint index this normalized
+  *                   codepoint covers — for a composed base+marks cluster this
+  *                   is base + clusterSize, so span ends include the marks
   */
 final class Normalized(
     val cps: Array[Int],
     val types: Array[Byte],
     val blanks: Array[Boolean],
     val offsets: Array[Int],
+    val endOffsets: Array[Int],
     val length: Int
 ) {
   def this(cps: Array[Int], types: Array[Byte], blanks: Array[Boolean], offsets: Array[Int]) =
-    this(cps, types, blanks, offsets, cps.length)
+    this(cps, types, blanks, offsets, offsets.map(_ + 1), cps.length)
   def text: String = new String(cps, 0, length)
   def slice(from: Int, until: Int): String = new String(cps, from, until - from)
 }
@@ -48,12 +53,14 @@ final class Normalized(
   * block normalizes — full-width/half-width forms, compatibility
   * ligatures, circled/superscript digits, Hangul compatibility jamo, CJK
   * compatibility ideographs, all singleton decompositions. Combining
-  * sequences compose at the base+marks cluster level (decomposed
-  * "e"+U+0301 ≡ precomposed "é", matching the reference's
-  * grn_nfkc_compose); composition ACROSS a cluster boundary (reordered
-  * marks split by other text) is the only out-of-scope case. Offsets map
-  * each normalized codepoint to the ORIGINAL codepoint index of its
-  * cluster base, which is what highlight/snippet need.
+  * sequences compose at the cluster level — base+marks (decomposed
+  * "e"+U+0301 ≡ precomposed "é") and Hangul conjoining jamo L+V+T (NFD
+  * Korean ≡ precomposed syllables, the form macOS emits) — matching the
+  * reference's grn_nfkc_compose. Out of scope: canonical REORDERING
+  * across a cluster boundary (marks separated from their base by
+  * unrelated codepoints), which needs full-string normalization. Each
+  * normalized codepoint maps to its cluster's original span
+  * [offsets(k), endOffsets(k)), which is what highlight/snippet need.
   */
 object Normalizer {
 
@@ -73,17 +80,23 @@ object Normalizer {
   @inline private def isBlank(cp: Int): Boolean =
     Character.isWhitespace(cp) || cp == 0x3000 || cp == 0xfffe
 
-  /** Combining mark (Mn/Mc/Me)? Gates the composition path: a base char
-    * followed by marks is normalized as one cluster so decomposed input
-    * ("e" + U+0301) composes to the same codepoints as precomposed input
-    * ("é") — the reference's nfkc tables compose too (lib/nfkc.c
-    * grn_nfkc_compose), and web-crawl text mixes both forms freely. The
-    * cp >= 0x300 pre-check keeps the ASCII/ideograph fast path branchless.
+  /** Does `cp` extend the current base's cluster? Combining marks (Mn/Mc/Me)
+    * and Hangul vowel/trailing conjoining jamo: a base followed by these is
+    * normalized as one cluster so decomposed input ("e"+U+0301, or NFD
+    * Korean L+V+T jamo) composes to the same codepoints as precomposed
+    * input — the reference's nfkc tables compose too (lib/nfkc.c
+    * grn_nfkc_compose), and web-crawl text mixes both forms freely (macOS
+    * filenames are NFD). The caller's cp >= 0x300 pre-check keeps the
+    * ASCII/ideograph fast path branchless.
     */
-  @inline private def isCombining(cp: Int): Boolean = {
-    val t = Character.getType(cp)
-    t == Character.NON_SPACING_MARK || t == Character.COMBINING_SPACING_MARK ||
-      t == Character.ENCLOSING_MARK
+  @inline private def extendsCluster(cp: Int): Boolean = {
+    if (cp >= 0x1161 && cp <= 0x1175) true // Hangul conjoining vowel jamo
+    else if (cp >= 0x11a8 && cp <= 0x11c2) true // Hangul conjoining trailing jamo
+    else {
+      val t = Character.getType(cp)
+      t == Character.NON_SPACING_MARK || t == Character.COMBINING_SPACING_MARK ||
+        t == Character.ENCLOSING_MARK
+    }
   }
 
   /** Per-codepoint NFKC: decompose/compose a single codepoint. Multi-codepoint
@@ -108,6 +121,12 @@ object Normalizer {
     var types = new Array[Byte](256)
     var blanks = new Array[Boolean](256)
     var offsets = new Array[Int](256)
+    var endOffsets = new Array[Int](256)
+    // per-call cluster-scan results (fields, not a tuple — the ASCII hot
+    // path must not allocate per character)
+    var clMapped: String = null
+    var clChars: Int = 0
+    var clCps: Int = 0
     def ensure(needed: Int): Unit = {
       if (needed > cps.length) {
         val cap = math.max(cps.length * 2, needed)
@@ -115,8 +134,32 @@ object Normalizer {
         types = java.util.Arrays.copyOf(types, cap)
         blanks = java.util.Arrays.copyOf(blanks, cap)
         offsets = java.util.Arrays.copyOf(offsets, cap)
+        endOffsets = java.util.Arrays.copyOf(endOffsets, cap)
       }
     }
+  }
+
+  /** Extend the cluster whose base codepoint `cp` starts at char index `i`,
+    * and NFKC-map it; results land in `scr.clMapped` (null = identity
+    * modulo lowercase) / `scr.clChars` / `scr.clCps`. Shared by
+    * [[autoScratch]] and [[autoKeepBlank]] so the two paths cannot drift.
+    */
+  private def scanCluster(s: String, i: Int, n: Int, cp: Int, scr: Scratch): Unit = {
+    var clChars = Character.charCount(cp)
+    var clCps = 1
+    var more = true
+    while (more && i + clChars < n) {
+      val mcp = s.codePointAt(i + clChars)
+      if (mcp >= 0x300 && extendsCluster(mcp)) {
+        clChars += Character.charCount(mcp); clCps += 1
+      } else more = false
+    }
+    scr.clMapped =
+      if (clCps == 1) nfkcOne(cp)
+      else java.text.Normalizer.normalize(
+        s.substring(i, i + clChars), java.text.Normalizer.Form.NFKC)
+    scr.clChars = clChars
+    scr.clCps = clCps
   }
 
   def auto(s: String): Normalized = autoScratch(s, new Scratch)
@@ -147,26 +190,17 @@ object Normalizer {
         i += Character.charCount(cp)
         cpIdx += 1
       } else {
-        // extend to the full base+marks cluster (see isCombining) — for
-        // ASCII and unmarked text this loop body never runs
-        var clChars = Character.charCount(cp)
-        var clCps = 1
-        var more = true
-        while (more && i + clChars < n) {
-          val mcp = s.codePointAt(i + clChars)
-          if (mcp >= 0x300 && isCombining(mcp)) {
-            clChars += Character.charCount(mcp); clCps += 1
-          } else more = false
-        }
-        val mapped =
-          if (clCps == 1) nfkcOne(cp)
-          else java.text.Normalizer.normalize(
-            s.substring(i, i + clChars), java.text.Normalizer.Form.NFKC)
+        // extend to the full base+marks cluster (see scanCluster) — for
+        // ASCII and unmarked text the extension loop never iterates
+        scanCluster(s, i, n, cp, scr)
+        val mapped = scr.clMapped
+        val clEnd = cpIdx + scr.clCps
         if (mapped == null) {
           val lc = Character.toLowerCase(cp)
           scr.ensure(out + 1)
           scr.cps(out) = lc; scr.types(out) = classify(lc)
-          scr.blanks(out) = false; scr.offsets(out) = cpIdx
+          scr.blanks(out) = false
+          scr.offsets(out) = cpIdx; scr.endOffsets(out) = clEnd
           out += 1
         } else {
           var j = 0
@@ -177,17 +211,18 @@ object Normalizer {
               val lc = Character.toLowerCase(mcp)
               scr.ensure(out + 1)
               scr.cps(out) = lc; scr.types(out) = classify(lc)
-              scr.blanks(out) = false; scr.offsets(out) = cpIdx
+              scr.blanks(out) = false
+              scr.offsets(out) = cpIdx; scr.endOffsets(out) = clEnd
               out += 1
             }
             j += Character.charCount(mcp)
           }
         }
-        i += clChars
-        cpIdx += clCps
+        i += scr.clChars
+        cpIdx = clEnd
       }
     }
-    new Normalized(scr.cps, scr.types, scr.blanks, scr.offsets, out)
+    new Normalized(scr.cps, scr.types, scr.blanks, scr.offsets, scr.endOffsets, out)
   }
 
   /** [[auto]] with blanks KEPT as codepoints — the `normalize` command's
@@ -207,30 +242,22 @@ object Normalizer {
       if (isBlank(cp)) {
         scr.ensure(out + 1)
         scr.cps(out) = cp; scr.types(out) = CharType.Others
-        scr.blanks(out) = true; scr.offsets(out) = cpIdx
+        scr.blanks(out) = true
+        scr.offsets(out) = cpIdx; scr.endOffsets(out) = cpIdx + 1
         out += 1
         i += Character.charCount(cp)
         cpIdx += 1
       } else {
-        // base+marks cluster composition — same as [[autoScratch]]
-        var clChars = Character.charCount(cp)
-        var clCps = 1
-        var more = true
-        while (more && i + clChars < n) {
-          val mcp = s.codePointAt(i + clChars)
-          if (mcp >= 0x300 && isCombining(mcp)) {
-            clChars += Character.charCount(mcp); clCps += 1
-          } else more = false
-        }
-        val mapped =
-          if (clCps == 1) nfkcOne(cp)
-          else java.text.Normalizer.normalize(
-            s.substring(i, i + clChars), java.text.Normalizer.Form.NFKC)
+        // base+marks cluster composition — same scanCluster as autoScratch
+        scanCluster(s, i, n, cp, scr)
+        val mapped = scr.clMapped
+        val clEnd = cpIdx + scr.clCps
         if (mapped == null) {
           val lc = Character.toLowerCase(cp)
           scr.ensure(out + 1)
           scr.cps(out) = lc; scr.types(out) = classify(lc)
-          scr.blanks(out) = false; scr.offsets(out) = cpIdx
+          scr.blanks(out) = false
+          scr.offsets(out) = cpIdx; scr.endOffsets(out) = clEnd
           out += 1
         } else {
           var j = 0
@@ -241,16 +268,17 @@ object Normalizer {
             scr.ensure(out + 1)
             scr.cps(out) = lc
             scr.types(out) = if (blank) CharType.Others else classify(lc)
-            scr.blanks(out) = blank; scr.offsets(out) = cpIdx
+            scr.blanks(out) = blank
+            scr.offsets(out) = cpIdx; scr.endOffsets(out) = clEnd
             out += 1
             j += Character.charCount(mcp)
           }
         }
-        i += clChars
-        cpIdx += clCps
+        i += scr.clChars
+        cpIdx = clEnd
       }
     }
-    new Normalized(scr.cps, scr.types, scr.blanks, scr.offsets, out)
+    new Normalized(scr.cps, scr.types, scr.blanks, scr.offsets, scr.endOffsets, out)
   }
 
   /** Raw mode = lexicon without a normalizer, n-gram flavor: the reference's

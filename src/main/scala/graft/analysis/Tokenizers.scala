@@ -97,7 +97,7 @@ final class NgramTokenizer(
     emitTokens(nz, mode) { (p, r, posCtr, forcePrefix) =>
       out += Token(nz.slice(p, r), posCtr,
         forcePrefix && mode == TokenizeMode.Get,
-        nz.offsets(p), if (r - 1 < e) nz.offsets(r - 1) + 1 else nz.offsets(e - 1) + 1)
+        nz.offsets(p), if (r - 1 < e) nz.endOffsets(r - 1) else nz.endOffsets(e - 1))
     }
     out.result()
   }
@@ -207,7 +207,7 @@ final class DelimitTokenizer(val normalizer: String => Normalized) extends GToke
     val out = Vector.newBuilder[Token]
     emitTokens(nz) { (i, end, pos) =>
       out += Token(nz.slice(i, end), pos, forcePrefix = false,
-        nz.offsets(i), nz.offsets(end - 1) + 1)
+        nz.offsets(i), nz.endOffsets(end - 1))
     }
     out.result()
   }

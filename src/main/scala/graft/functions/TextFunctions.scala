@@ -67,7 +67,7 @@ object TextFunctions {
             val b = nChar2cp(idx + k.length)
             if (b > a && b <= nz.length) {
               val startCp = nz.offsets(a)
-              val endCp = nz.offsets(b - 1) + 1
+              val endCp = nz.endOffsets(b - 1)
               spans += ((cp2char(startCp), cp2char(endCp), g))
             }
             idx = ntext.indexOf(k, idx + 1)
@@ -164,8 +164,8 @@ object TextFunctions {
       val b = nChar2cp(idx + k.length)
       if (b > a && b <= nz.length) {
         val startCp =
-          if (a == 0) 0 else math.min(nz.offsets(a), nz.offsets(a - 1) + 1)
-        val endCp = nz.offsets(b - 1) + 1
+          if (a == 0) 0 else math.min(nz.offsets(a), nz.endOffsets(a - 1))
+        val endCp = nz.endOffsets(b - 1)
         occ += ((cp2char(startCp), cp2char(endCp)))
       }
       idx = ntext.indexOf(k, idx + 1)

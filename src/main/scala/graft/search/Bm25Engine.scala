@@ -125,8 +125,19 @@ object TermCursor {
   */
 object Bm25Shard {
 
+  /** THE result ordering — (score desc, docId asc) — shared by every path
+    * (WAND, exhaustive, the local serving sort, specs) so a tie-break edit
+    * cannot silently diverge one of them.
+    */
+  val resultOrdering: Ordering[ScoredDoc] = new Ordering[ScoredDoc] {
+    def compare(a: ScoredDoc, b: ScoredDoc): Int = {
+      val c = java.lang.Double.compare(b.score, a.score)
+      if (c != 0) c else java.lang.Long.compare(a.docId, b.docId)
+    }
+  }
+
   private def better(a: ScoredDoc, b: ScoredDoc): Boolean =
-    a.score > b.score || (a.score == b.score && a.docId < b.docId)
+    resultOrdering.compare(a, b) < 0
 
   /** min-heap by "weakness": head is the candidate to evict. */
   private val weakestFirst: Ordering[ScoredDoc] = new Ordering[ScoredDoc] {

@@ -41,13 +41,19 @@ final class LocalServing(
 
   private val cache = new java.util.LinkedHashMap[String, Entry](64, 0.75f, true)
   private var cachedBytes = 0L
-  private var hitCount = 0L
-  private var missCount = 0L
-  private var fallbackCount = 0L
+  private val hitCount = new java.util.concurrent.atomic.AtomicLong
+  private val missCount = new java.util.concurrent.atomic.AtomicLong
+  private val fallbackCount = new java.util.concurrent.atomic.AtomicLong
+  // terms whose REAL encoded bytes exceed the whole budget (the df-based
+  // pre-estimate can undershoot with positions on): never cached — caching
+  // one would wipe every warm entry and still end in a fallback — and
+  // remembered so later queries skip straight to the distributed path
+  // instead of refetching
+  private val oversized = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
-  def hits: Long = synchronized(hitCount)
-  def misses: Long = synchronized(missCount)
-  def fallbacks: Long = synchronized(fallbackCount)
+  def hits: Long = hitCount.get
+  def misses: Long = missCount.get
+  def fallbacks: Long = fallbackCount.get
 
   /** ~bytes per posting for the pre-fetch budget check (delta-varint docId +
     * varint tf; positions add more, so this under-estimate only errs toward
@@ -74,41 +80,58 @@ final class LocalServing(
   }
 
   /** Fetch-and-cache postings for `terms` (one term-pruned job for all
-    * misses together). Returns None when the missing terms' estimated bytes
-    * exceed the whole budget — the caller must use the distributed path.
+    * misses together — run OUTSIDE the lock, so concurrent cache-hit
+    * queries never stall behind a cold term's Spark fetch). Returns None
+    * when the terms can't be served within the budget — the caller must use
+    * the distributed path.
     */
   private def postingsFor(
       terms: Seq[String],
-      dfs: Map[String, Long]): Option[Map[String, Array[(Int, Array[PostingBlock])]]] =
-    synchronized {
-      val missing = terms.filterNot(cache.containsKey)
-      val estMissing = missing.map(t => dfs.getOrElse(t, 0L) * estBytesPerPosting).sum
-      if (estMissing > maxCachedBytes) { fallbackCount += 1; return None }
-      if (missing.nonEmpty) {
-        missCount += missing.size
+      dfs: Map[String, Long]): Option[Map[String, Array[(Int, Array[PostingBlock])]]] = {
+    if (terms.exists(oversized.contains)) { fallbackCount.incrementAndGet(); return None }
+    val missing = synchronized { terms.filterNot(cache.containsKey) }
+    val estMissing = missing.map(t => dfs.getOrElse(t, 0L) * estBytesPerPosting).sum
+    if (estMissing > maxCachedBytes) { fallbackCount.incrementAndGet(); return None }
+
+    // fetch + decode-merge outside the lock; two threads racing on the same
+    // term fetch twice and the second insert is a no-op — correct, and far
+    // cheaper than serializing all hits behind the job
+    val fetched: Seq[(String, Entry)] =
+      if (missing.isEmpty) Seq.empty
+      else {
+        missCount.addAndGet(missing.size.toLong)
         val rows = reader.segmentsFor(missing).collect()
         val withPos = reader.manifest.withPositions
-        missing.foreach { t =>
+        missing.map { t =>
           val mine = rows.filter(_.term == t)
           val perShard = mine.groupBy(_.shard).toArray.map { case (sh, rs) =>
             sh -> TermCursor.mergedBlocks(rs.toSeq, withPos)
           }
           val bytes = perShard.iterator
             .flatMap(_._2.iterator).map(_.data.length.toLong).sum
-          cache.put(t, new Entry(perShard, bytes))
-          cachedBytes += bytes
+          t -> new Entry(perShard, bytes)
         }
-        evictTo(maxCachedBytes)
       }
+
+    synchronized {
+      fetched.foreach { case (t, e) =>
+        if (e.bytes > maxCachedBytes) oversized.add(t): Unit
+        else if (!cache.containsKey(t)) {
+          cache.put(t, e)
+          cachedBytes += e.bytes
+        }
+      }
+      evictTo(maxCachedBytes)
       val got = terms.flatMap { t =>
         Option(cache.get(t)).map(e => t -> e.perShard)
       }.toMap
-      hitCount += (terms.size - missing.size)
-      // a term can be evicted by a same-call sibling before it is read back;
-      // serve the distributed path rather than partial data
+      hitCount.addAndGet((terms.size - missing.size).toLong)
+      // a term can be oversized, or evicted by a same-call sibling before
+      // read-back; serve the distributed path rather than partial data
       val incomplete = terms.exists(t => dfs.getOrElse(t, 0L) > 0L && !got.contains(t))
-      if (incomplete) { fallbackCount += 1; None } else Some(got)
+      if (incomplete) { fallbackCount.incrementAndGet(); None } else Some(got)
     }
+  }
 
   /** Top-k BM25, driver-local. Result ordering and scores are bit-identical
     * to `Engine.bm25TopK(reader, text, k).collect()` sorted by
@@ -130,8 +153,7 @@ final class LocalServing(
       case None =>
         // distributed fallback: same kernel, cluster-side
         Engine.bm25TopK(reader, text, k, useWand = true, bm25 = bm25)
-          .collect().toSeq
-          .sortWith((a, b) => a.score > b.score || (a.score == b.score && a.docId < b.docId))
+          .collect().toSeq.sorted(Bm25Shard.resultOrdering)
       case Some(byTerm) =>
         val deleted = reader.deletedIds
         // regroup term->shards as shard->cursors
@@ -146,9 +168,7 @@ final class LocalServing(
           val lookup = normsFor(sh)
           Bm25Shard.wand(cursors.sortBy(_.termIdx), lookup.apply, avgdl, bm25, k, deleted)
         }.toSeq
-        candidates
-          .sortWith((a, b) => a.score > b.score || (a.score == b.score && a.docId < b.docId))
-          .take(k)
+        candidates.sorted(Bm25Shard.resultOrdering).take(k)
     }
   }
 

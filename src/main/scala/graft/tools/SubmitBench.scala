@@ -82,6 +82,10 @@ object SubmitBench {
       if (p50 < bestP50) bestP50 = p50
       System.err.println(
         f"rep $rep cores=$cores: build $fps%.1f files/s, batch $qps%.1f qps, p50 $p50%.0f ms")
+      // drop this rep's pinned segments cache before the next rep builds —
+      // accumulating caches would shrink the memory the NEXT build is
+      // measured under (best-of must compare like with like)
+      spark.catalog.clearCache()
     }
     deleteRecursively(new java.io.File(dir))
     println(

@@ -19,6 +19,8 @@ class NormalizerPropertySpec extends AnyFunSuite {
       Seq(0x301, 0x302, 0x308, 0x30a) ++ // combining marks
       "ＡＢｃｄ０１".map(_.toInt) ++ // full-width forms
       "日本語漢字中文".map(_.toInt) ++
+      "한국어".map(_.toInt) ++ // precomposed Hangul (NFD test decomposes)
+      Seq(0x1112, 0x1161, 0x11ab) ++ // conjoining jamo (an NFD 한)
       "ﬁﬂ①㎒".map(_.toInt) ++
       Seq(' ', '\t', '\n').map(_.toInt) ++ Seq(0x3000)
 
@@ -42,6 +44,8 @@ class NormalizerPropertySpec extends AnyFunSuite {
           val o = n.offsets(k)
           assert(o >= 0 && (o < in || (in == 0 && o == 0)), s"offset $o out of range for <$s>")
           assert(o >= prev, s"offsets decreased at $k for <$s>")
+          val e = n.endOffsets(k)
+          assert(e > o && e <= in, s"endOffset $e invalid (start $o, input $in cps) for <$s>")
           prev = o
         }
       }

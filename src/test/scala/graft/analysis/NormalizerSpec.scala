@@ -18,13 +18,34 @@ class NormalizerSpec extends AnyFunSuite {
       Normalizer.autoKeepBlank(precomposed).text)
   }
 
-  test("composed cluster carries its base's original codepoint offset") {
-    val n = Normalizer.auto("a é b") // blanks removed: a, é, b
-    assert(n.text == "aéb")
-    // offsets: a=0, é composes from base at original cp index 2, b=5
+  test("composed cluster carries its full original span (offsets/endOffsets)") {
+    val n = Normalizer.auto("a e\u0301 b") // blanks removed: a, \u00e9, b
+    assert(n.text == "a\u00e9b") // composed
+    // offsets: a=0, \u00e9 composes from base at original cp index 2, b=5
     assert(n.offsets.take(n.length).toSeq == Seq(0, 2, 5))
+    // endOffsets: \u00e9's cluster spans original cps [2, 4) — the combining
+    // mark is INSIDE the span, so highlight/snippet tags include it
+    assert(n.endOffsets.take(n.length).toSeq == Seq(1, 4, 6))
     // the char before a removed blank run is blank-flagged
     assert(n.blanks.take(n.length).toSeq == Seq(true, true, false))
+  }
+
+  test("highlight keeps the combining mark inside the tagged span") {
+    val decomposed = "cafe\u0301" // e + U+0301
+    val html = graft.functions.TextFunctions.highlightHtmlOf(decomposed, Seq("caf\u00e9"))
+    assert(html == s"<span class=\"keyword\">$decomposed</span>",
+      s"mark leaked outside the span: <$html>")
+  }
+
+  test("NFD Korean (conjoining jamo) composes to precomposed syllables") {
+    val precomposed = "\ud55c\uad6d\uc5b4" // 한국어
+    val nfd = java.text.Normalizer.normalize(precomposed, java.text.Normalizer.Form.NFD)
+    assert(nfd.length > precomposed.length) // really decomposed
+    assert(Normalizer.auto(nfd).text == Normalizer.auto(precomposed).text)
+    assert(Normalizer.auto(nfd).text == precomposed)
+    // spans: each composed syllable covers its whole L+V(+T) jamo cluster
+    val n = Normalizer.auto(nfd)
+    assert(n.length == 3 && n.endOffsets(0) - n.offsets(0) >= 2)
   }
 
   test("singleton NFKC mappings cover compat blocks (full-width, ligature, circled)") {

@@ -25,8 +25,7 @@ class LocalServingSpec extends AnyFunSuite {
   }
 
   private def distributed(reader: IndexReader, q: String, k: Int): Seq[ScoredDoc] =
-    Engine.bm25TopK(reader, q, k).collect().toSeq
-      .sortWith((a, b) => a.score > b.score || (a.score == b.score && a.docId < b.docId))
+    Engine.bm25TopK(reader, q, k).collect().toSeq.sorted(Bm25Shard.resultOrdering)
 
   test("local results are bit-identical to the distributed path") {
     val reader = new IndexReader(spark, dir)
