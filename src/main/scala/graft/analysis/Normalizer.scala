@@ -99,6 +99,22 @@ object Normalizer {
     }
   }
 
+  /** Cluster extension with the PREVIOUS codepoint in hand: a Hangul
+    * COMPATIBILITY vowel jamo (U+314F–U+3163, what legacy Korean IMEs and
+    * named HTML entities emit) extends the cluster only after a leading
+    * consonant — compat consonant (U+3131–U+314E) or conjoining choseong
+    * (U+1100–U+1112) — because NFKC maps the pair through conjoining jamo
+    * and then canonically composes them into a precomposed syllable
+    * (ㅎ+ㅏ ≡ 하), exactly like the NFD case above. The prev-gate matters:
+    * unconditional extension would wrongly glue "a"+"ㅏ" into one cluster.
+    * Compat TRAILING consonants need no case — NFKC maps them to choseong
+    * (leading) jamo, which full-string NFKC does not compose either.
+    */
+  @inline private def extendsClusterAfter(prev: Int, cp: Int): Boolean =
+    extendsCluster(cp) ||
+      (cp >= 0x314f && cp <= 0x3163 &&
+        ((prev >= 0x3131 && prev <= 0x314e) || (prev >= 0x1100 && prev <= 0x1112)))
+
   /** Per-codepoint NFKC: decompose/compose a single codepoint. Multi-codepoint
     * interactions (rare compositions) are intentionally out of scope — Groonga's
     * own table is primarily a per-char mapping.
@@ -148,10 +164,11 @@ object Normalizer {
     var clChars = Character.charCount(cp)
     var clCps = 1
     var more = true
+    var prev = cp
     while (more && i + clChars < n) {
       val mcp = s.codePointAt(i + clChars)
-      if (mcp >= 0x300 && extendsCluster(mcp)) {
-        clChars += Character.charCount(mcp); clCps += 1
+      if (mcp >= 0x300 && extendsClusterAfter(prev, mcp)) {
+        clChars += Character.charCount(mcp); clCps += 1; prev = mcp
       } else more = false
     }
     scr.clMapped =

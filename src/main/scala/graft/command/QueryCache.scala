@@ -91,11 +91,29 @@ object QueryCache {
     * identical filters key equal, different ones key apart: an
     * unparseable-corner false MISS is safe, a false HIT is not possible.
     * None = not cacheable (a non-deterministic expression parameter).
+    *
+    * STRING parameters that Select lowers through the SQL parser (`scorer`,
+    * expression `sortby` keys, expression `outputColumns` entries) are
+    * fingerprinted too — `sortby = Seq("rand()")` must bypass the cache
+    * exactly like `sortByCols = Seq(rand())` would (the string itself is
+    * already in `$p` for key uniqueness; the parse here is only the
+    * determinism check). The adjuster grammar (`col @ "value" * factor`)
+    * admits no function calls, so it needs no parse.
     */
   private def keyOf(reader: IndexReader, p: SelectParams): Option[String] = {
+    import org.apache.spark.sql.functions.expr
+    val stringExprs =
+      p.scorer.map(expr).toSeq ++
+        (if (p.sortByCols.isEmpty)
+          p.sortby.map(k => if (k.startsWith("-")) k.drop(1) else k.stripPrefix("+"))
+            .filter(_.contains('(')).map(expr)
+        else Nil) ++
+        (if (p.outputExprs.isEmpty)
+          p.outputColumns.filter(_.contains('(')).map(expr)
+        else Nil)
     val cols = p.filter.toSeq ++ p.filterScore.toSeq ++
       p.scorerAssigns.map(_._2) ++ p.outputExprs.toSeq.flatten.map(_._2) ++
-      p.sortByCols.toSeq.flatten
+      p.sortByCols.toSeq.flatten ++ stringExprs
     val fps = cols.map(fingerprint)
     if (fps.exists(_.isEmpty)) None
     else Some(s"${reader.dir}\u0001${reader.cacheEpoch}\u0001$p\u0001" +

@@ -18,7 +18,9 @@ object DocIndex {
 
   def indexDir(sfDir: String): String = {
     val tag = sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
-    s"${sys.props("java.io.tmpdir")}/graft-docindex-v4/$tag"
+    // v5: manifest gained builtFromContent (pre-field manifests read as
+    // false, disabling the scan-verify escape on cached indexes)
+    s"${sys.props("java.io.tmpdir")}/graft-docindex-v5/$tag"
   }
 
   def reader(spark: SparkSession, sfDir: String): IndexReader = synchronized {

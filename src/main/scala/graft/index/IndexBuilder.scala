@@ -48,6 +48,15 @@ final case class IndexManifest(
     hotTerms: Array[String],
     stagesDone: Seq[String],
     withWeights: Boolean = false,
+    /** True when the postings came from tokenizing the stored docs' `content`
+      * column with `tokenizerName` — the precondition for the
+      * too-many-matches scan-verify escape (re-counting tf from content must
+      * reproduce the posting tf; [[IndexBuilder.buildFromPostings]] indexes
+      * externally-supplied postings, so it writes false). Manifests written
+      * before this field read back as false: the escape stays off for them —
+      * a conservative false MISS of an optimization, never wrong results.
+      */
+    builtFromContent: Boolean = true,
     /** Posting-payload layout version (see [[graft.codec.PostingCodec]]).
       * Readers refuse mismatched versions instead of decoding garbage —
       * v2 payloads (byte 0 = varint n) alias the v3 flag byte silently.
@@ -68,7 +77,7 @@ object IndexManifest {
     s"""{"numDocs":${m.numDocs},"avgDoclen":${m.avgDoclen},"totalTokens":${m.totalTokens},
        |"formatVersion":${m.formatVersion},
        |"tokenizerName":${js(m.tokenizerName)},"withPositions":${m.withPositions},
-       |"withWeights":${m.withWeights},
+       |"withWeights":${m.withWeights},"builtFromContent":${m.builtFromContent},
        |"nShards":${m.nShards},"nSalts":${m.nSalts},
        |"contentShaXor":${m.contentShaXor},
        |"hotTerms":[${m.hotTerms.map(js).mkString(",")}],
@@ -104,6 +113,7 @@ object IndexManifest {
       hotTerms = arr("hotTerms"),
       stagesDone = arr("stagesDone").toSeq,
       withWeights = s.contains("\"withWeights\":true"),
+      builtFromContent = s.contains("\"builtFromContent\":true"),
       // manifests written before versioning carry v2-or-older payloads
       formatVersion =
         if (s.contains("\"formatVersion\":")) num("formatVersion").toInt else 0
@@ -488,7 +498,10 @@ object IndexBuilder {
       contentShaXor = shaSum,
       hotTerms = hotTerms,
       stagesDone = Seq("docs", "lexicon", "norms", "segments"),
-      withWeights = cfg.withWeights
+      withWeights = cfg.withWeights,
+      // externally-supplied postings: content (if stored at all) was NOT
+      // what produced them, so the scan-verify escape must stay off
+      builtFromContent = false
     )
     Files.writeString(base.resolve("manifest.json"), IndexManifest.toJson(manifest))
     manifest

@@ -34,6 +34,8 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** 2^61 − 1 (prime): modulus for the per-permutation hash values. */
   val M61: Long = 2305843009213693951L
 
@@ -326,16 +328,24 @@ object Dedup {
     * self-join is keyed by (band, bucket) — only colliding docs meet.
     *
     * Degenerate-input guard: a bucket of m docs emits m²/2 pair rows, and a
-    * web crawl routinely has 10⁶-member boilerplate clusters whose identical
-    * signatures land every member in the same 16 buckets — ~10¹³ rows from
-    * one bucket. Buckets larger than `maxBucketSize` are therefore DROPPED
-    * from the pair join, and the drop is logged loudly (band, bucket count,
-    * member rows) — use [[lshOverflowBuckets]] for the full metric. The
-    * default cap (10k members = 50M candidate pairs per band-bucket) is far
-    * above anything a genuinely-near-dup bucket produces once exact
-    * duplicates are collapsed first — [[dedupCorpus]] does exactly that, so
-    * under it the cap is a backstop, not a correctness knob. Pass
-    * `Long.MaxValue` for the uncapped join.
+    * web crawl routinely has 10⁶-member boilerplate clusters whose
+    * near-identical signatures land every member in the same 16 buckets —
+    * ~10¹³ rows from one bucket. Buckets larger than `maxBucketSize` are
+    * therefore STAR-LINKED instead of all-paired: each member pairs with the
+    * bucket's min doc_id only — O(m) candidate rows that keep the bucket
+    * CONNECTED (a genuinely-near-dup giant bucket still collapses to one
+    * cluster through the representative; each member is Jaccard-verified
+    * against it), while a coincidental giant bucket costs O(m) failed
+    * verifies instead of O(m²). The degradation is recall at the margin
+    * only: a member similar to SOME bucket doc but not to the min-id rep
+    * loses this bucket's edge (other bands can still pair it). Every
+    * star-linked bucket is logged (count + member rows) — use
+    * [[lshOverflowBuckets]] for the per-bucket metric. The default cap (10k
+    * members = 50M pairs per band-bucket if all-paired) is far above
+    * anything a near-dup bucket produces once exact duplicates are
+    * collapsed first — [[dedupCorpus]] does exactly that, so under it the
+    * cap is a backstop, not a correctness knob. Pass `Long.MaxValue` to
+    * all-pair every bucket.
     */
   def lshCandidatePairs(bandRows: DataFrame, maxBucketSize: Long = 10000L): DataFrame = {
     // the guard + join make several passes over the band rows (size agg,
@@ -344,29 +354,36 @@ object Dedup {
     // (never unpersisted here, like lshBands; re-persisting an already
     // persisted input is a no-op)
     val rows = bandRows.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    if (maxBucketSize < Long.MaxValue) {
-      // one cheap agg action so truncation is never silent (a metric, not a
-      // data pass: one row per overflowing bucket)
-      val over = lshOverflowBuckets(rows, maxBucketSize)
-        .agg(count(lit(1)).as("buckets"), coalesce(sum("n"), lit(0L)).as("members"))
-        .head()
-      if (over.getLong(0) > 0)
-        System.err.println(
-          s"[graft.Dedup] lshCandidatePairs DROPPED ${over.getLong(0)} bucket(s) " +
-            s"holding ${over.getLong(1)} member rows (> $maxBucketSize docs/bucket); " +
-            "run exact dedup first (dedupCorpus does) or raise maxBucketSize")
-    }
-    // singleton buckets can't pair; oversized buckets are dropped — the
-    // join input shrinks to buckets that can actually produce candidates
-    val keep = rows.groupBy("band", "bucket").agg(count(lit(1)).as("__n"))
-      .filter(col("__n") > 1 && col("__n") <= maxBucketSize)
+    val sizes = rows.groupBy("band", "bucket").agg(count(lit(1)).as("__n"))
+    // singleton buckets can't pair; in-cap buckets all-pair
+    val keep = sizes.filter(col("__n") > 1 && col("__n") <= maxBucketSize)
       .select("band", "bucket")
     val pairable = rows.join(keep, Seq("band", "bucket"))
     val l = pairable.select(col("band"), col("bucket"), col("doc_id").as("a"))
     val r = pairable.select(col("band"), col("bucket"), col("doc_id").as("b"))
-    l.join(r, Seq("band", "bucket"))
+    val inCap = l.join(r, Seq("band", "bucket"))
       .filter(col("a") < col("b"))
-      .select("a", "b").distinct()
+      .select("a", "b")
+    if (maxBucketSize >= Long.MaxValue) return inCap.distinct()
+    // one cheap agg action so degradation is never silent (a metric, not a
+    // data pass: one row per overflowing bucket), through the log — driver
+    // stdout/stderr is not aggregated in cluster deployments
+    val over = sizes.filter(col("__n") > maxBucketSize)
+      .agg(count(lit(1)).as("buckets"), coalesce(sum("__n"), lit(0L)).as("members"))
+      .head()
+    if (over.getLong(0) == 0L) return inCap.distinct()
+    log.warn(
+      s"lshCandidatePairs STAR-LINKED ${over.getLong(0)} bucket(s) holding " +
+        s"${over.getLong(1)} member rows (> $maxBucketSize docs/bucket): emitting " +
+        "member↔min-doc_id pairs instead of all pairs; run exact dedup first " +
+        "(dedupCorpus does) or raise maxBucketSize for full pairing")
+    val big = rows.join(sizes.filter(col("__n") > maxBucketSize)
+      .select("band", "bucket"), Seq("band", "bucket"))
+    val reps = big.groupBy("band", "bucket").agg(min("doc_id").as("__rep"))
+    val star = big.join(reps, Seq("band", "bucket"))
+      .filter(col("doc_id") =!= col("__rep"))
+      .select(col("__rep").as("a"), col("doc_id").as("b"))
+    inCap.union(star).distinct()
   }
 
   // ---- SimHash ---------------------------------------------------------
@@ -707,10 +724,17 @@ object Dedup {
     * m boilerplate copies (m ~ 10⁶ in real crawls) would land m rows in the
     * same 16 buckets and emit 16·m²/2 candidate rows. Collapsing to one
     * representative per content digest FIRST makes LSH work ∝
-    * representatives, never members — and changes no results: exact dups
-    * have Jaccard 1000 ≥ any threshold, so they were always in their
-    * representative's cluster, and the min doc_id of a component is always
-    * a representative (each digest group's rep is its min doc_id).
+    * representatives, never members — and changes results only where it
+    * SHOULD: byte-identical docs always collapse, by definition of exact
+    * dedup. For shingle-bearing texts that is also what the LSH path
+    * computed (exact dups have Jaccard 1000 ≥ any threshold, so they were
+    * always in their representative's cluster, and the min doc_id of a
+    * component is always a representative — each digest group's rep is its
+    * min doc_id). The one divergence from the pre-pass-free pipeline is
+    * texts SHORTER than `shingleK` words (incl. empty): their shingle sets
+    * are empty, so pairwise Jaccard is 0/0 → null → never ≥ threshold and
+    * the LSH path kept every copy; the pre-pass correctly dedups the
+    * byte-identical ones.
     * [[lshCandidatePairs]]'s bucket cap stays on as the backstop for
     * near-identical (not byte-identical) boilerplate.
     *

@@ -200,9 +200,11 @@ object QueryExec {
       case Match(text, _) if ctx.sections.size == 1 =>
         val (reader, sw) = ctx.sections.head
         // WITH_WEIGHT indexes score (tf + tscore) — a plain tf recount
-        // would drop the stored weights, so they stay on the index path
+        // would drop the stored weights; and an index NOT built from the
+        // docs' content column (buildFromPostings) has no source to verify
+        // against — both stay on the index path
         if (sw.weight != 1.0 || sw.cap.nonEmpty || sw.tfIdf ||
-          reader.manifest.withWeights) None
+          reader.manifest.withWeights || !reader.manifest.builtFromContent) None
         else graft.search.Searcher.queryTokens(reader, text).map(_.term) match {
           case Seq(tok) =>
             reader.termStats(Seq(tok)).get(tok).map { case (df, _) => (reader, tok, df) }

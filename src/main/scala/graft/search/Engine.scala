@@ -182,6 +182,9 @@ object Engine {
     if (dfA == 0L || dfB == 0L) return spark.emptyDataset[ScoredDoc]
     def indexPath = SetOps.and(matchScores(reader, termA), matchScores(reader, termB))
     if (dfA < 0L || dfB < 0L) return indexPath
+    // scan-verify recounts tf by tokenizing the docs' content column — only
+    // sound when that is literally what produced the postings
+    if (!reader.manifest.builtFromContent) return indexPath
     val (small, hot, dfSmall, dfHot) =
       if (dfA <= dfB) (termA, termB, dfA, dfB) else (termB, termA, dfB, dfA)
     if (dfHot.toDouble <= ratio * dfSmall) indexPath

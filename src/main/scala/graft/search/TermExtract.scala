@@ -117,10 +117,12 @@ object TermExtract {
         val norm = Tokenizers.byName(tokName).normalizer
         it.flatMap { case (id, text) =>
           val t = norm(if (text == null) "" else text).text
-          for {
-            i <- 0 until t.length
-            l <- 1 to math.min(maxLen, t.length - i)
-          } yield (id, i, t.substring(i, i + l))
+          // iterators, not a strict comprehension: a 10 MB doc × maxLen 40
+          // would otherwise materialize ~400M candidate tuples in one task
+          Iterator.range(0, t.length).flatMap { i =>
+            Iterator.range(1, math.min(maxLen, t.length - i) + 1)
+              .map(l => (id, i, t.substring(i, i + l)))
+          }
         }
       }
       .toDF("__id", "off", "term")

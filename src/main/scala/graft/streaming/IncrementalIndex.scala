@@ -161,7 +161,8 @@ object IncrementalIndex {
       contentShaXor = manifests.map(_.contentShaXor).sum,
       hotTerms = manifests.flatMap(_.hotTerms).distinct.sorted.toArray,
       stagesDone = Seq("docs", "segments", "norms", "lexicon"),
-      withWeights = m0.withWeights
+      withWeights = m0.withWeights,
+      builtFromContent = manifests.forall(_.builtFromContent)
     )
     Files.writeString(Paths.get(outDir, "manifest.json"), IndexManifest.toJson(merged))
     merged

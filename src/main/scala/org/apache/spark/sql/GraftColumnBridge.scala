@@ -24,10 +24,15 @@ object GraftColumnBridge {
     * "not cacheable" only costs the cache, never correctness.
     */
   private val nondeterministicNames = Set(
-    "rand", "randn", "random", "uuid", "shuffle",
+    "rand", "randn", "random", "uuid", "shuffle", "randstr", "uniform",
     "monotonically_increasing_id", "spark_partition_id", "input_file_name",
-    "now", "current_timestamp", "current_date", "localtimestamp",
-    "unix_timestamp")
+    "input_file_block_start", "input_file_block_length",
+    "now", "current_timestamp", "current_date", "curdate", "localtimestamp",
+    "unix_timestamp",
+    // session-scoped constants: stable within a session but the cache can
+    // outlive/a span sessions, so treat as non-cacheable too
+    "current_database", "current_schema", "current_catalog",
+    "current_user", "session_user", "user")
 
   /** The UDF function objects embedded anywhere in `c`'s node tree, in
     * visit order — identity-significant: the same UserDefinedFunction

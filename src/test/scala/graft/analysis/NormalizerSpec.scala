@@ -48,6 +48,24 @@ class NormalizerSpec extends AnyFunSuite {
     assert(n.length == 3 && n.endOffsets(0) - n.offsets(0) >= 2)
   }
 
+  test("compatibility jamo (legacy IME Korean) composes like full-string NFKC") {
+    // ㅎ+ㅏ (U+314E U+314F, compat jamo) ≡ 하 — NFKC maps compat jamo to
+    // conjoining jamo, then canonically composes L+V
+    val compat = "ㅎㅏ"
+    assert(Normalizer.auto(compat).text == "하")
+    // the composed syllable's span covers BOTH source codepoints
+    val n = Normalizer.auto(compat)
+    assert(n.length == 1 && n.offsets(0) == 0 && n.endOffsets(0) == 2)
+    // ㄱ+ㅏ with a trailing compat consonant: the tail maps to a LEADING
+    // jamo (full-string NFKC does not compose it either)
+    assert(Normalizer.auto("ㄱㅏㄱ").text ==
+      java.text.Normalizer.normalize("ㄱㅏㄱ",
+        java.text.Normalizer.Form.NFKC))
+    // a compat vowel NOT after a consonant must stand alone, never glue to
+    // a latin base
+    assert(Normalizer.auto("aㅏ").text == "aᅡ")
+  }
+
   test("singleton NFKC mappings cover compat blocks (full-width, ligature, circled)") {
     assert(Normalizer.auto("Ｈｅｌｌｏ").text == "hello") // full-width
     assert(Normalizer.auto("ﬁle").text == "file") // ﬁ ligature

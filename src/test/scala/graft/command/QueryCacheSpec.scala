@@ -103,6 +103,39 @@ class QueryCacheSpec extends AnyFunSuite {
     assert(QueryCache.stats == ((0L, 0L)), "rand() select must not be cached")
   }
 
+  test("non-deterministic STRING parameters bypass the cache too") {
+    val reader = freshReader()
+    // sortby/scorer reach the plan as SQL strings (Select lowers them with
+    // expr()) — a rand() there must bypass exactly like a rand() Column
+    for (p <- Seq(
+        SelectParams(sortby = Seq("rand()"), limit = 10, outputColumns = Seq("_id")),
+        SelectParams(query = Some("apple"), scorer = Some("_score = rand()"),
+          sortby = Seq("_id"), limit = 10, outputColumns = Seq("_id")),
+        SelectParams(sortby = Seq("_id"), limit = 10,
+          outputColumns = Seq("_id", "rand()")))) {
+      QueryCache.clear()
+      Select.runCached(reader, p)
+      Select.runCached(reader, p)
+      assert(QueryCache.stats == ((0L, 0L)),
+        s"string-param non-determinism must not cache: $p")
+    }
+    // alias coverage: curdate() is current_date under another name
+    QueryCache.clear()
+    val pAlias = SelectParams(sortby = Seq("_id"), limit = 10,
+      outputColumns = Seq("_id"),
+      filter = Some(expr("curdate() >= date'1970-01-01'")))
+    Select.runCached(reader, pAlias)
+    Select.runCached(reader, pAlias)
+    assert(QueryCache.stats == ((0L, 0L)), "curdate() select must not be cached")
+    // ...and a deterministic expression sortby still caches
+    QueryCache.clear()
+    val pDet = SelectParams(sortby = Seq("length(content)", "_id"), limit = 10,
+      outputColumns = Seq("_id"))
+    Select.runCached(reader, pDet)
+    Select.runCached(reader, pDet)
+    assert(QueryCache.stats == ((1L, 1L)))
+  }
+
   test("drilldowns are cached with the hits") {
     val reader = freshReader()
     QueryCache.clear()

@@ -65,20 +65,35 @@ class DedupGuardSpec extends AnyFunSuite {
       s"$leftover persisted RDDs left after $rounds rounds — superseded checkpoints leaked")
   }
 
-  test("bucket cap drops oversized buckets loudly, keeps the rest") {
-    // band rows: bucket 100 holds 5 docs (dropped at cap 4), bucket 200
-    // holds 2 (kept), bucket 300 is a singleton (unpairable)
+  test("bucket cap star-links oversized buckets, all-pairs the rest") {
+    // band rows: bucket 100 holds 5 docs (star-linked at cap 4), bucket 200
+    // holds 2 (all-paired), bucket 300 is a singleton (unpairable)
     val rows = (0L until 5L).map(d => (d, 0, 100L)) ++
       Seq((10L, 0, 200L), (11L, 0, 200L), (12L, 1, 300L))
     val bandRows = rows.toDF("doc_id", "band", "bucket")
     val over = Dedup.lshOverflowBuckets(bandRows, 4L).as[(Int, Long, Long)].collect()
     assert(over.toSeq == Seq((0, 100L, 5L)))
+    // the big bucket degrades to O(m) member↔min-id pairs — still CONNECTED
+    // (one cluster through doc 0), never m²/2
     val capped = Dedup.lshCandidatePairs(bandRows, maxBucketSize = 4L)
       .as[(Long, Long)].collect().toSet
-    assert(capped == Set((10L, 11L)))
+    assert(capped == Set((10L, 11L), (0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L)))
     // uncapped join still sees every pair of the big bucket
     val full = Dedup.lshCandidatePairs(bandRows, maxBucketSize = Long.MaxValue)
     assert(full.count() == 10 + 1)
+  }
+
+  test("star-linked overflow bucket still collapses to one cluster") {
+    // a near-identical (NOT byte-identical) boilerplate cluster: exact
+    // dedup can't collapse it, the bucket blows the cap — the star edges
+    // must keep every member reachable from the representative
+    val m = 30L
+    val bandRows = (0L until m).map(d => (d, 0, 7L)).toDF("doc_id", "band", "bucket")
+    val pairs = Dedup.lshCandidatePairs(bandRows, maxBucketSize = 8L)
+    assert(pairs.count() == m - 1) // O(m), not m(m-1)/2
+    val clusters = Dedup.dedupClusters(pairs)
+      .select("cluster_id").distinct().as[Long].collect().toSeq
+    assert(clusters == Seq(0L))
   }
 
   test("dedupCorpus collapses a planted exact-dup megacluster; LSH work stays ∝ representatives") {

@@ -49,6 +49,30 @@ class AndAdaptiveSpec extends AnyFunSuite {
     assert(Engine.andAdaptive(reader, "fig", "zzz-not-here").isEmpty)
   }
 
+  test("an index NOT built from content never takes the scan-verify escape") {
+    import spark.implicits._
+    // buildFromPostings: postings are externally supplied — re-tokenizing
+    // the docs' content column could disagree, so the manifest must record
+    // builtFromContent=false and the escape must stay on the index path
+    val postings = Seq(
+      // tf=9 NOT derivable from the content text (positions array length
+      // must equal tf for the positional codec)
+      (0L, "fig", 1, Seq(0)), (0L, "the", 9, (1 to 9).toSeq),
+      (1L, "the", 2, Seq(0, 1))
+    ).toDF("docId", "term", "tf", "positions")
+    val docs = Seq((0L, "fig the"), (1L, "the")).toDF("docId", "content")
+    val dir = java.nio.file.Files.createTempDirectory("graft_aa_fp_").toString
+    IndexBuilder.buildFromPostings(spark, docs, postings, dir,
+      IndexConfig(tokenizerName = "TokenDelimit", nShards = 1,
+        buildPartitions = 1, hotTermDf = 100000L, nSalts = 1))
+    val r = new IndexReader(spark, dir)
+    assert(!r.manifest.builtFromContent)
+    // ratio 0.1 would force the escape if it were allowed; the index path
+    // must keep the stored tf (9), which a content recount would turn to 1
+    val got = scoresOf(Engine.andAdaptive(r, "fig", "the", ratio = 0.1))
+    assert(got == Map(0L -> 10.0), s"got $got")
+  }
+
   test("query-syntax AND takes the escape when the right term is hot") {
     import graft.query.QueryExec
     // df(the)=60 > 8 x df(fig)=6: "fig the" routes the right clause through
