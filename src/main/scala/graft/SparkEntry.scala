@@ -346,6 +346,14 @@ object SparkEntry {
       Dedup.minhashBands(t(s, d, "documents")))
       .orderBy("a", "b")),
 
+    // the bucket-size guard through the oracle: at this corpus the largest
+    // (band,bucket) holds 3 docs, so cap 2 star-links those buckets
+    // (member↔min-doc_id) while size-2 buckets still all-pair — both
+    // branches of the degenerate-input guard exercised against DuckDB
+    "dd_lsh_pairs_capped" -> ((s, d) => Dedup.lshCandidatePairs(
+      Dedup.minhashBands(t(s, d, "documents")), maxBucketSize = 2)
+      .orderBy("a", "b")),
+
     "dd_clusters" -> ((s, d) => {
       val docs = t(s, d, "documents")
       Dedup.dedupClusters(
@@ -826,6 +834,22 @@ object SparkEntry {
     "dd_lsh_pairs" ->
       s"""WITH $MH
          |SELECT a, b FROM cand ORDER BY a, b""".stripMargin,
+
+    "dd_lsh_pairs_capped" ->
+      s"""WITH $MH,
+         |bsz AS (SELECT band, bucket, count(*) AS n, min(doc_id) AS rep
+         |  FROM bands GROUP BY band, bucket),
+         |incap AS (SELECT x.doc_id AS a, y.doc_id AS b
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+         |  JOIN bsz s ON s.band = x.band AND s.bucket = x.bucket
+         |  WHERE s.n <= 2),
+         |star AS (SELECT s.rep AS a, x.doc_id AS b
+         |  FROM bands x JOIN bsz s ON s.band = x.band AND s.bucket = x.bucket
+         |  WHERE s.n > 2 AND x.doc_id != s.rep)
+         |SELECT DISTINCT a, b
+         |FROM (SELECT a, b FROM incap UNION ALL SELECT a, b FROM star)
+         |ORDER BY a, b""".stripMargin,
 
     "dd_survivors" ->
       s"""WITH RECURSIVE $MH,

@@ -571,13 +571,17 @@ object Dedup {
       numPerm: Int = 64,
       bands: Int = 16,
       shingleK: Int = 3,
-      seed: Long = 42L
+      seed: Long = 42L,
+      /** Passed through to [[lshCandidatePairs]]: buckets above it
+        * star-link instead of all-pairing (logged).
+        */
+      maxBucketSize: Long = 10000L
   ): DataFrame = {
     // fused kernel band rows, materialized once for the pair join's sides
     val bandRows = minhashBands(docs, textCol, numPerm, bands, shingleK, seed)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     bandRows.count(): Unit
-    jaccardForPairs(docs, lshCandidatePairs(bandRows), textCol, shingleK)
+    jaccardForPairs(docs, lshCandidatePairs(bandRows, maxBucketSize), textCol, shingleK)
   }
 
   /** Connected components over a near-dup pair set: every doc gets
@@ -748,7 +752,13 @@ object Dedup {
       numPerm: Int = 64,
       bands: Int = 16,
       shingleK: Int = 3,
-      seed: Long = 42L
+      seed: Long = 42L,
+      /** LSH bucket-size cap (see [[lshCandidatePairs]]): after the exact
+        * pre-pass only near-identical (not byte-identical) boilerplate can
+        * overflow it, and such buckets star-link — still one cluster, O(m)
+        * verify cost — rather than all-pair.
+        */
+      maxBucketSize: Long = 10000L
   ): DataFrame = {
     // one representative (min doc_id) per content digest — a single
     // digest-keyed hash agg (uniform key, map-side combine)
@@ -757,8 +767,9 @@ object Dedup {
     val reps = digests.groupBy("digest").agg(min("doc_id").as("rep_id"))
     val repDocs = docs.join(
       reps.select(col("rep_id").as("doc_id")), Seq("doc_id"), "left_semi")
-    val dupPairs = nearDupPairs(repDocs, textCol, numPerm, bands, shingleK, seed)
-      .filter(col("jaccard_q3") >= thresholdQ3)
+    val dupPairs =
+      nearDupPairs(repDocs, textCol, numPerm, bands, shingleK, seed, maxBucketSize)
+        .filter(col("jaccard_q3") >= thresholdQ3)
     // clusters over representatives; members inherit their rep's cluster.
     // Survivors (doc_id == cluster_id) are necessarily representatives, so
     // the semi-join can stay on the rep cluster table directly.
