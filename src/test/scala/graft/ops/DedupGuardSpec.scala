@@ -83,6 +83,25 @@ class DedupGuardSpec extends AnyFunSuite {
     assert(full.count() == 10 + 1)
   }
 
+  test("property: capped candidate graph keeps the uncapped connected components") {
+    // the guarantee star-linking rests on: whatever the bucket distribution,
+    // replacing an over-cap bucket's clique with its star changes EDGES but
+    // never CONNECTIVITY — clustering downstream of the candidates is
+    // invariant under the cap (only pairwise Jaccard verification sees the
+    // difference, the documented recall margin)
+    val rnd = new scala.util.Random(7)
+    for (trial <- 0 until 3) {
+      val rows = Seq.fill(150)(
+        (rnd.nextInt(60).toLong, rnd.nextInt(2), rnd.nextInt(6).toLong)).distinct
+      val bandRows = rows.toDF("doc_id", "band", "bucket")
+      def comps(p: org.apache.spark.sql.DataFrame) =
+        Dedup.dedupClusters(p).as[(Long, Long)].collect().toSet
+      val capped = comps(Dedup.lshCandidatePairs(bandRows, maxBucketSize = 4L))
+      val full = comps(Dedup.lshCandidatePairs(bandRows, maxBucketSize = Long.MaxValue))
+      assert(capped == full, s"trial $trial: cap changed connectivity")
+    }
+  }
+
   test("star-linked overflow bucket still collapses to one cluster") {
     // a near-identical (NOT byte-identical) boilerplate cluster: exact
     // dedup can't collapse it, the bucket blows the cap — the star edges
