@@ -14,10 +14,14 @@ import org.apache.spark.sql.types._
   *     [[imageFeatures]], [[imageResize]].
   *   - audio: REAL decode of RIFF/WAVE 16-bit PCM (hand-rolled header
   *     parse, exact integer feature math): [[audioFeatures]].
-  *   - video: STUB — no video codec exists in this environment; the
-  *     deterministic 16-byte GRFT header fake ([[fakeDecode]]) keeps the
-  *     batch shape real. Swap it for a JNI/codec call and nothing else
-  *     changes.
+  *   - video: REAL for MJPEG-in-AVI — hand-rolled RIFF container walk
+  *     ([[decodeAviMjpeg]], same discipline as the WAV path) + per-frame
+  *     JPEG decode via ImageIO; [[frameSampleMjpeg]] /
+  *     [[videoFrameFeatures]] / [[encodeAviMjpeg]] / [[synthRealVideo]].
+  *     Modern codecs (H.264/VP9/AV1) remain STUBBED behind the
+  *     deterministic GRFT header fake ([[fakeDecode]]) — no decoder exists
+  *     in this environment; the container walk and batch shape are the
+  *     same, so swapping in a codec call changes nothing else.
   *
   * All feature columns are fixed-point integers computed in integer/long
   * arithmetic, so results are bit-identical across engines and runs.
@@ -174,6 +178,29 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** Integer luma stats of a decoded image: (width, height, luma sum,
+    * 16-bin luma histogram), luma = (299·R + 587·G + 114·B) / 1000 per
+    * pixel. Shared by [[imageFeatures]] and [[videoFrameFeatures]].
+    */
+  private def lumaStats(img: java.awt.image.BufferedImage): (Int, Int, Long, Array[Long]) = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val hist = new Array[Long](16)
+    var sum = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val luma = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+          114 * (rgb & 0xff)) / 1000
+        sum += luma; hist(luma >> 4) += 1
+        x += 1
+      }
+      y += 1
+    }
+    (w, h, sum, hist)
+  }
+
   /** Real image features — one narrow per-partition pass: (media_id,
     * decoded_ok, width, height, mean_luma_q3, 16-bin luma histogram).
     * Luma per pixel = (299·R + 587·G + 114·B) / 1000 in integer math.
@@ -186,21 +213,7 @@ object Multimodal {
         it.map { case (id, bytes) =>
           decodeImage(bytes) match {
             case Some(img) =>
-              val (w, h) = (img.getWidth, img.getHeight)
-              val hist = new Array[Long](16)
-              var sum = 0L
-              var y = 0
-              while (y < h) {
-                var x = 0
-                while (x < w) {
-                  val rgb = img.getRGB(x, y)
-                  val luma = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
-                    114 * (rgb & 0xff)) / 1000
-                  sum += luma; hist(luma >> 4) += 1
-                  x += 1
-                }
-                y += 1
-              }
+              val (w, h, sum, hist) = lumaStats(img)
               (id, true, w, h, sum * 1000 / (w.toLong * h), hist.toSeq)
             case None => (id, false, -1, -1, -1L, Seq.empty[Long])
           }
@@ -307,11 +320,173 @@ object Multimodal {
         "rms_q0", "zcr_q3")
   }
 
+  // ---- video: real MJPEG-in-AVI path -------------------------------------
+
+  /** Parsed MJPEG AVI: header meta + per-frame standalone JPEG bytes. */
+  final case class AviMjpeg(
+      width: Int, height: Int, usecPerFrame: Int, frames: Array[Array[Byte]])
+
+  /** Real AVI (RIFF) container decode for MJPEG video — the same
+    * hand-rolled chunk-walk discipline as [[decodeWavPcm]], and no codec
+    * library: in MJPEG every `00dc`/`00db` chunk IS a standalone JPEG,
+    * which ImageIO decodes. Walks nested LISTs (`hdrl`, `movi`, `rec `),
+    * honors odd-length padding, and treats corrupt input as data, not
+    * errors: negative/overflowing chunk lengths and truncated tails end
+    * the walk (None or fewer frames — never a crash or hang). Modern
+    * codecs (H.264/VP9/AV1) stay out of scope — no decoder exists in this
+    * environment, and that boundary is the honest one: the CONTAINER walk
+    * and the pipeline shape are identical for them.
+    */
+  def decodeAviMjpeg(bytes: Array[Byte]): Option[AviMjpeg] = {
+    def le32(o: Int) = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8) |
+      ((bytes(o + 2) & 0xff) << 16) | ((bytes(o + 3) & 0xff) << 24)
+    def tag(o: Int) = new String(bytes, o, 4, "US-ASCII")
+    if (bytes.length < 24 || tag(0) != "RIFF" || tag(8) != "AVI ") return None
+    var width = -1; var height = -1; var usec = -1
+    val frames = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+    def walk(start: Int, end: Int, depth: Int): Unit = {
+      if (depth > 16) return // malformed self-nesting: bail, don't recurse off the stack
+      var o = start
+      var more = true
+      while (more && o + 8 <= end) {
+        val id = tag(o); val len = le32(o + 4)
+        if (len < 0) more = false
+        else {
+          val bodyEnd = o.toLong + 8L + len.toLong
+          if (id == "LIST" && o + 12 <= end)
+            walk(o + 12, math.min(bodyEnd, end.toLong).toInt, depth + 1)
+          else if (id == "avih" && o + 8 + 40 <= end) {
+            usec = le32(o + 8); width = le32(o + 40); height = le32(o + 44)
+          } else if ((id == "00dc" || id == "00db") && bodyEnd <= end && len > 0)
+            frames += java.util.Arrays.copyOfRange(bytes, o + 8, o + 8 + len)
+          val next = bodyEnd + (len & 1)
+          if (next <= o) more = false // non-advancing walk = malformed
+          else o = if (next > end) end else next.toInt
+        }
+      }
+    }
+    walk(12, bytes.length, 0)
+    if (width <= 0 || height <= 0) None
+    else Some(AviMjpeg(width, height, usec, frames.toArray))
+  }
+
+  /** Minimal valid MJPEG AVI encoder — the write twin of
+    * [[decodeAviMjpeg]] (synthesizes test/sample video; any AVI-aware tool
+    * opens the output): RIFF(`AVI `) { LIST hdrl { avih, LIST strl {
+    * strh vids/MJPG, strf BITMAPINFOHEADER } }, LIST movi { `00dc` <jpeg>
+    * per frame } }. Frames are ImageIO-encoded JPEGs.
+    */
+  def encodeAviMjpeg(frames: Seq[java.awt.image.BufferedImage], fps: Int = 10): Array[Byte] = {
+    require(frames.nonEmpty && fps > 0, "need at least one frame and fps > 0")
+    val jpegs = frames.map { img =>
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", out)
+      out.toByteArray
+    }
+    val w = frames.head.getWidth; val h = frames.head.getHeight
+    def le16(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Int) = le16(v & 0xffff) ++ le16(v >>> 16)
+    def fcc(s: String) = s.getBytes("US-ASCII")
+    def chunk(id: String, body: Array[Byte]): Array[Byte] =
+      fcc(id) ++ le32(body.length) ++ body ++
+        (if ((body.length & 1) == 1) Array[Byte](0) else Array.empty[Byte])
+    def list(listType: String, body: Array[Byte]): Array[Byte] =
+      fcc("LIST") ++ le32(4 + body.length) ++ fcc(listType) ++ body
+    val avih = chunk("avih",
+      le32(1000000 / fps) ++ le32(0) ++ le32(0) ++ le32(0) ++
+        le32(jpegs.length) ++ le32(0) ++ le32(1) ++ le32(0) ++
+        le32(w) ++ le32(h) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0))
+    val strh = chunk("strh",
+      fcc("vids") ++ fcc("MJPG") ++ le32(0) ++ le16(0) ++ le16(0) ++
+        le32(0) ++ le32(1) ++ le32(fps) ++ le32(0) ++ le32(jpegs.length) ++
+        le32(0) ++ le32(0) ++ le32(0) ++
+        le16(0) ++ le16(0) ++ le16(w) ++ le16(h))
+    val strf = chunk("strf",
+      le32(40) ++ le32(w) ++ le32(h) ++ le16(1) ++ le16(24) ++
+        fcc("MJPG") ++ le32(w * h * 3) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0))
+    val hdrl = list("hdrl", avih ++ list("strl", strh ++ strf))
+    val movi = list("movi", jpegs.map(j => chunk("00dc", j)).reduce(_ ++ _))
+    val body = fcc("AVI ") ++ hdrl ++ movi
+    fcc("RIFF") ++ le32(body.length) ++ body
+  }
+
+  /** Deterministic REAL video table: MJPEG AVIs of solid-gray frames with
+    * a per-frame diagonal (valid files any AVI tool opens). Columns
+    * (media_id, modality, bytes) — the video twin of [[synthReal]].
+    */
+  def synthRealVideo(spark: SparkSession, n: Long, partitions: Int = 8): DataFrame = {
+    import spark.implicits._
+    spark.range(0, n, 1, partitions).map { i =>
+      val side = 32 + (i % 3).toInt * 16
+      val nFrames = 3 + (i % 4).toInt
+      val frames = (0 until nFrames).map { f =>
+        val gray = ((i * 31 + f * 17) % 256).toInt
+        val img = new java.awt.image.BufferedImage(
+          side, side, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < side) {
+          var x = 0
+          while (x < side) {
+            img.setRGB(x, y,
+              if (x == y) 0xffffff else (gray << 16) | (gray << 8) | gray)
+            x += 1
+          }
+          y += 1
+        }
+        img
+      }
+      (i, "video", encodeAviMjpeg(frames, fps = 10))
+    }.toDF("media_id", "modality", "bytes")
+  }
+
+  /** Real frame sampling over MJPEG AVI bytes: every `everyN`-th frame as
+    * its standalone JPEG — (media_id, frame_idx, frame_bytes) rows, one
+    * narrow flatMap (the partition/explode shape; downstream image ops
+    * apply per frame, e.g. [[imageFeatures]] on frame_bytes).
+    */
+  def frameSampleMjpeg(media: DataFrame, everyN: Int = 4): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "bytes").as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        decodeAviMjpeg(bytes).toSeq.flatMap { avi =>
+          (0 until avi.frames.length by everyN).map(f => (id, f, avi.frames(f)))
+        }
+      }
+      .toDF("media_id", "frame_idx", "frame_bytes")
+  }
+
+  /** Real per-frame video features: sample every `everyN`-th MJPEG frame,
+    * JPEG-decode it, emit (media_id, frame_idx, width, height,
+    * mean_luma_q3) — container walk + frame decode + feature math in ONE
+    * narrow pass (no shuffle; a 10⁹-video corpus partitions by media_id
+    * and each task streams its own videos).
+    */
+  def videoFrameFeatures(media: DataFrame, everyN: Int = 4): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "bytes").as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          decodeAviMjpeg(bytes).toSeq.flatMap { avi =>
+            (0 until avi.frames.length by everyN).flatMap { f =>
+              decodeImage(avi.frames(f)).map { img =>
+                val (w, h, sum, _) = lumaStats(img)
+                (id, f, w, h, sum * 1000 / (w.toLong * h))
+              }
+            }
+          }
+        }
+      }
+      .toDF("media_id", "frame_idx", "width", "height", "mean_luma_q3")
+  }
+
   /** Frame sampling (video): emit every `everyN`-th fixed-size chunk of the
     * body as a "frame" — the partition/explode shape of real frame
-    * extraction (decode stubbed). Output exposes (media_id, frame_idx,
-    * frame_bytes) rows, repartitionable downstream by media_id for
-    * per-video locality.
+    * extraction over the GRFT fake blobs of [[synth]] (for REAL video use
+    * [[frameSampleMjpeg]] / [[videoFrameFeatures]]). Output exposes
+    * (media_id, frame_idx, frame_bytes) rows, repartitionable downstream by
+    * media_id for per-video locality.
     */
   def frameSample(media: DataFrame, everyN: Int = 4, frameSize: Int = 64): DataFrame = {
     val spark = media.sparkSession

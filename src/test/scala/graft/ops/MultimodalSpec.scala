@@ -112,4 +112,73 @@ class MultimodalSpec extends AnyFunSuite {
     val expect = ((m2.length - 16) / 64 + 1) / 2
     assert(byId(2L) == expect)
   }
+
+  test("real MJPEG AVI: container roundtrip is byte-exact per frame") {
+    def gray(side: Int, g: Int) = {
+      val img = new java.awt.image.BufferedImage(
+        side, side, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until side; x <- 0 until side)
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      img
+    }
+    val imgs = Seq(gray(32, 10), gray(32, 100), gray(32, 200))
+    val avi = Multimodal.encodeAviMjpeg(imgs, fps = 5)
+    val dec = Multimodal.decodeAviMjpeg(avi).get
+    assert(dec.width == 32 && dec.height == 32 && dec.usecPerFrame == 200000)
+    // the container must hand back the exact JPEG bytes it was given —
+    // independent JPEG encodes of the same frames are the reference
+    def jpeg(img: java.awt.image.BufferedImage) = {
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", out)
+      out.toByteArray
+    }
+    assert(dec.frames.length == 3)
+    imgs.map(jpeg).zip(dec.frames).foreach { case (want, got) =>
+      assert(java.util.Arrays.equals(want, got))
+    }
+  }
+
+  test("real video frame features: sampled luma equals imageFeatures on the same JPEGs") {
+    import spark.implicits._
+    val vids = Multimodal.synthRealVideo(spark, 6)
+    val sampled = Multimodal.frameSampleMjpeg(vids, everyN = 2)
+    val feats = Multimodal.videoFrameFeatures(vids, everyN = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(4)).toMap
+    assert(feats.nonEmpty && feats.keys.exists(_._2 == 2)) // >1 sampled frame somewhere
+    // every sampled frame's luma must equal the image path's on that JPEG
+    val asImages = sampled
+      .select(col("media_id") * 1000 + col("frame_idx"), col("frame_bytes"))
+      .toDF("media_id", "bytes")
+    val viaImage = Multimodal.imageFeatures(asImages)
+      .collect().map { r =>
+        val k = r.getLong(0); ((k / 1000, (k % 1000).toInt), r.getLong(4)) }.toMap
+    assert(viaImage == feats)
+    // sampling stride: only even frame indexes
+    assert(feats.keys.forall(_._2 % 2 == 0))
+  }
+
+  test("corrupt AVI bytes are data, not errors (no hang, no crash)") {
+    assert(Multimodal.decodeAviMjpeg("RIFFxxxxAVI ".getBytes("US-ASCII")).isEmpty)
+    assert(Multimodal.decodeAviMjpeg(Array[Byte](1, 2, 3)).isEmpty)
+    // negative chunk length inside an otherwise-valid header: walk must stop
+    val good = Multimodal.encodeAviMjpeg(Seq(new java.awt.image.BufferedImage(
+      8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)))
+    val bad = good.clone()
+    // corrupt the movi list's first frame chunk length to -8
+    val idx = {
+      var i = -1; var o = 0
+      while (i < 0 && o + 4 <= bad.length) {
+        if (bad(o) == '0' && bad(o + 1) == '0' && bad(o + 2) == 'd') i = o
+        o += 1
+      }
+      i
+    }
+    assert(idx > 0)
+    bad(idx + 4) = -8; bad(idx + 5) = -1; bad(idx + 6) = -1; bad(idx + 7) = -1
+    val dec = Multimodal.decodeAviMjpeg(bad)
+    assert(dec.isEmpty || dec.get.frames.isEmpty) // header may parse; no frames
+    // truncated tail: frames shrink, no exception
+    val trunc = Multimodal.decodeAviMjpeg(good.take(good.length - 3))
+    assert(trunc.forall(_.frames.length <= 1))
+  }
 }
