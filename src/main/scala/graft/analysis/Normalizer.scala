@@ -99,21 +99,45 @@ object Normalizer {
     }
   }
 
-  /** Cluster extension with the PREVIOUS codepoint in hand: a Hangul
-    * COMPATIBILITY vowel jamo (U+314F–U+3163, what legacy Korean IMEs and
-    * named HTML entities emit) extends the cluster only after a leading
-    * consonant — compat consonant (U+3131–U+314E) or conjoining choseong
-    * (U+1100–U+1112) — because NFKC maps the pair through conjoining jamo
-    * and then canonically composes them into a precomposed syllable
-    * (ㅎ+ㅏ ≡ 하), exactly like the NFD case above. The prev-gate matters:
-    * unconditional extension would wrongly glue "a"+"ㅏ" into one cluster.
-    * Compat TRAILING consonants need no case — NFKC maps them to choseong
-    * (leading) jamo, which full-string NFKC does not compose either.
+  /** The 9 compat CLUSTER-batchim consonants — ㄳㄵㄶㄺㄻㄼㄽㄾㄿ — whose
+    * NFKC image is a JONGSEONG (trailing) jamo, so vowel+them composes
+    * (LV+T → LVT, e.g. ㄱㅏㄳ ≡ 갃). The other compat consonants map to
+    * CHOSEONG (leading) jamo: the 19 modern ones (U+1100–U+1112, may start
+    * a syllable) and the two Old-Hangul lead clusters ㅀ→U+111A / ㅄ→U+1121
+    * (compose with nothing — excluded from both roles).
+    */
+  @inline private def isCompatTrail(cp: Int): Boolean =
+    (cp >= 0x3133 && cp <= 0x3136 && cp != 0x3134) ||
+      (cp >= 0x313a && cp <= 0x313f)
+
+  /** Compat consonants whose NFKC image is a MODERN choseong — the ones a
+    * following vowel composes with.
+    */
+  @inline private def isCompatLead(cp: Int): Boolean =
+    cp >= 0x3131 && cp <= 0x314e && !isCompatTrail(cp) &&
+      cp != 0x3140 && cp != 0x3144
+
+  /** Cluster extension with the PREVIOUS codepoint in hand, for Hangul
+    * COMPATIBILITY jamo (U+3131–U+3163, what legacy Korean IMEs and named
+    * HTML entities emit) — NFKC maps them through conjoining jamo and then
+    * canonically composes, exactly like the NFD case above:
+    *   - a compat VOWEL (U+314F–U+3163) extends after a leading consonant
+    *     (compat lead or conjoining choseong): ㅎ+ㅏ ≡ 하;
+    *   - a compat CLUSTER batchim ([[isCompatTrail]]) extends after a vowel
+    *     (compat or conjoining V) or an LV syllable: ㄱㅏㄳ ≡ 가ㄳ ≡ 갃.
+    * The prev-gates matter: unconditional extension would wrongly glue
+    * "a"+"ㅏ" or "ㄳ"+"ㅏ" (jongseong+V composes with nothing). Simple
+    * compat batchim (ㄴ etc.) need no case — NFKC maps them to choseong,
+    * which full-string NFKC does not compose after a syllable either
+    * (ㄱㅏㄴ ≡ 가 + ᄂ, pinned in NormalizerSpec).
     */
   @inline private def extendsClusterAfter(prev: Int, cp: Int): Boolean =
     extendsCluster(cp) ||
       (cp >= 0x314f && cp <= 0x3163 &&
-        ((prev >= 0x3131 && prev <= 0x314e) || (prev >= 0x1100 && prev <= 0x1112)))
+        (isCompatLead(prev) || (prev >= 0x1100 && prev <= 0x1112))) ||
+      (isCompatTrail(cp) &&
+        ((prev >= 0x314f && prev <= 0x3163) || (prev >= 0x1161 && prev <= 0x1175) ||
+          (prev >= 0xac00 && prev <= 0xd7a3 && (prev - 0xac00) % 28 == 0)))
 
   /** Per-codepoint NFKC: decompose/compose a single codepoint. Multi-codepoint
     * interactions (rare compositions) are intentionally out of scope — Groonga's

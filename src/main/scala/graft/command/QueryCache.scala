@@ -93,23 +93,27 @@ object QueryCache {
     * None = not cacheable (a non-deterministic expression parameter).
     *
     * STRING parameters that Select lowers through the SQL parser (`scorer`,
-    * expression `sortby` keys, expression `outputColumns` entries) are
-    * fingerprinted too — `sortby = Seq("rand()")` must bypass the cache
-    * exactly like `sortByCols = Seq(rand())` would (the string itself is
-    * already in `$p` for key uniqueness; the parse here is only the
-    * determinism check). The adjuster grammar (`col @ "value" * factor`)
-    * admits no function calls, so it needs no parse.
+    * `sortby` keys, `outputColumns` entries) are fingerprinted too —
+    * `sortby = Seq("rand()")` must bypass the cache exactly like
+    * `sortByCols = Seq(rand())` would (the string itself is already in
+    * `$p` for key uniqueness; the parse here is only the determinism
+    * check). Paren-less entries lower as columns, which the fingerprint
+    * still inspects: a bare `current_date` output column resolves as a
+    * LITERAL FUNCTION when no such doc column exists, and must bypass
+    * like the called form. The adjuster grammar (`col @ "value" *
+    * factor`) admits no function calls, so it needs no parse.
     */
   private def keyOf(reader: IndexReader, p: SelectParams): Option[String] = {
-    import org.apache.spark.sql.functions.expr
+    import org.apache.spark.sql.functions.{col, expr}
+    def lower(k: String) = if (k.contains('(')) expr(k) else col(k)
     val stringExprs =
       p.scorer.map(expr).toSeq ++
         (if (p.sortByCols.isEmpty)
           p.sortby.map(k => if (k.startsWith("-")) k.drop(1) else k.stripPrefix("+"))
-            .filter(_.contains('(')).map(expr)
+            .map(lower)
         else Nil) ++
         (if (p.outputExprs.isEmpty)
-          p.outputColumns.filter(_.contains('(')).map(expr)
+          p.outputColumns.filterNot(_ == "*").map(lower)
         else Nil)
     val cols = p.filter.toSeq ++ p.filterScore.toSeq ++
       p.scorerAssigns.map(_._2) ++ p.outputExprs.toSeq.flatten.map(_._2) ++

@@ -200,6 +200,13 @@ object Engine {
     */
   def andScanVerify(left: Dataset[ScoredDoc], reader: IndexReader,
       hotTok: String): Dataset[ScoredDoc] = {
+    // soundness precondition enforced HERE, not just at the rewrite sites:
+    // the tf recount reproduces posting tf only when the postings came from
+    // tokenizing this docs table's content column
+    require(reader.manifest.builtFromContent,
+      "andScanVerify needs an index built from the docs' content column " +
+        "(manifest.builtFromContent): externally-supplied postings cannot " +
+        "be re-verified against content")
     val spark = reader.spark
     import spark.implicits._
     val tokName = reader.manifest.tokenizerName

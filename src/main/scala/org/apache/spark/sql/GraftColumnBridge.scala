@@ -2,7 +2,7 @@ package org.apache.spark.sql
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, ScalaUDF}
 import org.apache.spark.sql.expressions.SparkUserDefinedFunction
-import org.apache.spark.sql.internal.{InvokeInlineUserDefinedFunction, UnresolvedFunction}
+import org.apache.spark.sql.internal.{InvokeInlineUserDefinedFunction, UnresolvedAttribute, UnresolvedFunction}
 
 /** Bridge into the sql-private side of [[Column]].
   *
@@ -32,6 +32,18 @@ object GraftColumnBridge {
     // session-scoped constants: stable within a session but the cache can
     // outlive/a span sessions, so treat as non-cacheable too
     "current_database", "current_schema", "current_catalog",
+    "current_user", "session_user", "user", "current_timezone")
+
+  /** Names the analyzer resolves as PAREN-LESS literal functions when no
+    * column matches (LiteralFunctionResolution): a bare `current_date`
+    * identifier parses as UnresolvedAttribute, not UnresolvedFunction, so
+    * the function deny-list above never sees it. Matching attribute NAMES
+    * against this set closes the hole; a real column that happens to carry
+    * one of these names merely loses cacheability (false "not cacheable"
+    * is safe).
+    */
+  private val literalFunctionNames = Set(
+    "current_date", "current_timestamp", "localtimestamp",
     "current_user", "session_user", "user")
 
   /** The UDF function objects embedded anywhere in `c`'s node tree, in
@@ -65,6 +77,15 @@ object GraftColumnBridge {
         // so match by name like the node-side twin above
         if (nondeterministicNames(uf.nameParts.last.toLowerCase)) cacheable = false
         uf.children.foreach(visit)
+      case ua: UnresolvedAttribute =>
+        // bare `current_date` (no parens) parses as an ATTRIBUTE; when no
+        // such column exists the analyzer resolves it as a literal function
+        // at execution time — block by name (see literalFunctionNames)
+        if (ua.nameParts.lengthCompare(1) == 0 &&
+          literalFunctionNames(ua.nameParts.head.toLowerCase)) cacheable = false
+      case ua: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        if (ua.nameParts.lengthCompare(1) == 0 &&
+          literalFunctionNames(ua.nameParts.head.toLowerCase)) cacheable = false
       case s: org.apache.spark.sql.internal.SqlExpression =>
         // a raw SQL fragment is opaque until parsed — parse it (cheap,
         // string-sized) so rand()/uuid() inside expr("...") are seen;

@@ -66,6 +66,30 @@ class NormalizerSpec extends AnyFunSuite {
     assert(Normalizer.auto("aㅏ").text == "aᅡ")
   }
 
+  test("compat CLUSTER batchim (ㄳ family) composes LV+T like full NFKC") {
+    def nfkc(s: String) =
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFKC)
+    // ㄱ+ㅏ+ㄳ ≡ 갃 (U+AC03): the 9 cluster batchim map to JONGSEONG and
+    // LV+T composes — the simple-batchim case (ㄴ→choseong) must NOT
+    assert(Normalizer.auto("ㄱㅏㄳ").text == "갃" && nfkc("ㄱㅏㄳ") == "갃")
+    // precomposed LV + compat cluster batchim composes too
+    assert(Normalizer.auto("가ㄳ").text == "갃")
+    // ...but not after an LVT syllable (T slot taken)
+    assert(Normalizer.auto("각ㄳ").text == nfkc("각ㄳ"))
+    // ㄳ NOT after a vowel stands alone (jongseong composes with nothing
+    // that follows) — same codepoints as full NFKC
+    assert(Normalizer.auto("ㄳㅏ").text == nfkc("ㄳㅏ"))
+    // ㅀ/ㅄ map to Old-Hangul CHOSEONG — no composition either side
+    assert(Normalizer.auto("ㅀㅏ").text == nfkc("ㅀㅏ"))
+    assert(Normalizer.auto("ㅄㅏ").text == nfkc("ㅄㅏ"))
+    // all 9 cluster batchim against the JDK's full-string NFKC
+    for (t <- Seq(0x3133, 0x3135, 0x3136, 0x313a, 0x313b, 0x313c, 0x313d,
+        0x313e, 0x313f)) {
+      val s = "ㄱㅏ" + new String(Character.toChars(t))
+      assert(Normalizer.auto(s).text == nfkc(s), f"U+$t%04X")
+    }
+  }
+
   test("singleton NFKC mappings cover compat blocks (full-width, ligature, circled)") {
     assert(Normalizer.auto("Ｈｅｌｌｏ").text == "hello") // full-width
     assert(Normalizer.auto("ﬁle").text == "file") // ﬁ ligature

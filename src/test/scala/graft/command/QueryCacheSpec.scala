@@ -112,7 +112,11 @@ class QueryCacheSpec extends AnyFunSuite {
         SelectParams(query = Some("apple"), scorer = Some("_score = rand()"),
           sortby = Seq("_id"), limit = 10, outputColumns = Seq("_id")),
         SelectParams(sortby = Seq("_id"), limit = 10,
-          outputColumns = Seq("_id", "rand()")))) {
+          outputColumns = Seq("_id", "rand()")),
+        // paren-less literal function: a bare current_date output column
+        // resolves as CurrentDate() when no such doc column exists
+        SelectParams(sortby = Seq("_id"), limit = 10,
+          outputColumns = Seq("_id", "current_date")))) {
       QueryCache.clear()
       Select.runCached(reader, p)
       Select.runCached(reader, p)

@@ -157,6 +157,37 @@ class MultimodalSpec extends AnyFunSuite {
     assert(feats.keys.forall(_._2 % 2 == 0))
   }
 
+  test("AVI video frames on a non-zero stream id are still collected") {
+    // real muxes often put audio at stream 00 and video at 01: frame
+    // chunks are then '01dc' — rewrite the synthesized stream id and the
+    // decoder must find the same frames at the same indexes
+    val img = new java.awt.image.BufferedImage(
+      8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val avi = Multimodal.encodeAviMjpeg(Seq(img, img), fps = 10)
+    val want = Multimodal.decodeAviMjpeg(avi).get.frames
+    val moved = avi.clone()
+    var o = 0
+    while (o + 4 <= moved.length) {
+      if (moved(o) == '0' && moved(o + 1) == '0' &&
+        moved(o + 2) == 'd' && moved(o + 3) == 'c') moved(o + 1) = '1'
+      o += 1
+    }
+    val got = Multimodal.decodeAviMjpeg(moved).get.frames
+    assert(got.length == 2 &&
+      got.zip(want).forall { case (g, w) => java.util.Arrays.equals(g, w) })
+    // ...while audio chunks ('01wb') are never collected as frames
+    val audio = avi.clone()
+    o = 0
+    while (o + 4 <= audio.length) {
+      if (audio(o) == '0' && audio(o + 1) == '0' &&
+        audio(o + 2) == 'd' && audio(o + 3) == 'c') {
+        audio(o + 2) = 'w'; audio(o + 3) = 'b'
+      }
+      o += 1
+    }
+    assert(Multimodal.decodeAviMjpeg(audio).get.frames.isEmpty)
+  }
+
   test("corrupt AVI bytes are data, not errors (no hang, no crash)") {
     assert(Multimodal.decodeAviMjpeg("RIFFxxxxAVI ".getBytes("US-ASCII")).isEmpty)
     assert(Multimodal.decodeAviMjpeg(Array[Byte](1, 2, 3)).isEmpty)
