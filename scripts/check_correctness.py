@@ -8,7 +8,7 @@ Usage: python3 scripts/check_correctness.py [sfDir] [--skip-verify]
 import json, subprocess, sys, os, glob
 
 SF = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("--") else "/root/testdata/sf0.01"
-OUT = "/root/repo/target/verify_out"
+OUT = os.environ.get("VERIFY_OUT", "/root/repo/target/verify_out")
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 if "--skip-verify" not in sys.argv:

@@ -78,8 +78,9 @@ object QueryCache {
     * not cacheable at all (serving a prior run's rows would freeze the
     * randomness), so [[fetch]] bypasses the cache entirely.
     */
-  private def fingerprint(c: org.apache.spark.sql.Column): Option[String] =
-    org.apache.spark.sql.GraftColumnBridge.udfIdentities(c).map {
+  private def fingerprint(
+      c: org.apache.spark.sql.Column, knownCols: Set[String]): Option[String] =
+    org.apache.spark.sql.GraftColumnBridge.udfIdentities(c, knownCols).map {
       case Seq() => ""
       case fns => fns.map(fnIdOf).mkString("#udf[", ",", "]")
     }
@@ -118,7 +119,12 @@ object QueryCache {
     val cols = p.filter.toSeq ++ p.filterScore.toSeq ++
       p.scorerAssigns.map(_._2) ++ p.outputExprs.toSeq.flatten.map(_._2) ++
       p.sortByCols.toSeq.flatten ++ stringExprs
-    val fps = cols.map(fingerprint)
+    // a bare attribute that IS a doc column resolves as that column (the
+    // analyzer prefers columns over literal functions), so such names must
+    // not trip the literal-function deny — a corpus with a `user` column
+    // would otherwise never cache
+    val knownCols = reader.docs.schema.fieldNames.map(_.toLowerCase).toSet
+    val fps = cols.map(fingerprint(_, knownCols))
     if (fps.exists(_.isEmpty)) None
     else Some(s"${reader.dir}\u0001${reader.cacheEpoch}\u0001$p\u0001" +
       fps.flatten.mkString(";"))

@@ -346,10 +346,16 @@ object Multimodal {
     * bytes (the sampling operators would otherwise pay the allocation for
     * frames they discard — at everyN=4 that is 75% of the copy bandwidth).
     * Returns (width, height, usecPerFrame, (original frame index, jpeg))
-    * — indexes are positions in the FULL stream, so stride changes never
-    * renumber frames. Video chunks from ANY stream (`NNdc`/`NNdb`, digit
-    * stream ids) are taken: real muxes often put audio at stream 00 and
-    * video at 01; audio chunks are `NNwb` and never collected.
+    * — indexes are positions in the FULL video stream, so stride changes
+    * never renumber frames. The stream to collect is identified from the
+    * headers: the Nth `strh` in `hdrl` describes stream N, and the first
+    * one with fccType `vids` is the (main) video stream — real muxes often
+    * put audio at stream 00 and video at 01, and a secondary video track's
+    * frames must not interleave with the main one's. `hdrl` precedes
+    * `movi` per the RIFF spec, so the stream id is known before the first
+    * frame chunk; files with no `strh` at all (minimal/hand-rolled) fall
+    * back to accepting `NNdc`/`NNdb` from any stream. Audio chunks are
+    * `NNwb` and never collected.
     */
   def decodeAviMjpegSampled(
       bytes: Array[Byte], everyN: Int
@@ -364,6 +370,9 @@ object Multimodal {
     if (bytes.length < 24 || tag(0) != "RIFF" || tag(8) != "AVI ") return None
     var width = -1; var height = -1; var usec = -1
     var frameIdx = 0
+    var strhSeen = 0; var videoStream = -1 // Nth strh = stream N; first 'vids' wins
+    var skippedOtherStream = false // dc/db chunks seen on non-video streams
+    var anyStream = false // fallback mode: header/chunk stream ids disagree
     val frames = scala.collection.mutable.ArrayBuffer[(Int, Array[Byte])]()
     def walk(start: Int, end: Int, depth: Int): Unit = {
       if (depth > 16) return // malformed self-nesting: bail, don't recurse off the stack
@@ -378,10 +387,17 @@ object Multimodal {
             walk(o + 12, math.min(bodyEnd, end.toLong).toInt, depth + 1)
           else if (id == "avih" && o + 8 + 40 <= end) {
             usec = le32(o + 8); width = le32(o + 40); height = le32(o + 44)
+          } else if (id == "strh" && o + 12 <= end) {
+            if (videoStream < 0 && len >= 4 && tag(o + 8) == "vids")
+              videoStream = strhSeen
+            strhSeen += 1
           } else if (isFrameChunk(id) && bodyEnd <= end && len > 0) {
-            if (frameIdx % everyN == 0)
-              frames += ((frameIdx, java.util.Arrays.copyOfRange(bytes, o + 8, o + 8 + len)))
-            frameIdx += 1
+            val streamId = (id(0) - '0') * 10 + (id(1) - '0')
+            if (anyStream || videoStream < 0 || streamId == videoStream) {
+              if (frameIdx % everyN == 0)
+                frames += ((frameIdx, java.util.Arrays.copyOfRange(bytes, o + 8, o + 8 + len)))
+              frameIdx += 1
+            } else skippedOtherStream = true
           }
           val next = bodyEnd + (len & 1)
           if (next <= o) more = false // non-advancing walk = malformed
@@ -390,6 +406,13 @@ object Multimodal {
       }
     }
     walk(12, bytes.length, 0)
+    if (videoStream >= 0 && frames.isEmpty && skippedOtherStream) {
+      // mislabeled mux: the declared vids stream carried no frames but
+      // other streams did — re-walk accepting any dc/db chunk (the old
+      // lenient behavior), so the header/chunk disagreement stays decodable
+      anyStream = true; frameIdx = 0
+      walk(12, bytes.length, 0)
+    }
     if (width <= 0 || height <= 0) None
     else Some((width, height, usec, frames.toSeq))
   }

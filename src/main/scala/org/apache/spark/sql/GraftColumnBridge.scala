@@ -28,22 +28,26 @@ object GraftColumnBridge {
     "monotonically_increasing_id", "spark_partition_id", "input_file_name",
     "input_file_block_start", "input_file_block_length",
     "now", "current_timestamp", "current_date", "curdate", "localtimestamp",
-    "unix_timestamp",
+    "current_time", "unix_timestamp",
     // session-scoped constants: stable within a session but the cache can
     // outlive/a span sessions, so treat as non-cacheable too
     "current_database", "current_schema", "current_catalog",
     "current_user", "session_user", "user", "current_timezone")
 
   /** Names the analyzer resolves as PAREN-LESS literal functions when no
-    * column matches (LiteralFunctionResolution): a bare `current_date`
-    * identifier parses as UnresolvedAttribute, not UnresolvedFunction, so
-    * the function deny-list above never sees it. Matching attribute NAMES
-    * against this set closes the hole; a real column that happens to carry
-    * one of these names merely loses cacheability (false "not cacheable"
-    * is safe).
+    * column matches (LiteralFunctionResolution — Spark 4.1.2 resolves
+    * current_date/current_timestamp/current_time/current_user/user/
+    * session_user this way; localtimestamp kept for forward-compat, it
+    * only over-denies): a bare `current_date` identifier parses as
+    * UnresolvedAttribute, not UnresolvedFunction, so the function
+    * deny-list above never sees it. Matching attribute NAMES against this
+    * set closes the hole. Column resolution takes PRECEDENCE over literal
+    * functions in the analyzer, so when the caller supplies the in-scope
+    * column names the deny is skipped for real columns — a select over a
+    * doc column named `user` is deterministic and stays cacheable.
     */
   private val literalFunctionNames = Set(
-    "current_date", "current_timestamp", "localtimestamp",
+    "current_date", "current_timestamp", "current_time", "localtimestamp",
     "current_user", "session_user", "user")
 
   /** The UDF function objects embedded anywhere in `c`'s node tree, in
@@ -51,8 +55,14 @@ object GraftColumnBridge {
     * applied twice yields the same objects, a different lambda different
     * ones. None when the tree is NOT CACHEABLE (a non-deterministic
     * builtin or UDF anywhere in it).
+    *
+    * @param knownColumns LOWERCASED names of the columns in scope where
+    *   this Column will resolve (the analyzer matches case-insensitively
+    *   by default); a bare attribute matching one resolves as that column,
+    *   never as a literal function, so it is not denied.
     */
-  def udfIdentities(c: Column): Option[Seq[AnyRef]] = {
+  def udfIdentities(
+      c: Column, knownColumns: Set[String] = Set.empty): Option[Seq[AnyRef]] = {
     val out = Seq.newBuilder[AnyRef]
     var cacheable = true
     def visit(x: Any): Unit = x match {
@@ -81,11 +91,14 @@ object GraftColumnBridge {
         // bare `current_date` (no parens) parses as an ATTRIBUTE; when no
         // such column exists the analyzer resolves it as a literal function
         // at execution time — block by name (see literalFunctionNames)
+        // UNLESS a real in-scope column carries the name (column wins)
         if (ua.nameParts.lengthCompare(1) == 0 &&
-          literalFunctionNames(ua.nameParts.head.toLowerCase)) cacheable = false
+          literalFunctionNames(ua.nameParts.head.toLowerCase) &&
+          !knownColumns(ua.nameParts.head.toLowerCase)) cacheable = false
       case ua: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
         if (ua.nameParts.lengthCompare(1) == 0 &&
-          literalFunctionNames(ua.nameParts.head.toLowerCase)) cacheable = false
+          literalFunctionNames(ua.nameParts.head.toLowerCase) &&
+          !knownColumns(ua.nameParts.head.toLowerCase)) cacheable = false
       case s: org.apache.spark.sql.internal.SqlExpression =>
         // a raw SQL fragment is opaque until parsed — parse it (cheap,
         // string-sized) so rand()/uuid() inside expr("...") are seen;

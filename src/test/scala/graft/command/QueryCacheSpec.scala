@@ -140,6 +140,41 @@ class QueryCacheSpec extends AnyFunSuite {
     assert(QueryCache.stats == ((1L, 1L)))
   }
 
+  test("bare current_time bypasses; a REAL doc column named `user` still caches") {
+    val reader = freshReader()
+    // current_time resolves as a paren-less literal function in Spark 4.1
+    // (LiteralFunctionResolution) — wall-clock, never cacheable
+    QueryCache.clear()
+    val pTime = SelectParams(sortby = Seq("_id"), limit = 10,
+      outputColumns = Seq("_id", "current_time"))
+    Select.runCached(reader, pTime)
+    Select.runCached(reader, pTime)
+    assert(QueryCache.stats == ((0L, 0L)), "bare current_time must not cache")
+    // ...but when the docs table HAS a column carrying a literal-function
+    // name, column resolution wins in the analyzer: the select is fully
+    // deterministic and must keep caching (a corpus with a `user` column
+    // must not lose the cache on every select touching it)
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "apple banana", "alice"),
+      (1L, "banana cherry", "bob")
+    ).toDF("docId", "content", "user")
+    val dir = java.nio.file.Files.createTempDirectory("graft_qc_user_").toString
+    IndexBuilder.build(spark, docs, dir, IndexConfig(
+      tokenizerName = "TokenDelimit", nShards = 1, buildPartitions = 1,
+      hotTermDf = 100000L, nSalts = 1))
+    val uReader = new IndexReader(spark, dir)
+    QueryCache.clear()
+    val pUser = SelectParams(sortby = Seq("user"), limit = 10,
+      outputColumns = Seq("_id", "user"),
+      filter = Some(col("user") === "bob"))
+    val r1 = Select.runCached(uReader, pUser)
+    val r2 = Select.runCached(uReader, pUser)
+    assert(QueryCache.stats == ((1L, 1L)),
+      "a select over a real `user` column must cache")
+    assert(ids(r2) == ids(r1) && ids(r1) == Seq(1L))
+  }
+
   test("drilldowns are cached with the hits") {
     val reader = freshReader()
     QueryCache.clear()

@@ -188,6 +188,51 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodeAviMjpeg(audio).get.frames.isEmpty)
   }
 
+  test("AVI with two video streams: only the declared vids stream is decoded") {
+    // a dual-stream mux (main video at 00, a secondary video track at 01)
+    // must NOT interleave the two streams' frames under one index space
+    def le16(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Int) = le16(v & 0xffff) ++ le16(v >>> 16)
+    def fcc(s: String) = s.getBytes("US-ASCII")
+    def chunk(id: String, body: Array[Byte]): Array[Byte] =
+      fcc(id) ++ le32(body.length) ++ body ++
+        (if ((body.length & 1) == 1) Array[Byte](0) else Array.empty[Byte])
+    def list(t: String, body: Array[Byte]): Array[Byte] =
+      fcc("LIST") ++ le32(4 + body.length) ++ fcc(t) ++ body
+    def jpegOf(shade: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      g.setColor(new java.awt.Color(shade, shade, shade))
+      g.fillRect(0, 0, 8, 8); g.dispose()
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", out)
+      out.toByteArray
+    }
+    val (mainA, mainB, side) = (jpegOf(32), jpegOf(224), jpegOf(128))
+    def strl(fccType: String) = list("strl",
+      chunk("strh", fcc(fccType) ++ fcc("MJPG") ++ Array.fill[Byte](48)(0)))
+    val avih = chunk("avih",
+      le32(100000) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(2) ++ le32(0) ++
+        le32(2) ++ le32(0) ++ le32(8) ++ le32(8) ++
+        le32(0) ++ le32(0) ++ le32(0) ++ le32(0))
+    val hdrl = list("hdrl", avih ++ strl("vids") ++ strl("vids"))
+    val movi = list("movi",
+      chunk("00dc", mainA) ++ chunk("01dc", side) ++
+        chunk("00dc", mainB) ++ chunk("01dc", side))
+    val body = fcc("AVI ") ++ hdrl ++ movi
+    val avi = fcc("RIFF") ++ le32(body.length) ++ body
+    val got = Multimodal.decodeAviMjpeg(avi).get
+    assert(got.frames.length == 2)
+    assert(java.util.Arrays.equals(got.frames(0), mainA) &&
+      java.util.Arrays.equals(got.frames(1), mainB))
+    // stride sampling indexes within the MAIN stream only: everyN=2 over
+    // 2 main frames keeps frame 0 alone (the side track no longer pads it)
+    val sampled = Multimodal.decodeAviMjpegSampled(avi, 2).get._4
+    assert(sampled.map(_._1) == Seq(0) &&
+      java.util.Arrays.equals(sampled.head._2, mainA))
+  }
+
   test("corrupt AVI bytes are data, not errors (no hang, no crash)") {
     assert(Multimodal.decodeAviMjpeg("RIFFxxxxAVI ".getBytes("US-ASCII")).isEmpty)
     assert(Multimodal.decodeAviMjpeg(Array[Byte](1, 2, 3)).isEmpty)
