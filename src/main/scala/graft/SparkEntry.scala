@@ -268,6 +268,24 @@ object SparkEntry {
         col("_score").cast("long").as("score"))
     }),
 
+    // --query_expander TABLE.COLUMN: the query term expands through a
+    // synonym table BEFORE parsing (reference proc_select.c:34-58), so
+    // `spark` with synonyms [spark, dup] evaluates exactly like the
+    // hand-written OR — the oracle is plain OR semantics
+    "sel_query_expand" -> ((s, d) => {
+      import s.implicits._
+      val syn = Seq(("spark", Seq("spark", "dup"))).toDF("key", "synonyms")
+      val res = graft.command.Select.run(DocIndex.reader(s, d),
+        graft.command.SelectParams(
+          query = Some("spark"),
+          queryExpander = Some(
+            graft.query.QueryExpander.fromTable(syn, "key", "synonyms")),
+          sortby = Seq("_id"), limit = 1000000,
+          outputColumns = Seq("_id", "_score")))
+      res.hits.select(col("_id").as("doc_id"),
+        col("_score").cast("long").as("score"))
+    }),
+
     // query + filter (Catalyst column predicate) + scorer expression
     "sel_filter_scorer" -> ((s, d) => {
       val res = graft.command.Select.run(DocIndex.reader(s, d),
@@ -783,6 +801,11 @@ object SparkEntry {
          |      FROM s1 FULL OUTER JOIN s2 ON s1.doc_id = s2.doc_id)
          |SELECT doc_id, score FROM u
          |ORDER BY score DESC, doc_id LIMIT 15 OFFSET 5""".stripMargin,
+
+    "sel_query_expand" ->
+      s"""WITH a AS ${tfOf("spark")}, b AS ${tfOf("dup")}
+         |SELECT a.doc_id, a.tf + b.tf AS score FROM a JOIN b USING (doc_id)
+         |WHERE a.tf > 0 OR b.tf > 0 ORDER BY doc_id""".stripMargin,
 
     "sel_filter_scorer" ->
       s"""WITH a AS ${tfOf("spark")}

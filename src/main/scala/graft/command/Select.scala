@@ -71,7 +71,14 @@ final case class SelectParams(
       * plain text, ALLOW_LEADING_NOT permits a query-initial `-term`.
       */
     queryFlags: graft.query.QueryParser.QueryFlags =
-      graft.query.QueryParser.QueryFlags.default
+      graft.query.QueryParser.QueryFlags.default,
+    /** `--query_expander TABLE.COLUMN` (reference proc_select.c:34-58):
+      * synonym substitution over the raw `query` string before parsing —
+      * see [[graft.query.QueryExpander]]. Applied (and cleared) up front,
+      * so downstream — including the query cache, which then keys on the
+      * fully-expanded deterministic string — never sees the expander.
+      */
+    queryExpander: Option[graft.query.QueryExpander] = None
 )
 
 final case class SelectResult(
@@ -111,10 +118,23 @@ object Select {
     * serving path — results materialize on the driver, which is exactly
     * the offset/limit-bounded page the command returns anyway.
     */
-  def runCached(reader: IndexReader, p: SelectParams): SelectResult =
+  def runCached(reader: IndexReader, p0: SelectParams): SelectResult = {
+    val p = preExpand(p0) // cache keys on the expanded (deterministic) query
     QueryCache.fetch(reader, p)(run(reader, p))
+  }
 
-  def run(reader: IndexReader, p: SelectParams): SelectResult = {
+  /** Apply `--query_expander` to the raw query string and drop the expander
+    * from the params (reference order: expansion precedes parsing,
+    * proc_select.c:34-58). Idempotent: a params value with no expander
+    * passes through.
+    */
+  private def preExpand(p: SelectParams): SelectParams = p.queryExpander match {
+    case Some(e) => p.copy(query = p.query.map(e.expand), queryExpander = None)
+    case None => p
+  }
+
+  def run(reader: IndexReader, p0: SelectParams): SelectResult = {
+    val p = preExpand(p0)
     // the single match column may carry a weight or scorer cap
     // ("title * 10", "scorer_tf_at_most(col, 3.0)")
     val sw = p.matchColumns.headOption
@@ -162,8 +182,9 @@ object Select {
     * `p.matchColumns` (entries may carry weights, `"title * 10"`), scores
     * weighted then merged — the full `--match_columns` semantics.
     */
-  def run(sidx: graft.index.SectionedReader, p: SelectParams,
+  def run(sidx: graft.index.SectionedReader, p0: SelectParams,
       docsOverride: Option[DataFrame] = None): SelectResult = {
+    val p = preExpand(p0)
     val spec = graft.index.MatchColumnsSpec.parse(p.matchColumns.mkString(" || "))
     runWith(docsOverride.getOrElse(sidx.primary.liveDocs),
       q => QueryExec.runSectioned(sidx, q, spec,

@@ -2551,103 +2551,27 @@ object GrnTestRunner {
         k <- m.get("_key").map(_.asText)
         node <- m.get(cName)
       } yield keyOf(k) -> {
-        if (node.isArray) {
-          val els = node.elements().asScala.map(_.asText).toSeq
-          els match {
-            case Seq() => ""
-            case Seq(one) => one
-            case many => many.mkString("((", ") OR (", "))")
-          }
-        } else node.asText
+        if (node.isArray)
+          graft.query.QueryExpander.orJoin(
+            node.elements().asScala.map(_.asText).toSeq)
+        else node.asText
       }
     }.toMap
     expandQueryTerms(q, synonyms, keyOf)
   }
 
-  /** query_expanders/tsv synonyms file (reference plugins/query_expanders/
-    * tsv.c): `key TAB word TAB word...` per line, '#' comments; expansion
-    * joins the words as ((w1) OR (w2)).
+  /** Delegates to the library scanner ([[graft.query.QueryExpander]]) —
+    * the 40 query_expander fixtures in the sweep thereby gate the LIBRARY
+    * implementation, not a test-side twin.
     */
   def parseTsvSynonyms(text: String): Map[String, String] =
-    text.split('\n').iterator
-      .filterNot(l => l.startsWith("#") || l.trim.isEmpty)
-      .flatMap { l =>
-        l.split('\t').toSeq match {
-          case key +: words if words.nonEmpty =>
-            Some(key -> (words match {
-              case Seq(one) => one
-              case many => many.mkString("((", ") OR (", "))")
-            }))
-          case _ => None
-        }
-      }.toMap
+    graft.query.QueryExpander.parseTsv(text)
 
   def expandQueryTerms(
       q: String,
       synonyms: Map[String, String],
-      keyOf: String => String): String = {
-    // Faithful port of the reference term scanner
-    // (grn_expr_syntax_expand_query_terms, lib/expr.c:7804-7917): spaces
-    // and the single-char query operators copy through un-expanded, "OR"
-    // copies through, quoted phrases expand as one term (original span
-    // kept on a miss), a col-predicate prefix `col:op` copies verbatim and
-    // the value restarts as a fresh term; everything else is a term,
-    // replaced by its synonym expansion when the (normalized) term is a
-    // key of the expansion table.
-    val sb = new StringBuilder
-    var i = 0
-    def isOpChar(c: Char): Boolean = "+><~-()*".indexOf(c) >= 0
-    while (i < q.length) {
-      val c = q.charAt(i)
-      if (c.isWhitespace) { sb.append(c); i += 1 }
-      else if (isOpChar(c)) { sb.append(c); i += 1 }
-      else if (c == '"') {
-        val start = i
-        i += 1
-        val buf = new StringBuilder
-        var closed = false
-        while (i < q.length && !closed) {
-          val ch = q.charAt(i)
-          if (ch == '"') { i += 1; closed = true }
-          else if (ch == '\\' && i + 1 < q.length) { buf.append(q.charAt(i + 1)); i += 2 }
-          else { buf.append(ch); i += 1 }
-        }
-        synonyms.get(keyOf(buf.toString)) match {
-          case Some(r) => sb.append(r)
-          case None => sb.append(q.substring(start, i))
-        }
-      } else if (c == 'O' && q.startsWith("OR", i) &&
-          (i + 2 == q.length || q.charAt(i + 2).isWhitespace)) {
-        sb.append("OR"); i += 2
-      } else {
-        var start = i
-        var broke = false
-        while (i < q.length && !broke) {
-          val ch = q.charAt(i)
-          if (ch.isWhitespace || ch == '(' || ch == ')' || ch == '*') broke = true
-          else if (ch == ':') {
-            // `col:op` prefix: ALLOW_COLUMN is always on for select --query;
-            // ALLOW_UPDATE is not, so `:=` keeps the '=' in the value term
-            var j = i + 1
-            if (j < q.length) q.charAt(j) match {
-              case '!' | '@' | '^' | '$' => j += 1
-              case '<' | '>' => { j += 1; if (j < q.length && q.charAt(j) == '=') j += 1 }
-              case _ => ()
-            }
-            sb.append(q.substring(start, j))
-            i = j
-            start = i
-            broke = true
-          } else i += 1
-        }
-        if (start < i) {
-          val term = q.substring(start, i)
-          sb.append(synonyms.getOrElse(keyOf(term), term))
-        }
-      }
-    }
-    sb.toString
-  }
+      keyOf: String => String): String =
+    graft.query.QueryExpander.expandTerms(q, synonyms, keyOf)
 
   private def jsonToValue(n: JsonNode): Any =
     if (n.isTextual) n.asText
