@@ -1,0 +1,156 @@
+package graft.sql
+
+import graft.index.IndexReader
+import graft.query.QueryExec
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Cast, EqualTo, Expression, ExpressionInfo, PredicateHelper, Unevaluable}
+import org.apache.spark.sql.catalyst.plans.LeftSemi
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, JoinHint, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{BooleanType, DataType, LongType, StringType}
+
+/** Spark SQL surface for the full-text index: a `graft_match(docId, dir,
+  * query)` predicate that Catalyst REWRITES into an index-backed semi-join
+  * — the `SparkSessionExtensions` route the survey reserves for operators
+  * the built-in ones can't express (SURVEY §4.1 "an optional SparkStrategy
+  * can expose it to SQL later"; reference entry point: the select command's
+  * `--query`, proc_select.c).
+  *
+  * ```sql
+  * SELECT * FROM docs WHERE graft_match(docId, '/indexes/docs', 'spark OR dup')
+  * ```
+  *
+  * plans as `docs LEFT SEMI JOIN <index lookup>` — the lookup subtree is the
+  * SAME term-pruned postings plan the API path produces (term-`isin`
+  * pushdown into the segments parquet, salting, skip-decode), so SQL users
+  * get index economics without touching the library API. The marker itself
+  * is [[Unevaluable]]: it never executes, it only marks the predicate for
+  * [[IndexMatchRewrite]].
+  *
+  * Two installation routes:
+  *  - cluster config: `--conf spark.sql.extensions=graft.sql.GraftExtensions`
+  *  - live session: `GraftSql.install(spark)` (function registry +
+  *    `spark.experimental.extraOptimizations`)
+  *
+  * Scores stay on the API path ([[graft.command.Select]] /
+  * [[graft.search.Engine]]): a WHERE predicate cannot add columns, and SQL
+  * ranking needs the full select surface (sort, page, drilldown) anyway.
+  */
+object GraftSql {
+
+  /** Marker predicate: `graft_match(docId, '<indexDir>', '<query>')`.
+    * Boolean, never evaluated — [[IndexMatchRewrite]] must eliminate it; an
+    * occurrence outside a WHERE/HAVING conjunction fails at planning with
+    * Spark's unevaluable-expression error, which is the correct contract
+    * (same pattern as Spark's own `grouping()` marker).
+    */
+  case class GraftMatch(docId: Expression, dir: Expression, query: Expression)
+      extends Expression with Unevaluable {
+    override def children: Seq[Expression] = Seq(docId, dir, query)
+    override def dataType: DataType = BooleanType
+    override def nullable: Boolean = false
+    override def prettyName: String = "graft_match"
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): Expression =
+      copy(docId = newChildren(0), dir = newChildren(1), query = newChildren(2))
+  }
+
+  /** Function-registry entry shared by both installation routes. */
+  val functionDescription: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_match"),
+    new ExpressionInfo(GraftMatch.getClass.getCanonicalName, "graft_match"),
+    (args: Seq[Expression]) => {
+      require(args.length == 3,
+        s"graft_match(docId, indexDir, query) takes 3 arguments, got ${args.length}")
+      GraftMatch(args(0), args(1), args(2))
+    })
+
+  /** Install on a LIVE session: registers `graft_match` and appends the
+    * rewrite rule to `spark.experimental.extraOptimizations`. Idempotent.
+    * (The config route — `spark.sql.extensions=graft.sql.GraftExtensions` —
+    * is preferred on a cluster: extension rules run inside the operator-
+    * optimization batch; experimental rules run in their own later batch.
+    * Both see an already-optimized lookup subtree, see [[IndexMatchRewrite]].)
+    */
+  def install(spark: SparkSession): Unit = {
+    val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val (ident, info, builder) = functionDescription
+    cs.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    if (!cs.experimental.extraOptimizations.exists(_.isInstanceOf[IndexMatchRewrite]))
+      cs.experimental.extraOptimizations =
+        cs.experimental.extraOptimizations :+ IndexMatchRewrite(spark)
+  }
+}
+
+/** Rewrites `Filter(... AND graft_match(docId, dir, query) AND ...)` into
+  * `Filter(rest, child LEFT-SEMI-JOIN indexLookup(dir, query) ON docId)`.
+  *
+  * The lookup subtree is taken in OPTIMIZED form (its own QueryExecution
+  * runs first), so its parquet scans already carry the term-pruned
+  * `PushedFilters` regardless of which optimizer batch this rule runs in.
+  * Building it costs driver-side planning only — query parsing and plan
+  * construction; no job runs at rewrite time (escalation stays disabled on
+  * this path: SQL semantics are plain match, like `--match_escalation_threshold -1`).
+  *
+  * Readers cache per index dir (manifest read once per session).
+  */
+case class IndexMatchRewrite(spark: SparkSession)
+    extends Rule[LogicalPlan] with PredicateHelper {
+
+  private val readers =
+    new java.util.concurrent.ConcurrentHashMap[String, IndexReader]()
+
+  private def litString(e: Expression, what: String): String = {
+    require(e.foldable && e.dataType == StringType,
+      s"graft_match: $what must be a string literal, got $e")
+    val v = e.eval()
+    require(v != null, s"graft_match: $what must not be null")
+    v.toString
+  }
+
+  private def lookupPlan(dirE: Expression, queryE: Expression): LogicalPlan = {
+    val dir = litString(dirE, "indexDir")
+    val query = litString(queryE, "query")
+    val reader = readers.computeIfAbsent(dir, d => new IndexReader(spark, d))
+    QueryExec.run(reader, query)
+      .toDF("docId", "_score").select("docId")
+      .queryExecution.optimizedPlan
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case f @ Filter(cond, child)
+        if cond.exists(_.isInstanceOf[GraftSql.GraftMatch]) =>
+      val conjuncts = splitConjunctivePredicates(cond)
+      val (markers, rest) = conjuncts.partition(_.isInstanceOf[GraftSql.GraftMatch])
+      if (markers.isEmpty)
+        // a marker nested under OR/NOT has no semi-join form — fail with a
+        // actionable message instead of the generic unevaluable error
+        throw new UnsupportedOperationException(
+          "graft_match must be a top-level AND conjunct of the WHERE clause " +
+            s"(cannot rewrite under OR/NOT): $cond")
+      else {
+        val joined = markers.foldLeft(child) { (acc, m) =>
+          val GraftSql.GraftMatch(docId, dirE, queryE) = m: @unchecked
+          val lookup = lookupPlan(dirE, queryE)
+          val left =
+            if (docId.dataType == LongType) docId else Cast(docId, LongType)
+          Join(acc, lookup, LeftSemi,
+            Some(EqualTo(left, lookup.output.head)), JoinHint.NONE)
+        }
+        if (rest.isEmpty) joined else Filter(rest.reduce(org.apache.spark.sql.catalyst.expressions.And), joined)
+      }
+  }
+}
+
+/** `spark.sql.extensions=graft.sql.GraftExtensions`: the config-route
+  * installer (runs at session build, works on every session of the
+  * context). Injects the `graft_match` function and [[IndexMatchRewrite]]
+  * into the operator-optimization batch.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(GraftSql.functionDescription)
+    ext.injectOptimizerRule(s => IndexMatchRewrite(s))
+  }
+}

@@ -1,0 +1,95 @@
+package graft.sql
+
+import graft.SparkTestBase
+import graft.index.{IndexBuilder, IndexConfig, IndexReader}
+import graft.query.QueryExec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The Spark SQL surface: `graft_match(docId, dir, query)` rewrites to an
+  * index-backed LEFT SEMI join (both installation routes), the marker never
+  * survives optimization, other WHERE conjuncts stay, the lookup side keeps
+  * its term-pruned parquet pushdown, and unsupported positions fail with an
+  * actionable message.
+  */
+class GraftSqlSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  private lazy val (dir, reader) = {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "apple banana apple", "en"),
+      (1L, "banana cherry", "en"),
+      (2L, "apple cherry date", "de"),
+      (3L, "date egg fig", "en")
+    ).toDF("docId", "content", "lang")
+    val d = java.nio.file.Files.createTempDirectory("graft_sql_").toString
+    IndexBuilder.build(spark, docs, d, IndexConfig(
+      tokenizerName = "TokenDelimit", nShards = 2, buildPartitions = 2,
+      hotTermDf = 100000L, nSalts = 2))
+    (d, new IndexReader(spark, d))
+  }
+
+  private def installAndView(): Unit = {
+    GraftSql.install(spark)
+    reader.docs.createOrReplaceTempView("docs_v")
+  }
+
+  test("graft_match filters via the index; result ≡ the API path") {
+    installAndView()
+    val got = spark.sql(
+      s"SELECT docId FROM docs_v WHERE graft_match(docId, '$dir', 'apple OR fig') ORDER BY docId")
+    val want = QueryExec.run(reader, "apple OR fig")
+      .toDF("docId", "s").select("docId").collect().map(_.getLong(0)).sorted
+    assert(got.collect().map(_.getLong(0)).toSeq == want.toSeq)
+    assert(want.nonEmpty)
+  }
+
+  test("the marker is eliminated; the plan is a LEFT SEMI join with pruned lookup") {
+    installAndView()
+    val df = spark.sql(
+      s"SELECT docId FROM docs_v WHERE graft_match(docId, '$dir', 'apple')")
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(!opt.toLowerCase.contains("graft_match"), s"marker survived:\n$opt")
+    assert(opt.contains("LeftSemi"), s"expected semi join:\n$opt")
+    // the lookup subtree keeps the API path's term-pruned scan: the term
+    // predicate reaches the segments parquet as a pushed filter
+    val phys = df.queryExecution.executedPlan.toString
+    assert(phys.contains("PushedFilters") && phys.contains("apple"),
+      s"expected term-pruned segments scan:\n$phys")
+  }
+
+  test("other WHERE conjuncts survive the rewrite") {
+    installAndView()
+    val got = spark.sql(
+      s"""SELECT docId FROM docs_v
+         |WHERE graft_match(docId, '$dir', 'apple') AND lang = 'en'
+         |ORDER BY docId""".stripMargin)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(0L)) // doc 2 matches 'apple' but is lang=de
+  }
+
+  test("a marker under OR fails with an actionable message") {
+    installAndView()
+    val e = intercept[Throwable] {
+      spark.sql(
+        s"SELECT docId FROM docs_v WHERE graft_match(docId, '$dir', 'apple') OR lang = 'de'")
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: messages(x.getCause))
+    assert(messages(e).exists(m => m != null && m.contains("top-level AND conjunct")),
+      s"unexpected error: $e")
+  }
+
+  test("config-route extensions session rewrites too (injectOptimizerRule)") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    val s2 = org.apache.spark.sql.GraftTestSessionBridge
+      .newSessionWithExtensions(spark.sparkContext, ext)
+    new IndexReader(s2, dir).docs.createOrReplaceTempView("docs_v2")
+    val got = s2.sql(
+      s"SELECT docId FROM docs_v2 WHERE graft_match(docId, '$dir', 'banana') ORDER BY docId")
+    assert(got.collect().map(_.getLong(0)).toSeq == Seq(0L, 1L))
+    assert(!got.queryExecution.optimizedPlan.toString.toLowerCase.contains("graft_match"))
+  }
+}
