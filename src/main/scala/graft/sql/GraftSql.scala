@@ -98,8 +98,21 @@ object GraftSql {
 case class IndexMatchRewrite(spark: SparkSession)
     extends Rule[LogicalPlan] with PredicateHelper {
 
+  /** Readers cache keyed by dir, invalidated when manifest.json changes on
+    * disk (rebuild/compaction rewrite it) — tombstone appends need no
+    * invalidation, `liveDocs` re-reads them per plan. The fingerprint is
+    * one stat call per query: cheap against a whole planning pass.
+    */
   private val readers =
-    new java.util.concurrent.ConcurrentHashMap[String, IndexReader]()
+    new java.util.concurrent.ConcurrentHashMap[String, (String, IndexReader)]()
+
+  private def readerFor(dir: String): IndexReader = {
+    val m = java.nio.file.Paths.get(dir, "manifest.json")
+    val fp = s"${java.nio.file.Files.getLastModifiedTime(m)}:${java.nio.file.Files.size(m)}"
+    readers.compute(dir, (d, cur) =>
+      if (cur != null && cur._1 == fp) cur else (fp, new IndexReader(spark, d))
+    )._2
+  }
 
   private def litString(e: Expression, what: String): String = {
     require(e.foldable && e.dataType == StringType,
@@ -112,7 +125,7 @@ case class IndexMatchRewrite(spark: SparkSession)
   private def lookupPlan(dirE: Expression, queryE: Expression): LogicalPlan = {
     val dir = litString(dirE, "indexDir")
     val query = litString(queryE, "query")
-    val reader = readers.computeIfAbsent(dir, d => new IndexReader(spark, d))
+    val reader = readerFor(dir)
     QueryExec.run(reader, query)
       .toDF("docId", "_score").select("docId")
       .queryExecution.optimizedPlan

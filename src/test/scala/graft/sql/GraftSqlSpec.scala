@@ -81,6 +81,35 @@ class GraftSqlSpec extends AnyFunSuite {
       s"unexpected error: $e")
   }
 
+  test("a rebuilt index (new manifest) invalidates the rule's reader cache") {
+    import spark.implicits._
+    GraftSql.install(spark)
+    val d = java.nio.file.Files.createTempDirectory("graft_sql_rb_").toString
+    def build(extra: Boolean): Unit = {
+      val rows = Seq((0L, "kiwi melon"), (1L, "melon plum")) ++
+        (if (extra) Seq((2L, "kiwi plum")) else Nil)
+      IndexBuilder.build(spark, rows.toDF("docId", "content"), d, IndexConfig(
+        tokenizerName = "TokenDelimit", nShards = 1, buildPartitions = 1,
+        hotTermDf = 100000L, nSalts = 1))
+      new IndexReader(spark, d).docs.createOrReplaceTempView("docs_rb")
+    }
+    def ids() = spark.sql(
+      s"SELECT docId FROM docs_rb WHERE graft_match(docId, '$d', 'kiwi') ORDER BY docId")
+      .collect().map(_.getLong(0)).toSeq
+    build(extra = false)
+    assert(ids() == Seq(0L))
+    // compaction/rebuild semantics: wipe and rebuild with one more doc —
+    // the SQL path must see the new manifest, not the cached reader
+    def rmRf(p: java.nio.file.Path): Unit = {
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.list(p).forEach(rmRf)
+      java.nio.file.Files.delete(p)
+    }
+    rmRf(java.nio.file.Paths.get(d))
+    build(extra = true)
+    assert(ids() == Seq(0L, 2L), "stale reader served a rebuilt index")
+  }
+
   test("config-route extensions session rewrites too (injectOptimizerRule)") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext)
