@@ -2,6 +2,7 @@ package graft.sql
 
 import graft.index.IndexReader
 import graft.query.QueryExec
+import graft.search.Engine
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, EqualTo, Expression, ExpressionInfo, PredicateHelper, Unevaluable}
@@ -28,16 +29,73 @@ import org.apache.spark.sql.types.{BooleanType, DataType, LongType, StringType}
   * is [[Unevaluable]]: it never executes, it only marks the predicate for
   * [[IndexMatchRewrite]].
   *
+  * SCORED search comes as table-valued functions (a WHERE predicate cannot
+  * add columns):
+  *
+  * ```sql
+  * SELECT d.*, s.score
+  * FROM graft_bm25('/indexes/docs', 'spark dup', 10) s
+  * JOIN docs d ON d.docId = s.docId
+  * ORDER BY s.score DESC
+  * ```
+  *
+  * `graft_search(dir, query)` yields every match with the reference default
+  * scorer (the select `--query` semantics); `graft_bm25(dir, query, k)`
+  * yields the block-max-WAND top-k. Both return (docId BIGINT, score
+  * DOUBLE) and plan as the API path's term-pruned scans.
+  *
   * Two installation routes:
   *  - cluster config: `--conf spark.sql.extensions=graft.sql.GraftExtensions`
   *  - live session: `GraftSql.install(spark)` (function registry +
   *    `spark.experimental.extraOptimizations`)
-  *
-  * Scores stay on the API path ([[graft.command.Select]] /
-  * [[graft.search.Engine]]): a WHERE predicate cannot add columns, and SQL
-  * ranking needs the full select surface (sort, page, drilldown) anyway.
   */
 object GraftSql {
+
+  /** Per-session reader cache keyed by index dir, invalidated when
+    * manifest.json changes on disk (rebuild/compaction rewrite it) —
+    * tombstone appends need no invalidation, `liveDocs` re-reads them per
+    * plan. The fingerprint is one stat call per query: cheap against a
+    * whole planning pass. Sessions key weakly so a retired session's
+    * readers can collect.
+    */
+  private val readersBySession =
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, (String, IndexReader)]]()
+
+  private[sql] def readerFor(spark: SparkSession, dir: String): IndexReader = {
+    val readers = readersBySession.synchronized {
+      var m = readersBySession.get(spark)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, (String, IndexReader)]()
+        readersBySession.put(spark, m)
+      }
+      m
+    }
+    val mf = java.nio.file.Paths.get(dir, "manifest.json")
+    val fp = s"${java.nio.file.Files.getLastModifiedTime(mf)}:${java.nio.file.Files.size(mf)}"
+    readers.compute(dir, (d, cur) =>
+      if (cur != null && cur._1 == fp) cur else (fp, new IndexReader(spark, d))
+    )._2
+  }
+
+  private def litString(e: Expression, fn: String, what: String): String = {
+    require(e.foldable && e.dataType == StringType,
+      s"$fn: $what must be a string literal, got $e")
+    val v = e.eval()
+    require(v != null, s"$fn: $what must not be null")
+    v.toString
+  }
+
+  private def litInt(e: Expression, fn: String, what: String): Int = {
+    require(e.foldable, s"$fn: $what must be an integer literal, got $e")
+    e.eval() match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case s: Short => s.toInt
+      case other => throw new IllegalArgumentException(
+        s"$fn: $what must be an integer literal, got $other")
+    }
+  }
 
   /** Marker predicate: `graft_match(docId, '<indexDir>', '<query>')`.
     * Boolean, never evaluated — [[IndexMatchRewrite]] must eliminate it; an
@@ -66,17 +124,57 @@ object GraftSql {
       GraftMatch(args(0), args(1), args(2))
     })
 
-  /** Install on a LIVE session: registers `graft_match` and appends the
-    * rewrite rule to `spark.experimental.extraOptimizations`. Idempotent.
-    * (The config route — `spark.sql.extensions=graft.sql.GraftExtensions` —
-    * is preferred on a cluster: extension rules run inside the operator-
-    * optimization batch; experimental rules run in their own later batch.
-    * Both see an already-optimized lookup subtree, see [[IndexMatchRewrite]].)
+  /** `graft_search(indexDir, query)` — every match with the reference
+    * default scorer, as a table of (docId, score). The builder resolves on
+    * the thread's active session (TVF builders receive no session); it runs
+    * at analysis and only PLANS — the jobs run when the enclosing query
+    * does.
+    */
+  val searchTvfDescription: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) = (
+    FunctionIdentifier("graft_search"),
+    new ExpressionInfo(GraftSql.getClass.getCanonicalName, "graft_search"),
+    (args: Seq[Expression]) => {
+      require(args.length == 2,
+        s"graft_search(indexDir, query) takes 2 arguments, got ${args.length}")
+      val spark = SparkSession.active
+      val reader = readerFor(spark, litString(args(0), "graft_search", "indexDir"))
+      QueryExec.run(reader, litString(args(1), "graft_search", "query"))
+        .toDF("docId", "score")
+        .queryExecution.analyzed
+    })
+
+  /** `graft_bm25(indexDir, query, k)` — block-max-WAND BM25 top-k as a
+    * table of (docId, score), the flagship serving query in SQL form.
+    */
+  val bm25TvfDescription: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) = (
+    FunctionIdentifier("graft_bm25"),
+    new ExpressionInfo(GraftSql.getClass.getCanonicalName, "graft_bm25"),
+    (args: Seq[Expression]) => {
+      require(args.length == 3,
+        s"graft_bm25(indexDir, query, k) takes 3 arguments, got ${args.length}")
+      val spark = SparkSession.active
+      val reader = readerFor(spark, litString(args(0), "graft_bm25", "indexDir"))
+      Engine.bm25TopK(reader,
+          litString(args(1), "graft_bm25", "query"),
+          litInt(args(2), "graft_bm25", "k"))
+        .toDF("docId", "score")
+        .queryExecution.analyzed
+    })
+
+  /** Install on a LIVE session: registers `graft_match` + the scored TVFs
+    * and appends the rewrite rule to `spark.experimental.extraOptimizations`.
+    * Idempotent. (The config route — `spark.sql.extensions=
+    * graft.sql.GraftExtensions` — is preferred on a cluster: extension
+    * rules run inside the operator-optimization batch; experimental rules
+    * run in their own later batch. Both see an already-optimized lookup
+    * subtree, see [[IndexMatchRewrite]].)
     */
   def install(spark: SparkSession): Unit = {
     val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     val (ident, info, builder) = functionDescription
     cs.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    for ((i, nfo, b) <- Seq(searchTvfDescription, bm25TvfDescription))
+      cs.sessionState.tableFunctionRegistry.registerFunction(i, nfo, b)
     if (!cs.experimental.extraOptimizations.exists(_.isInstanceOf[IndexMatchRewrite]))
       cs.experimental.extraOptimizations =
         cs.experimental.extraOptimizations :+ IndexMatchRewrite(spark)
@@ -98,22 +196,6 @@ object GraftSql {
 case class IndexMatchRewrite(spark: SparkSession)
     extends Rule[LogicalPlan] with PredicateHelper {
 
-  /** Readers cache keyed by dir, invalidated when manifest.json changes on
-    * disk (rebuild/compaction rewrite it) — tombstone appends need no
-    * invalidation, `liveDocs` re-reads them per plan. The fingerprint is
-    * one stat call per query: cheap against a whole planning pass.
-    */
-  private val readers =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, IndexReader)]()
-
-  private def readerFor(dir: String): IndexReader = {
-    val m = java.nio.file.Paths.get(dir, "manifest.json")
-    val fp = s"${java.nio.file.Files.getLastModifiedTime(m)}:${java.nio.file.Files.size(m)}"
-    readers.compute(dir, (d, cur) =>
-      if (cur != null && cur._1 == fp) cur else (fp, new IndexReader(spark, d))
-    )._2
-  }
-
   private def litString(e: Expression, what: String): String = {
     require(e.foldable && e.dataType == StringType,
       s"graft_match: $what must be a string literal, got $e")
@@ -125,7 +207,7 @@ case class IndexMatchRewrite(spark: SparkSession)
   private def lookupPlan(dirE: Expression, queryE: Expression): LogicalPlan = {
     val dir = litString(dirE, "indexDir")
     val query = litString(queryE, "query")
-    val reader = readerFor(dir)
+    val reader = GraftSql.readerFor(spark, dir)
     QueryExec.run(reader, query)
       .toDF("docId", "_score").select("docId")
       .queryExecution.optimizedPlan
@@ -164,6 +246,8 @@ case class IndexMatchRewrite(spark: SparkSession)
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftSql.functionDescription)
+    ext.injectTableFunction(GraftSql.searchTvfDescription)
+    ext.injectTableFunction(GraftSql.bm25TvfDescription)
     ext.injectOptimizerRule(s => IndexMatchRewrite(s))
   }
 }

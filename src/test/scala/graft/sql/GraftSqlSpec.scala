@@ -81,6 +81,29 @@ class GraftSqlSpec extends AnyFunSuite {
       s"unexpected error: $e")
   }
 
+  test("graft_search / graft_bm25 table functions return scored rows") {
+    installAndView()
+    // graft_search: every match, reference default scorer — same rows and
+    // scores as the API path
+    val got = spark.sql(
+      s"SELECT docId, score FROM graft_search('$dir', 'apple OR fig') ORDER BY docId")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val want = QueryExec.run(reader, "apple OR fig")
+      .toDF("docId", "score").orderBy("docId")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == want && got.nonEmpty)
+    // graft_bm25: WAND top-k, joinable back to the docs table
+    val topDf = spark.sql(
+      s"""SELECT d.docId, d.lang, s.score
+         |FROM graft_bm25('$dir', 'apple', 2) s
+         |JOIN docs_v d ON d.docId = s.docId
+         |ORDER BY s.score DESC, d.docId""".stripMargin)
+    val top = topDf.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val wantTop = graft.search.Engine.bm25TopK(reader, "apple", 2)
+      .collect().sortBy(sd => (-sd.score, sd.docId)).map(_.docId).toSeq
+    assert(top.map(_._1) == wantTop && top.size == 2)
+  }
+
   test("a rebuilt index (new manifest) invalidates the rule's reader cache") {
     import spark.implicits._
     GraftSql.install(spark)
@@ -120,5 +143,9 @@ class GraftSqlSpec extends AnyFunSuite {
       s"SELECT docId FROM docs_v2 WHERE graft_match(docId, '$dir', 'banana') ORDER BY docId")
     assert(got.collect().map(_.getLong(0)).toSeq == Seq(0L, 1L))
     assert(!got.queryExecution.optimizedPlan.toString.toLowerCase.contains("graft_match"))
+    // the config route injects the scored TVFs too
+    val tvf = s2.sql(s"SELECT docId FROM graft_bm25('$dir', 'banana', 1)")
+      .collect().map(_.getLong(0)).toSeq
+    assert(tvf.length == 1 && Seq(0L, 1L).contains(tvf.head))
   }
 }
