@@ -51,34 +51,68 @@ import org.apache.spark.sql.types.{BooleanType, DataType, LongType, StringType}
   */
 object GraftSql {
 
-  /** Per-session reader cache keyed by index dir, invalidated when
-    * manifest.json changes on disk (rebuild/compaction rewrite it) —
-    * tombstone appends need no invalidation, `liveDocs` re-reads them per
-    * plan. The fingerprint is one stat call per query: cheap against a
-    * whole planning pass. Sessions key weakly so a retired session's
-    * readers can collect.
+  /** Per-session reader cache keyed by index dir, invalidated when the
+    * on-disk index state changes: manifest.json mtime+size (rebuilds and
+    * compactions rewrite it) PLUS the deletes directory's file-count:bytes
+    * tag — tombstone appends never touch the manifest, and a cached
+    * reader memoizes its deleted-id set, so the fingerprint must cover
+    * them (mirrors `IndexReader.cacheEpoch`). A few stat calls per query:
+    * cheap against a whole planning pass.
+    *
+    * Readers hold their SparkSession strongly, so plain weak keying would
+    * never collect (value → key). Values are SoftReferences: a retired
+    * session's readers — and through them the session — become softly
+    * reachable and are reclaimed under memory pressure, bounding the
+    * growth of a session-per-job driver; a collected entry just rebuilds.
     */
   private val readersBySession =
     new java.util.WeakHashMap[SparkSession,
-      java.util.concurrent.ConcurrentHashMap[String, (String, IndexReader)]]()
+      java.util.concurrent.ConcurrentHashMap[
+        String, (String, java.lang.ref.SoftReference[IndexReader])]]()
+
+  private def indexFingerprint(dir: String): String = {
+    import java.nio.file.{Files, Paths}
+    val mf = Paths.get(dir, "manifest.json")
+    require(Files.exists(mf),
+      s"graft: no index at $dir (missing manifest.json)")
+    val del = Paths.get(dir, "deletes")
+    val delTag =
+      if (!Files.exists(del)) "0"
+      else {
+        val s = Files.list(del)
+        try {
+          var n = 0L; var bytes = 0L
+          s.forEach { p => n += 1; bytes += Files.size(p) }
+          s"$n:$bytes"
+        } finally s.close()
+      }
+    s"${Files.getLastModifiedTime(mf)}:${Files.size(mf)}:$delTag"
+  }
 
   private[sql] def readerFor(spark: SparkSession, dir: String): IndexReader = {
     val readers = readersBySession.synchronized {
       var m = readersBySession.get(spark)
       if (m == null) {
-        m = new java.util.concurrent.ConcurrentHashMap[String, (String, IndexReader)]()
+        m = new java.util.concurrent.ConcurrentHashMap[
+          String, (String, java.lang.ref.SoftReference[IndexReader])]()
         readersBySession.put(spark, m)
       }
       m
     }
-    val mf = java.nio.file.Paths.get(dir, "manifest.json")
-    val fp = s"${java.nio.file.Files.getLastModifiedTime(mf)}:${java.nio.file.Files.size(mf)}"
-    readers.compute(dir, (d, cur) =>
-      if (cur != null && cur._1 == fp) cur else (fp, new IndexReader(spark, d))
-    )._2
+    val fp = indexFingerprint(dir)
+    // hold the reader in a local strong ref through the compute so a GC
+    // between insert and return can never hand back a cleared reference
+    var result: IndexReader = null
+    readers.compute(dir, (d, cur) => {
+      val cached = if (cur != null && cur._1 == fp) cur._2.get() else null
+      result = if (cached != null) cached else new IndexReader(spark, d)
+      if (cached != null) cur
+      else (fp, new java.lang.ref.SoftReference(result))
+    })
+    result
   }
 
-  private def litString(e: Expression, fn: String, what: String): String = {
+  private[sql] def litString(e: Expression, fn: String, what: String): String = {
     require(e.foldable && e.dataType == StringType,
       s"$fn: $what must be a string literal, got $e")
     val v = e.eval()
@@ -90,7 +124,7 @@ object GraftSql {
     require(e.foldable, s"$fn: $what must be an integer literal, got $e")
     e.eval() match {
       case i: Int => i
-      case l: Long => l.toInt
+      case l: Long => java.lang.Math.toIntExact(l) // error, never silent wrap
       case s: Short => s.toInt
       case other => throw new IllegalArgumentException(
         s"$fn: $what must be an integer literal, got $other")
@@ -196,17 +230,9 @@ object GraftSql {
 case class IndexMatchRewrite(spark: SparkSession)
     extends Rule[LogicalPlan] with PredicateHelper {
 
-  private def litString(e: Expression, what: String): String = {
-    require(e.foldable && e.dataType == StringType,
-      s"graft_match: $what must be a string literal, got $e")
-    val v = e.eval()
-    require(v != null, s"graft_match: $what must not be null")
-    v.toString
-  }
-
   private def lookupPlan(dirE: Expression, queryE: Expression): LogicalPlan = {
-    val dir = litString(dirE, "indexDir")
-    val query = litString(queryE, "query")
+    val dir = GraftSql.litString(dirE, "graft_match", "indexDir")
+    val query = GraftSql.litString(queryE, "graft_match", "query")
     val reader = GraftSql.readerFor(spark, dir)
     QueryExec.run(reader, query)
       .toDF("docId", "_score").select("docId")

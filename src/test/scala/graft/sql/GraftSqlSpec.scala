@@ -133,6 +133,34 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(ids() == Seq(0L, 2L), "stale reader served a rebuilt index")
   }
 
+  test("tombstone appends invalidate the SQL reader cache; bad dirs error clearly") {
+    import spark.implicits._
+    GraftSql.install(spark)
+    val d = java.nio.file.Files.createTempDirectory("graft_sql_del_").toString
+    IndexBuilder.build(spark,
+      Seq((0L, "pear fig"), (1L, "pear plum")).toDF("docId", "content"),
+      d, IndexConfig(tokenizerName = "TokenDelimit", nShards = 1,
+        buildPartitions = 1, hotTermDf = 100000L, nSalts = 1))
+    val r = new IndexReader(spark, d)
+    r.docs.createOrReplaceTempView("docs_del")
+    def ids() = spark.sql(
+      s"SELECT docId FROM docs_del WHERE graft_match(docId, '$d', 'pear') ORDER BY docId")
+      .collect().map(_.getLong(0)).toSeq
+    assert(ids() == Seq(0L, 1L)) // populates the reader cache
+    // a tombstone append never rewrites manifest.json — the fingerprint
+    // must still change, or the cached reader's memoized deleted-id set
+    // keeps serving the deleted doc
+    graft.index.Deletes.delete(r, org.apache.spark.sql.functions.col("docId") === 1L)
+    assert(ids() == Seq(0L), "SQL path served a tombstoned doc from a stale reader")
+    // a wrong index dir names the problem, not a raw NoSuchFileException
+    val e = intercept[Throwable] {
+      spark.sql(s"SELECT * FROM graft_search('$d-nope', 'pear')").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("no index at")), s"unexpected error: $e")
+  }
+
   test("config-route extensions session rewrites too (injectOptimizerRule)") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext)
