@@ -258,14 +258,26 @@ object Select {
 
     // 4. output columns (pseudo-cols _id/_score; function-call entries are
     // Catalyst expressions — the reference's output_columns script exprs,
-    // lib/output.c:2187)
+    // lib/output.c:2187). snippet_html/highlight_html take their keywords
+    // from the select CONDITION, not from arguments (reference
+    // proc_snippet.c:234), so they resolve here against p.query rather
+    // than through the session function registry.
+    lazy val condKeywords: Seq[String] =
+      p.query.toSeq.flatMap(q =>
+        graft.query.QueryParser.matchKeywords(q, p.queryFlags))
+    val condFn = """\s*(snippet_html|highlight_html)\(\s*([\w.]+)\s*\)\s*""".r
+    def outCol(c: String): Column = c match {
+      case condFn("snippet_html", target) =>
+        graft.functions.TextFunctions.snippetHtml(col(colOf(target)), condKeywords)
+      case condFn("highlight_html", target) =>
+        graft.functions.TextFunctions.highlightHtml(col(colOf(target)), condKeywords)
+      case _ => if (c.contains('(')) expr(c) else col(colOf(c))
+    }
     val out = p.outputExprs match {
       case Some(es) => paged.select(es.map { case (n, c) => c.as(n) }: _*)
       case None =>
         if (p.outputColumns == Seq("*")) paged
-        else paged.select(p.outputColumns.map { c =>
-          (if (c.contains('(')) expr(c) else col(colOf(c))).as(c)
-        }: _*)
+        else paged.select(p.outputColumns.map(c => outCol(c).as(c)): _*)
     }
 
     // 5. drilldowns evaluate on the FILTERED set (pre-offset/limit)

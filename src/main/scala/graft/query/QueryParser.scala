@@ -246,4 +246,25 @@ object QueryParser {
     val root = p.expr()
     Parsed(root, p.escalation)
   }
+
+  /** The POSITIVE match keywords of a query — what snippet/highlight
+    * output functions tag (reference proc_snippet.c:234 pulls keywords
+    * from the select condition): match clauses and `col:@value`
+    * predicates, left side only under AND_NOT (negated terms never
+    * highlight). An unparsable query degrades to whitespace terms, like
+    * the reference's best-effort keyword pull.
+    */
+  def matchKeywords(q: String, flags: QueryFlags = QueryFlags.default): Seq[String] = {
+    def collect(n: Node): Seq[String] = n match {
+      case Match(t, _) => Seq(t)
+      case ColPred(_, "@", v) => Seq(v)
+      case And(l, r) => collect(l) ++ collect(r)
+      case Or(l, r) => collect(l) ++ collect(r)
+      case AndNot(l, _) => collect(l)
+      case Adjust(l, _, _) => collect(l)
+      case _ => Seq.empty
+    }
+    try collect(parse(q, flags).root)
+    catch { case scala.util.control.NonFatal(_) => q.split("\\s+").toSeq }
+  }
 }

@@ -106,4 +106,29 @@ class SelectSpec extends AnyFunSuite {
     assert(hits(SelectParams(query = Some("d*"),
       outputColumns = Seq("_id", "_score"))) == Seq((2L, 1.0), (3L, 1.0)))
   }
+
+  test("snippet_html/highlight_html output columns take keywords from the query") {
+    // reference proc_snippet.c:234: the functions carry NO keyword args —
+    // keywords come from the select condition (negated terms excluded)
+    val res = Select.run(reader, SelectParams(
+      query = Some("apple -egg"),
+      sortby = Seq("_id"), limit = 10,
+      outputColumns = Seq("_id", "snippet_html(content)", "highlight_html(content)")))
+    val rows = res.hits.collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(0L, 2L, 4L))
+    val hl = rows.head.getString(2)
+    assert(hl.contains("<span class=\"keyword\">apple</span>"), hl)
+    assert(!hl.contains("<span class=\"keyword\">egg"), "negated term tagged")
+    val snips = rows.head.getSeq[String](1)
+    assert(snips.nonEmpty && snips.head.contains("<span class=\"keyword\">apple</span>"))
+    // expanded synonyms highlight too (expansion precedes keyword pull)
+    val exp = Select.run(reader, SelectParams(
+      query = Some("apple"),
+      queryExpander = Some(graft.query.QueryExpander(
+        Map("apple" -> "((apple) OR (banana))"))),
+      sortby = Seq("_id"), limit = 10,
+      outputColumns = Seq("_id", "highlight_html(content)")))
+    val h0 = exp.hits.collect().head.getString(1)
+    assert(h0.contains("<span class=\"keyword\">banana</span>"), h0)
+  }
 }

@@ -4301,22 +4301,11 @@ object GrnTestRunner {
     graft.functions.GrnGeo.register(spark)
     graft.functions.GrnScalars.register(spark)
 
-    // condition keywords for snippet/highlight output functions
-    // (reference proc_snippet.c:234 pulls keywords from the select condition)
-    val keywords: Seq[String] = args.get("query").toSeq.flatMap { q =>
-      try {
-        def collect(n: graft.query.QueryParser.Node): Seq[String] = n match {
-          case graft.query.QueryParser.Match(t, _) => Seq(t)
-          case graft.query.QueryParser.ColPred(_, "@", v) => Seq(v)
-          case graft.query.QueryParser.And(l, r) => collect(l) ++ collect(r)
-          case graft.query.QueryParser.Or(l, r) => collect(l) ++ collect(r)
-          case graft.query.QueryParser.AndNot(l, _) => collect(l)
-          case graft.query.QueryParser.Adjust(l, _, _) => collect(l)
-          case _ => Seq.empty
-        }
-        collect(graft.query.QueryParser.parse(q).root)
-      } catch { case _: Throwable => q.split("\\s+").toSeq }
-    }
+    // condition keywords for snippet/highlight output functions — the
+    // library extraction (reference proc_snippet.c:234 pulls keywords from
+    // the select condition)
+    val keywords: Seq[String] = args.get("query").toSeq
+      .flatMap(graft.query.QueryParser.matchKeywords(_))
     val kws = keywords
     spark.udf.register("snippet_html", (t: String) => {
       val r = graft.functions.TextFunctions.snippetOf(
