@@ -35,6 +35,18 @@ class QueryExpanderSpec extends AnyFunSuite {
     assert(QueryExpander.expandTerms("a", loop, identity) == "a b")
   }
 
+  test("empty dictionary ⇒ the scanner is the identity (randomized)") {
+    // with no synonyms every path copies the input through verbatim:
+    // ops, quotes (closed or not), col:op prefixes, OR, whitespace, terms
+    val rnd = new scala.util.Random(42)
+    val pool = "abcXY01 \t+-()*<>~\":@^$!=OR日本".toCharArray
+    (0 until 3000).foreach { _ =>
+      val q = new String(Array.fill(rnd.nextInt(30))(pool(rnd.nextInt(pool.length))))
+      assert(QueryExpander.expandTerms(q, Map.empty, identity) == q,
+        s"not identity on: ${q.map(c => f"\\u${c.toInt}%04x").mkString}")
+    }
+  }
+
   test("TSV dictionary: words OR-join, comments and blanks skip") {
     val m = QueryExpander.parseTsv(
       "# comment\nrabbit\tbunny\thare\n\nsolo\tonly\n")
