@@ -355,11 +355,17 @@ object TextFunctions {
     snipExec(text, keywords.filter(_.nonEmpty).map(k => (k, openTag, closeTag)),
       width, maxResults, escape = true, normalize = true)
 
-  /** `snippet_html(col)` with the query keywords known at plan time. */
+  /** `snippet_html(col)` with the query keywords known at plan time.
+    * NULL (not an empty vector) when no snippet is produced — the
+    * reference envelope (proc_snippet.c emits null when grn_snip finds
+    * nothing), and what the grntest fixtures assert.
+    */
   def snippetHtml(c: Column, keywords: Seq[String], width: Int = 200, maxResults: Int = 3): Column = {
     val kw = keywords
     val u = udf { (text: String) =>
-      snippetOf(text, kw, width, maxResults, "<span class=\"keyword\">", "</span>")
+      val r = snippetOf(text, kw, width, maxResults,
+        "<span class=\"keyword\">", "</span>")
+      if (r.isEmpty) null else r
     }
     u(c)
   }

@@ -248,11 +248,15 @@ object QueryParser {
   }
 
   /** The POSITIVE match keywords of a query — what snippet/highlight
-    * output functions tag (reference proc_snippet.c:234 pulls keywords
-    * from the select condition): match clauses and `col:@value`
-    * predicates, left side only under AND_NOT (negated terms never
-    * highlight). An unparsable query degrades to whitespace terms, like
-    * the reference's best-effort keyword pull.
+    * output functions tag. Mirrors the reference's
+    * grn_expr_get_keywords (lib/expr.c:8003): ONLY GRN_OP_MATCH scan
+    * units are pulled — match clauses (incl. phrases), `col:@value`
+    * predicates, and BOTH sides of an adjust (an adjust clause is a MATCH
+    * unit under GRN_OP_ADJUST, which passes the keyword filter) — while
+    * near/similar/prefix units and anything under AND_NOT are excluded
+    * (their ops are not GRN_OP_MATCH / negated terms never highlight).
+    * An unparsable query degrades to whitespace terms, the best-effort
+    * pull.
     */
   def matchKeywords(q: String, flags: QueryFlags = QueryFlags.default): Seq[String] = {
     def collect(n: Node): Seq[String] = n match {
@@ -261,7 +265,7 @@ object QueryParser {
       case And(l, r) => collect(l) ++ collect(r)
       case Or(l, r) => collect(l) ++ collect(r)
       case AndNot(l, _) => collect(l)
-      case Adjust(l, _, _) => collect(l)
+      case Adjust(l, r, _) => collect(l) ++ collect(r)
       case _ => Seq.empty
     }
     try collect(parse(q, flags).root)

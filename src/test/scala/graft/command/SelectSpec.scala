@@ -121,6 +121,20 @@ class SelectSpec extends AnyFunSuite {
     assert(!hl.contains("<span class=\"keyword\">egg"), "negated term tagged")
     val snips = rows.head.getSeq[String](1)
     assert(snips.nonEmpty && snips.head.contains("<span class=\"keyword\">apple</span>"))
+    // a no-keyword-occurrence snippet is NULL, not an empty vector
+    // (reference proc_snippet envelope); grp never contains 'apple'
+    val nul = Select.run(reader, SelectParams(
+      query = Some("apple"), sortby = Seq("_id"), limit = 1,
+      outputColumns = Seq("_id", "snippet_html(grp)")))
+    assert(nul.hits.collect().head.isNullAt(1))
+    // an adjust clause is a MATCH scan unit: its term highlights too
+    // (reference grn_expr_get_keywords pulls op==GRN_OP_MATCH regardless
+    // of the ADJUST logical op)
+    val adj = Select.run(reader, SelectParams(
+      query = Some("apple >banana"), sortby = Seq("_id"), limit = 10,
+      outputColumns = Seq("_id", "highlight_html(content)")))
+    val adjH = adj.hits.collect().head.getString(1)
+    assert(adjH.contains("<span class=\"keyword\">banana</span>"), adjH)
     // expanded synonyms highlight too (expansion precedes keyword pull)
     val exp = Select.run(reader, SelectParams(
       query = Some("apple"),

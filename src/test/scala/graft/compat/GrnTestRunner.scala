@@ -4303,9 +4303,13 @@ object GrnTestRunner {
 
     // condition keywords for snippet/highlight output functions — the
     // library extraction (reference proc_snippet.c:234 pulls keywords from
-    // the select condition)
+    // the select condition), parsed under the SAME query_flags as the
+    // select itself so e.g. --query_flags NONE keeps `col:@v` literal
     val keywords: Seq[String] = args.get("query").toSeq
-      .flatMap(graft.query.QueryParser.matchKeywords(_))
+      .flatMap(graft.query.QueryParser.matchKeywords(_,
+        args.get("query_flags")
+          .map(graft.query.QueryParser.QueryFlags.parse)
+          .getOrElse(graft.query.QueryParser.QueryFlags.default)))
     val kws = keywords
     spark.udf.register("snippet_html", (t: String) => {
       val r = graft.functions.TextFunctions.snippetOf(
