@@ -196,12 +196,17 @@ object GraftSql {
     })
 
   /** Install on a LIVE session: registers `graft_match` + the scored TVFs
-    * and appends the rewrite rule to `spark.experimental.extraOptimizations`.
-    * Idempotent. (The config route — `spark.sql.extensions=
-    * graft.sql.GraftExtensions` — is preferred on a cluster: extension
-    * rules run inside the operator-optimization batch; experimental rules
-    * run in their own later batch. Both see an already-optimized lookup
-    * subtree, see [[IndexMatchRewrite]].)
+    * + the Groonga scalar/geo UDF families (`edit_distance`, `html_untag`,
+    * `string_length`, `fuzzy_search`, `prefix_rk_search`, `geo_distance`,
+    * `geo_in_circle`, ...) and appends the rewrite rule to
+    * `spark.experimental.extraOptimizations`. Idempotent. (The config
+    * route — `spark.sql.extensions=graft.sql.GraftExtensions` — is
+    * preferred on a cluster: extension rules run inside the
+    * operator-optimization batch; experimental rules run in their own
+    * later batch. Both see an already-optimized lookup subtree, see
+    * [[IndexMatchRewrite]]. The UDF families need a live session, so on
+    * the config route call `GrnScalars.register`/`GrnGeo.register` after
+    * session build.)
     */
   def install(spark: SparkSession): Unit = {
     val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
@@ -209,6 +214,8 @@ object GraftSql {
     cs.sessionState.functionRegistry.registerFunction(ident, info, builder)
     for ((i, nfo, b) <- Seq(searchTvfDescription, bm25TvfDescription))
       cs.sessionState.tableFunctionRegistry.registerFunction(i, nfo, b)
+    graft.functions.GrnScalars.register(spark)
+    graft.functions.GrnGeo.register(spark)
     if (!cs.experimental.extraOptimizations.exists(_.isInstanceOf[IndexMatchRewrite]))
       cs.experimental.extraOptimizations =
         cs.experimental.extraOptimizations :+ IndexMatchRewrite(spark)

@@ -81,6 +81,14 @@ class GraftSqlSpec extends AnyFunSuite {
       s"unexpected error: $e")
   }
 
+  test("install registers the scalar/geo UDF families for SQL use") {
+    GraftSql.install(spark)
+    assert(spark.sql("SELECT edit_distance('kitten', 'sitting')")
+      .collect().head.getInt(0) == 3)
+    assert(spark.sql("SELECT html_untag('<b>x</b>')")
+      .collect().head.getString(0) == "x")
+  }
+
   test("graft_search / graft_bm25 table functions return scored rows") {
     installAndView()
     // graft_search: every match, reference default scorer — same rows and
