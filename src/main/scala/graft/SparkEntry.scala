@@ -286,6 +286,20 @@ object SparkEntry {
         col("_score").cast("long").as("score"))
     }),
 
+    // highlight_html(content) output column: keywords come from the select
+    // CONDITION (reference proc_highlight.c pulls them via
+    // grn_expr_get_keywords) — on the clean lowercase corpus the oracle is
+    // an exact string replace of every keyword occurrence
+    "sel_highlight" -> ((s, d) => {
+      val res = graft.command.Select.run(DocIndex.reader(s, d),
+        graft.command.SelectParams(
+          query = Some("spark"),
+          sortby = Seq("_id"), limit = 1000000,
+          outputColumns = Seq("_id", "highlight_html(content)")))
+      res.hits.select(col("_id").as("doc_id"),
+        col("`highlight_html(content)`").as("hl"))
+    }),
+
     // query + filter (Catalyst column predicate) + scorer expression
     "sel_filter_scorer" -> ((s, d) => {
       val res = graft.command.Select.run(DocIndex.reader(s, d),
@@ -806,6 +820,13 @@ object SparkEntry {
       s"""WITH a AS ${tfOf("spark")}, b AS ${tfOf("dup")}
          |SELECT a.doc_id, a.tf + b.tf AS score FROM a JOIN b USING (doc_id)
          |WHERE a.tf > 0 OR b.tf > 0 ORDER BY doc_id""".stripMargin,
+
+    "sel_highlight" ->
+      s"""WITH a AS ${tfOf("spark")}
+         |SELECT doc_id,
+         | replace(d.text, 'spark', '<span class="keyword">spark</span>') AS hl
+         |FROM a JOIN documents d USING (doc_id)
+         |WHERE a.tf > 0 ORDER BY doc_id""".stripMargin,
 
     "sel_filter_scorer" ->
       s"""WITH a AS ${tfOf("spark")}
