@@ -79,11 +79,13 @@ object QueryCache {
     * randomness), so [[fetch]] bypasses the cache entirely.
     */
   private def fingerprint(
-      c: org.apache.spark.sql.Column, knownCols: Set[String]): Option[String] =
-    org.apache.spark.sql.GraftColumnBridge.udfIdentities(c, knownCols).map {
-      case Seq() => ""
-      case fns => fns.map(fnIdOf).mkString("#udf[", ",", "]")
-    }
+      c: org.apache.spark.sql.Column, knownCols: Set[String],
+      caseSensitive: Boolean): Option[String] =
+    org.apache.spark.sql.GraftColumnBridge
+      .udfIdentities(c, knownCols, caseSensitive).map {
+        case Seq() => ""
+        case fns => fns.map(fnIdOf).mkString("#udf[", ",", "]")
+      }
 
   /** Cache key = index identity + content epoch + the rendered parameter
     * set (SelectParams is a case class; Column parameters render their
@@ -122,9 +124,20 @@ object QueryCache {
     // a bare attribute that IS a doc column resolves as that column (the
     // analyzer prefers columns over literal functions), so such names must
     // not trip the literal-function deny — a corpus with a `user` column
-    // would otherwise never cache
-    val knownCols = reader.docs.schema.fieldNames.map(_.toLowerCase).toSet
-    val fps = cols.map(fingerprint(_, knownCols))
+    // would otherwise never cache. Name matching follows the session's
+    // spark.sql.caseSensitive: exact when case-sensitive (a `USER` column
+    // does NOT shadow a bare `user`, which then resolves as the
+    // session_user literal function and must bypass the cache).
+    val caseSensitive = reader.spark.conf
+      .get("spark.sql.caseSensitive", "false").toBoolean
+    val knownCols =
+      if (caseSensitive) reader.docs.schema.fieldNames.toSet
+      else reader.docs.schema.fieldNames.map(_.toLowerCase).toSet
+    // a script-syntax filter calling rand()/now() is non-deterministic
+    // exactly like the Column form — deny by Ast walk, not string match
+    if (p.filterScript.exists(s => !graft.script.ScriptExpr.isDeterministic(s)))
+      return None
+    val fps = cols.map(fingerprint(_, knownCols, caseSensitive))
     if (fps.exists(_.isEmpty)) None
     else Some(s"${reader.dir}\u0001${reader.cacheEpoch}\u0001$p\u0001" +
       fps.flatten.mkString(";"))

@@ -35,6 +35,15 @@ final case class SelectParams(
     query: Option[String] = None,
     matchColumns: Seq[String] = Seq("content"),
     filter: Option[Column] = None,
+    /** `--filter` as Groonga SCRIPT-SYNTAX text, lowered against the docs
+      * schema via [[graft.script.ScriptExpr]] and AND-combined with
+      * `filter` when both are present. Unlike the pre-lowered Column form,
+      * the parsed text also contributes its match (`@`) keywords to the
+      * snippet/highlight condition — the reference builds ONE condition
+      * expression from query AND filter (proc_select.c:726-736) and
+      * proc_snippet.c:248-287 pulls keywords from that merged condition.
+      */
+    filterScript: Option[String] = None,
     scorer: Option[String] = None,
     sortby: Seq[String] = Seq("_id"),
     offset: Int = 0,
@@ -129,7 +138,8 @@ object Select {
     * passes through.
     */
   private def preExpand(p: SelectParams): SelectParams = p.queryExpander match {
-    case Some(e) => p.copy(query = p.query.map(e.expand), queryExpander = None)
+    case Some(e) =>
+      p.copy(query = p.query.map(e.expand(_, p.queryFlags)), queryExpander = None)
     case None => p
   }
 
@@ -210,7 +220,19 @@ object Select {
     // 1. result set: query (via index) AND filter (via Catalyst), like the
     // AND-combined condition of grn_select step 2 (proc_select.c:726-739)
     val fScore = p.filterScore.getOrElse(lit(1.0))
-    val scored: DataFrame = (p.query, p.filter) match {
+    // script-syntax filter text lowers against the docs schema; combined
+    // AND with the pre-lowered Column form when both are given (the
+    // reference AND-combines every condition source, proc_select.c:726)
+    val scriptFilter: Option[Column] = p.filterScript.map { src =>
+      val v = graft.script.ScriptExpr.lower(
+        src, new graft.script.DataFrameEnv(docs.schema)).value
+      v.bool.getOrElse(v.col).cast("boolean")
+    }
+    val effFilter: Option[Column] = (p.filter, scriptFilter) match {
+      case (Some(a), Some(b)) => Some(a && b)
+      case (a, b) => a.orElse(b)
+    }
+    val scored: DataFrame = (p.query, effFilter) match {
       case (Some(q), None) =>
         queryEval(q)
       case (None, Some(f)) =>
@@ -262,9 +284,14 @@ object Select {
     // from the select CONDITION, not from arguments (reference
     // proc_snippet.c:234), so they resolve here against p.query rather
     // than through the session function registry.
+    // the reference merges query AND filter into one condition and pulls
+    // keywords from both (proc_select.c:726-736 + proc_snippet.c:248-287):
+    // positive `@` matches in the script filter contribute too
     lazy val condKeywords: Seq[String] =
-      p.query.toSeq.flatMap(q =>
-        graft.query.QueryParser.matchKeywords(q, p.queryFlags))
+      (p.query.toSeq.flatMap(q =>
+        graft.query.QueryParser.matchKeywords(q, p.queryFlags)) ++
+        p.filterScript.toSeq.flatMap(graft.script.ScriptExpr.matchKeywords))
+        .distinct
     val condFn = """\s*(snippet_html|highlight_html)\(\s*([\w.]+)\s*\)\s*""".r
     def outCol(c: String): Column = c match {
       case condFn("snippet_html", target) =>

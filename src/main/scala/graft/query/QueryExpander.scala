@@ -26,6 +26,14 @@ final case class QueryExpander(
     synonyms: Map[String, String],
     keyOf: String => String = identity) {
   def expand(q: String): String = QueryExpander.expandTerms(q, synonyms, keyOf)
+
+  /** Flag-aware form: the reference scanner gates the `col:op` prefix on
+    * GRN_EXPR_ALLOW_COLUMN (grn_expr_syntax_expand_query_terms checks the
+    * expression flags), so with `--query_flags NONE` a term like `syn:foo`
+    * is ONE literal term and expands as such.
+    */
+  def expand(q: String, flags: QueryParser.QueryFlags): String =
+    QueryExpander.expandTerms(q, synonyms, keyOf, flags.allowColumn)
 }
 
 object QueryExpander {
@@ -89,7 +97,8 @@ object QueryExpander {
   def expandTerms(
       q: String,
       synonyms: Map[String, String],
-      keyOf: String => String): String = {
+      keyOf: String => String,
+      allowColumn: Boolean = true): String = {
     val sb = new StringBuilder
     var i = 0
     def isOpChar(c: Char): Boolean = "+><~-()*".indexOf(c) >= 0
@@ -121,9 +130,11 @@ object QueryExpander {
         while (i < q.length && !broke) {
           val ch = q.charAt(i)
           if (ch.isWhitespace || ch == '(' || ch == ')' || ch == '*') broke = true
-          else if (ch == ':') {
-            // `col:op` prefix: ALLOW_COLUMN is always on for select --query;
-            // ALLOW_UPDATE is not, so `:=` keeps the '=' in the value term
+          else if (ch == ':' && allowColumn) {
+            // `col:op` prefix (only under ALLOW_COLUMN — with the flag
+            // cleared the ':' stays inside one literal term, reference
+            // scanner gates on GRN_EXPR_ALLOW_COLUMN); ALLOW_UPDATE is
+            // not on for select, so `:=` keeps the '=' in the value term
             var j = i + 1
             if (j < q.length) q.charAt(j) match {
               case '!' | '@' | '^' | '$' => j += 1

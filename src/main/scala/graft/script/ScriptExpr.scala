@@ -935,4 +935,53 @@ object ScriptExpr {
       Some(TVal(unix_timestamp().cast("double"), GTime))
     case _ => None
   }
+
+  /** Positive match (`@`) keywords of a script expression, for the
+    * snippet/highlight condition — the analogue of grn_expr_get_keywords
+    * (reference lib/expr.c:8003-8040): only OP_MATCH units with a constant
+    * query contribute, and units under the NOT side of an AND_NOT (the
+    * scan-info `butp` parity walk) are excluded. An unparseable string
+    * yields no keywords (the filter itself would have failed first).
+    */
+  def matchKeywords(src: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    def walk(a: Ast, neg: Boolean): Unit = a match {
+      case Bin("&!", l, r) => walk(l, neg); walk(r, !neg)
+      case Bin("@", _, Str(s)) => if (!neg) out += s
+      case Bin(_, l, r) => walk(l, neg); walk(r, neg)
+      case Un("!", e) => walk(e, !neg)
+      case Un(_, e) => walk(e, neg)
+      case Cond(c, t, f) => walk(c, neg); walk(t, neg); walk(f, neg)
+      case Comma(es) => es.foreach(walk(_, neg))
+      case _ => () // calls (query()/selectors) are OP_CALL units, not OP_MATCH
+    }
+    try walk(parse(src), neg = false)
+    catch { case scala.util.control.NonFatal(_) => () }
+    out.toSeq.distinct
+  }
+
+  /** False when the expression calls a non-deterministic builtin (`rand`,
+    * `now`) anywhere — used by the query cache to bypass caching for
+    * script filters, mirroring the Column-side fingerprint deny.
+    */
+  def isDeterministic(src: String): Boolean = {
+    var det = true
+    def walk(a: Ast): Unit = a match {
+      case CallN(Id("rand" | "now"), _) => det = false
+      case CallN(t, args) => walk(t); args.foreach(walk)
+      case Bin(_, l, r) => walk(l); walk(r)
+      case Un(_, e) => walk(e)
+      case Cond(c, t, f) => walk(c); walk(t); walk(f)
+      case Comma(es) => es.foreach(walk)
+      case Arr(es) => es.foreach(walk)
+      case ObjL(fs) => fs.foreach(f => walk(f._2))
+      case Member(o, _) => walk(o)
+      case IndexOf(o, i) => walk(o); walk(i)
+      case AssignN(_, t, v) => walk(t); walk(v)
+      case _ => ()
+    }
+    try walk(parse(src))
+    catch { case scala.util.control.NonFatal(_) => det = false }
+    det
+  }
 }

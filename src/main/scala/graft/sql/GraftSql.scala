@@ -126,6 +126,7 @@ object GraftSql {
       case i: Int => i
       case l: Long => java.lang.Math.toIntExact(l) // error, never silent wrap
       case s: Short => s.toInt
+      case b: Byte => b.toInt
       case other => throw new IllegalArgumentException(
         s"$fn: $what must be an integer literal, got $other")
     }

@@ -56,15 +56,23 @@ object GraftColumnBridge {
     * ones. None when the tree is NOT CACHEABLE (a non-deterministic
     * builtin or UDF anywhere in it).
     *
-    * @param knownColumns LOWERCASED names of the columns in scope where
-    *   this Column will resolve (the analyzer matches case-insensitively
-    *   by default); a bare attribute matching one resolves as that column,
-    *   never as a literal function, so it is not denied.
+    * @param knownColumns names of the columns in scope where this Column
+    *   will resolve; a bare attribute matching one resolves as that
+    *   column, never as a literal function, so it is not denied. Matching
+    *   honors `caseSensitive` (spark.sql.caseSensitive): case-insensitive
+    *   by default (pass lowercased names), EXACT when the session is
+    *   case-sensitive — there a docs column `USER` does NOT shadow a bare
+    *   `user` reference, which the analyzer then resolves as the
+    *   session_user literal function.
     */
   def udfIdentities(
-      c: Column, knownColumns: Set[String] = Set.empty): Option[Seq[AnyRef]] = {
+      c: Column, knownColumns: Set[String] = Set.empty,
+      caseSensitive: Boolean = false): Option[Seq[AnyRef]] = {
     val out = Seq.newBuilder[AnyRef]
     var cacheable = true
+    def shadowedByColumn(name: String): Boolean =
+      if (caseSensitive) knownColumns(name)
+      else knownColumns(name.toLowerCase)
     def visit(x: Any): Unit = x match {
       case fn: UnresolvedFunction =>
         if (nondeterministicNames(fn.functionName.toLowerCase)) cacheable = false
@@ -94,11 +102,11 @@ object GraftColumnBridge {
         // UNLESS a real in-scope column carries the name (column wins)
         if (ua.nameParts.lengthCompare(1) == 0 &&
           literalFunctionNames(ua.nameParts.head.toLowerCase) &&
-          !knownColumns(ua.nameParts.head.toLowerCase)) cacheable = false
+          !shadowedByColumn(ua.nameParts.head)) cacheable = false
       case ua: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
         if (ua.nameParts.lengthCompare(1) == 0 &&
           literalFunctionNames(ua.nameParts.head.toLowerCase) &&
-          !knownColumns(ua.nameParts.head.toLowerCase)) cacheable = false
+          !shadowedByColumn(ua.nameParts.head)) cacheable = false
       case s: org.apache.spark.sql.internal.SqlExpression =>
         // a raw SQL fragment is opaque until parsed — parse it (cheap,
         // string-sized) so rand()/uuid() inside expr("...") are seen;

@@ -187,4 +187,57 @@ class QueryCacheSpec extends AnyFunSuite {
     assert(dd == Set(("f", 1L), ("g", 1L)))
     assert(r2.drilldownTotals("grp") == 2L)
   }
+
+  test("caseSensitive=true: an upper-case USER column does not shadow bare `user`") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "apple banana", "alice"),
+      (1L, "banana cherry", "bob")
+    ).toDF("docId", "content", "USER")
+    val dir = java.nio.file.Files.createTempDirectory("graft_qc_cs_").toString
+    IndexBuilder.build(spark, docs, dir, IndexConfig(
+      tokenizerName = "TokenDelimit", nShards = 1, buildPartitions = 1,
+      hotTermDf = 100000L, nSalts = 1))
+    val reader = new IndexReader(spark, dir)
+    spark.conf.set("spark.sql.caseSensitive", "true")
+    try {
+      // under case sensitivity a bare `user` does NOT resolve as the USER
+      // column — the analyzer falls back to the session_user literal
+      // function, a cross-session non-deterministic value: must bypass
+      QueryCache.clear()
+      val p = SelectParams(sortby = Seq("_id"), limit = 10,
+        outputColumns = Seq("_id", "user"))
+      Select.runCached(reader, p)
+      Select.runCached(reader, p)
+      assert(QueryCache.stats == ((0L, 0L)),
+        "bare `user` is session_user under caseSensitive=true — must not cache")
+      // the exact-case column reference still caches
+      QueryCache.clear()
+      val pExact = SelectParams(sortby = Seq("_id"), limit = 10,
+        outputColumns = Seq("_id", "USER"))
+      val r1 = Select.runCached(reader, pExact)
+      val r2 = Select.runCached(reader, pExact)
+      assert(QueryCache.stats == ((1L, 1L)))
+      assert(ids(r2) == ids(r1))
+    } finally spark.conf.set("spark.sql.caseSensitive", "false")
+  }
+
+  test("filterScript: deterministic text caches; rand()/now() bypass") {
+    val reader = freshReader()
+    QueryCache.clear()
+    val p = SelectParams(filterScript = Some("val >= 30"),
+      sortby = Seq("_id"), limit = 10, outputColumns = Seq("_id"))
+    val r1 = Select.runCached(reader, p)
+    val r2 = Select.runCached(reader, p)
+    assert(QueryCache.stats == ((1L, 1L)))
+    assert(ids(r1) == ids(r2) && ids(r1) == Seq(2L, 3L))
+    QueryCache.clear()
+    val pr = p.copy(filterScript = Some("val >= rand(100)"))
+    Select.runCached(reader, pr)
+    Select.runCached(reader, pr)
+    assert(QueryCache.stats._1 == 0L, "rand() in a script filter must bypass")
+    val pn = p.copy(filterScript = Some("val <= now()"))
+    Select.runCached(reader, pn)
+    assert(QueryCache.stats._1 == 0L, "now() in a script filter must bypass")
+  }
 }

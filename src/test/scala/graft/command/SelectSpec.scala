@@ -145,4 +145,47 @@ class SelectSpec extends AnyFunSuite {
     val h0 = exp.hits.collect().head.getString(1)
     assert(h0.contains("<span class=\"keyword\">banana</span>"), h0)
   }
+
+  test("script --filter match keywords reach highlight/snippet (merged condition)") {
+    // reference builds ONE condition from query AND filter
+    // (proc_select.c:726-736); proc_snippet.c:248-287 pulls keywords from
+    // that merged condition — a match predicate ONLY in --filter highlights
+    val res = Select.run(reader, SelectParams(
+      filterScript = Some("""content @ "apple" && val < 40"""),
+      sortby = Seq("_id"), limit = 10,
+      outputColumns = Seq("_id", "highlight_html(content)", "snippet_html(content)")))
+    val rows = res.hits.collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(0L, 2L))
+    val hl = rows.head.getString(1)
+    assert(hl.contains("<span class=\"keyword\">apple</span>"), hl)
+    val snips = rows.head.getSeq[String](2)
+    assert(snips.nonEmpty && snips.head.contains("<span class=\"keyword\">apple</span>"))
+    // the AND_NOT right side is excluded (grn_expr_get_keywords butp walk)
+    val nt = Select.run(reader, SelectParams(
+      filterScript = Some("""content @ "apple" &! content @ "banana""""),
+      sortby = Seq("_id"), limit = 10,
+      outputColumns = Seq("_id", "highlight_html(content)")))
+    val ntRows = nt.hits.collect()
+    assert(ntRows.map(_.getLong(0)).toSeq == Seq(2L))
+    val nh = ntRows.head.getString(1)
+    assert(nh.contains("<span class=\"keyword\">apple</span>") &&
+      !nh.contains(">banana</span>"), nh)
+    // query AND script-filter keywords merge into one condition
+    val both = Select.run(reader, SelectParams(
+      query = Some("apple"),
+      filterScript = Some("""content @ "cherry""""),
+      sortby = Seq("_id"), limit = 10,
+      outputColumns = Seq("_id", "highlight_html(content)")))
+    val bRows = both.hits.collect()
+    assert(bRows.map(_.getLong(0)).toSeq == Seq(2L))
+    val bh = bRows.head.getString(1)
+    assert(bh.contains(">apple</span>") && bh.contains(">cherry</span>"), bh)
+    // filterScript AND the pre-lowered Column filter combine
+    val comb = Select.run(reader, SelectParams(
+      filterScript = Some("""content @ "apple""""),
+      filter = Some(col("val") >= 30),
+      sortby = Seq("_id"), limit = 10,
+      outputColumns = Seq("_id")))
+    assert(comb.hits.collect().map(_.getLong(0)).toSeq == Seq(2L, 4L))
+  }
 }

@@ -35,6 +35,21 @@ class QueryExpanderSpec extends AnyFunSuite {
     assert(QueryExpander.expandTerms("a", loop, identity) == "a b")
   }
 
+  test("ALLOW_COLUMN off: `col:term` is ONE literal term for expansion") {
+    // the reference scanner gates the col:op prefix on GRN_EXPR_ALLOW_COLUMN
+    // (grn_expr_syntax_expand_query_terms), so with --query_flags clearing
+    // it, `syn:foo` expands as a single term, not a prefix + value
+    val dict = Map("syn:foo" -> "((a) OR (b))", "foo" -> "baz")
+    assert(QueryExpander.expandTerms("syn:foo", dict, identity) == "syn:baz")
+    assert(QueryExpander.expandTerms("syn:foo", dict, identity,
+      allowColumn = false) == "((a) OR (b))")
+    // threaded from the select's query flags
+    val e = QueryExpander(dict)
+    assert(e.expand("syn:foo",
+      QueryParser.QueryFlags(allowColumn = false)) == "((a) OR (b))")
+    assert(e.expand("syn:foo", QueryParser.QueryFlags.default) == "syn:baz")
+  }
+
   test("empty dictionary ⇒ the scanner is the identity (randomized)") {
     // with no synonyms every path copies the input through verbatim:
     // ops, quotes (closed or not), col:op prefixes, OR, whitespace, terms

@@ -110,6 +110,11 @@ class GraftSqlSpec extends AnyFunSuite {
     val wantTop = graft.search.Engine.bm25TopK(reader, "apple", 2)
       .collect().sortBy(sd => (-sd.score, sd.docId)).map(_.docId).toSeq
     assert(top.map(_._1) == wantTop && top.size == 2)
+    // any foldable INTEGRAL literal is accepted as k — incl. TINYINT
+    val tiny = spark.sql(
+      s"SELECT docId FROM graft_bm25('$dir', 'apple', CAST(2 AS TINYINT))")
+      .collect().map(_.getLong(0)).toSet
+    assert(tiny == top.map(_._1).toSet)
   }
 
   test("a rebuilt index (new manifest) invalidates the rule's reader cache") {
