@@ -475,8 +475,64 @@ object SparkEntry {
       TextAnalysis.fingerprint(t(s, d, "documents")).orderBy("doc_id")),
 
     "ta_fingerprint_rolling" -> ((s, d) =>
-      TextAnalysis.rollingFingerprint(t(s, d, "documents")).orderBy("doc_id"))
+      TextAnalysis.rollingFingerprint(t(s, d, "documents")).orderBy("doc_id")),
+
+    // ---- sharded logical_* commands over day-partitioned events ----
+    // (reference plugins/sharding/logical_count.rb etc; the library form
+    // plans partition pruning on the _shard column — see Logical.scala)
+
+    // logical_count over a day range, no filter: INTERIOR shards count
+    // with zero columns projected (row-group metadata), only the two
+    // BOUNDARY shards evaluate the ts predicate (cover_type :all vs
+    // :partial in logical_count.rb)
+    "log_count" -> ((s, d) => graft.command.Logical.countDF(
+      s, shardedEvents(s, d), "ts",
+      graft.command.Logical.LogicalRange(
+        min = Some(utcTs("2024-01-05T00:00:00Z")),
+        max = Some(utcTs("2024-01-20T06:30:00Z")), maxInclude = false))),
+
+    // logical_select: exclusive min border + filter + sort + limit over
+    // the pruned shard union
+    "log_select" -> ((s, d) => graft.command.Logical.select(
+      s, shardedEvents(s, d), "ts",
+      graft.command.Logical.LogicalRange(
+        min = Some(utcTs("2024-01-03T12:00:00Z")), minInclude = false,
+        max = Some(utcTs("2024-01-28T00:00:00Z"))),
+      filter = Some(col("event_type") === "purchase" && col("value") > 100),
+      sortKeys = Seq("-value", "event_id"), limit = 40)
+      .select(col("event_id"), col("event_type"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long")
+          .as("value_cents"))),
+
+    // logical_range_filter: shard-key-ordered page (offset+limit) out of a
+    // two-day window — plans as TakeOrdered over the two pruned shards
+    "log_range" -> ((s, d) => graft.command.Logical.rangeFilter(
+      s, shardedEvents(s, d), "ts",
+      graft.command.Logical.LogicalRange(
+        min = Some(utcTs("2024-01-10T00:00:00Z")),
+        max = Some(utcTs("2024-01-12T00:00:00Z")), maxInclude = false),
+      offset = 5, limit = 30, tiebreak = Seq("event_id"))
+      .select(col("event_id"),
+        expr("unix_micros(cast(ts as timestamp))").as("ts_us")))
   )
+
+  /** Build-once day-sharded copy of `events` (`_shard=yyyyMMdd` from ts) —
+    * the physical layout the logical_* commands operate on.
+    */
+  private val logicalCache = scala.collection.mutable.Map[String, String]()
+  private def shardedEvents(s: SparkSession, d: String): String = synchronized {
+    logicalCache.getOrElseUpdate(d, {
+      val tag = d.replaceAll("[^A-Za-z0-9.]+", "_")
+      val root = s"${sys.props("java.io.tmpdir")}/graft-logical-v1/$tag"
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(root, "_logical")))
+        graft.command.Logical.writeSharded(t(s, d, "events"), "ts", root)
+      root
+    })
+  }
+
+  /** JVM-timezone-independent instant literal (session tz is UTC). */
+  private def utcTs(iso: String): java.sql.Timestamp =
+    java.sql.Timestamp.from(java.time.Instant.parse(iso))
 
   // ---- DuckDB oracles ---------------------------------------------------
   // The words CTE is the oracle-side TokenDelimit: documents.text is
@@ -1091,6 +1147,28 @@ object SparkEntry {
     },
 
     "ta_fingerprint" ->
-      "SELECT doc_id, substr(md5(text), 1, 16) AS fp FROM documents ORDER BY doc_id"
+      "SELECT doc_id, substr(md5(text), 1, 16) AS fp FROM documents ORDER BY doc_id",
+
+    // the logical_* gates run over a day-sharded COPY of events; shard
+    // assignment never changes row content, so the flat table is the oracle
+    "log_count" ->
+      """SELECT count(*) AS n FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+        |  AND ts <  TIMESTAMP '2024-01-20 06:30:00'""".stripMargin,
+
+    "log_select" ->
+      """SELECT event_id, event_type,
+        | CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS value_cents
+        |FROM events
+        |WHERE ts >  TIMESTAMP '2024-01-03 12:00:00'
+        |  AND ts <= TIMESTAMP '2024-01-28 00:00:00'
+        |  AND event_type = 'purchase' AND value > 100
+        |ORDER BY value DESC, event_id LIMIT 40""".stripMargin,
+
+    "log_range" ->
+      """SELECT event_id, epoch_us(ts) AS ts_us FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND ts <  TIMESTAMP '2024-01-12 00:00:00'
+        |ORDER BY ts, event_id LIMIT 30 OFFSET 5""".stripMargin
   )
 }

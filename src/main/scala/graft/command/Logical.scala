@@ -1,0 +1,280 @@
+package graft.command
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType, TimestampNTZType}
+
+/** Sharded logical tables — the library form of the reference's
+  * `logical_select` / `logical_count` / `logical_range_filter` commands
+  * (reference plugins/sharding/logical_select.rb, logical_count.rb,
+  * logical_range_filter.rb; shard enumeration logical_enumerator.rb).
+  *
+  * The reference stores one physical table per day/month
+  * (`Logs_20240101`, ...) and plans a range-pruned walk over the shards
+  * whose name-range intersects the requested [min, max] window
+  * (LogicalEnumerator + TargetRange#cover_type). The Spark-native shape of
+  * the same idea is a parquet dataset PARTITIONED BY a shard column derived
+  * from the shard key: shard pruning is then Catalyst partition pruning
+  * (`PartitionFilters` on the scan — zero I/O for out-of-range shards,
+  * exactly like the reference never opening out-of-range tables), and the
+  * cover_type row-level check is a pushed-down predicate on the shard-key
+  * column itself.
+  *
+  * Scale notes (the point of the sharded commands at 10⁹+ rows/day):
+  *   - [[count]] splits INTERIOR shards (fully covered by the range — the
+  *     reference's cover_type :all, counted via `table.size` without
+  *     touching rows) from BOUNDARY shards (cover_type :partial_*). The
+  *     interior branch projects no columns, so the parquet scan satisfies
+  *     it from row-group metadata; only the ≤2 boundary shards read the
+  *     shard-key column.
+  *   - [[rangeFilter]] is `orderBy(shardKey).offset(o).limit(n)` over the
+  *     pruned scan — Spark plans TakeOrdered (per-partition top-k, then a
+  *     driver-side merge of k-row partials), never a global sort; the
+  *     reference's shard-by-shard early-stop walk is the same cost shape.
+  *   - no shuffle appears in any of the three unless the caller's sort key
+  *     differs from the shard key.
+  */
+object Logical {
+
+  /** Range over the shard key, borders included/excluded per the
+    * reference's `min_border`/`max_border` (include|exclude).
+    */
+  final case class LogicalRange(
+      min: Option[java.sql.Timestamp] = None, minInclude: Boolean = true,
+      max: Option[java.sql.Timestamp] = None, maxInclude: Boolean = true)
+
+  /** Border semantics shared with the compat model (the scalar twin of
+    * [[rowPredicate]]): keep `v` (epoch seconds) when it falls inside the
+    * range given as epoch-second bounds. NaN (unparseable key) never
+    * matches — the reference's cast failure drops the row.
+    */
+  def inRange(v: Double,
+      minV: Option[Double], minInc: Boolean,
+      maxV: Option[Double], maxInc: Boolean): Boolean =
+    !v.isNaN &&
+      minV.forall(mv => if (minInc) v >= mv else v > mv) &&
+      maxV.forall(mv => if (maxInc) v <= mv else v < mv)
+
+  /** Partition column carrying the shard name (yyyyMMdd / yyyyMM). */
+  val ShardCol = "_shard"
+
+  private def pattern(granularity: String): String = granularity match {
+    case "day" => "yyyyMMdd"
+    case "month" => "yyyyMM"
+    case other => throw new IllegalArgumentException(
+      s"granularity must be day or month, got $other")
+  }
+
+  /** Write `df` as a sharded logical table at `root`: one partition
+    * directory per `shardKey` day (or month), the layout every reference
+    * sharding fixture models with its `Logs_YYYYMMDD` tables. A `_logical`
+    * marker file records the shard key and granularity (underscore files
+    * are invisible to parquet discovery).
+    */
+  def writeSharded(df: DataFrame, shardKey: String, root: String,
+      granularity: String = "day"): Unit = {
+    df.withColumn(ShardCol, date_format(col(shardKey), pattern(granularity)))
+      .write.mode("overwrite").partitionBy(ShardCol).parquet(root)
+    val marker = s"""{"shardKey":"$shardKey","granularity":"$granularity"}"""
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, "_logical"),
+      marker.getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+  }
+
+  private def markerGranularity(root: String): String = {
+    val p = java.nio.file.Paths.get(root, "_logical")
+    if (!java.nio.file.Files.exists(p)) "day"
+    else {
+      val s = new String(java.nio.file.Files.readAllBytes(p),
+        java.nio.charset.StandardCharsets.UTF_8)
+      if (s.contains("\"month\"")) "month" else "day"
+    }
+  }
+
+  /** The logical table: all shards, `_shard` as a partition column. */
+  def table(spark: SparkSession, root: String): DataFrame =
+    spark.read.parquet(root)
+
+  /** TIMESTAMP_NTZ shard keys (parquet timestamps without UTC adjustment
+    * read back as NTZ) hold NAIVE datetimes; a range bound's naive reading
+    * is its instant viewed in UTC — callers build bounds from ISO instants
+    * (`2024-01-05T00:00:00Z` = naive `2024-01-05 00:00:00`).
+    */
+  private def isNtz(df: DataFrame, shardKey: String): Boolean =
+    df.schema(shardKey).dataType == TimestampNTZType
+
+  private def naiveUtc(t: java.sql.Timestamp): java.time.LocalDateTime =
+    java.time.LocalDateTime.ofInstant(t.toInstant, java.time.ZoneOffset.UTC)
+
+  /** Shard-key literal matching the COLUMN type — a mismatched literal
+    * would wrap the column in a cast and defeat parquet filter pushdown.
+    */
+  private def keyLit(ntz: Boolean, t: java.sql.Timestamp): Column =
+    if (ntz) lit(naiveUtc(t)) else lit(t)
+
+  /** Driver-side shard name of a bound — same calendar arithmetic as the
+    * executor-side `date_format`: NTZ keys format their naive value
+    * directly (date_format does no tz conversion on NTZ), instant keys
+    * resolve through the session time zone, so a window bound always lands
+    * in the shard its rows were written to.
+    */
+  private def shardOf(spark: SparkSession, t: java.sql.Timestamp,
+      granularity: String, ntz: Boolean): String = {
+    val fmt = java.time.format.DateTimeFormatter.ofPattern(pattern(granularity))
+    if (ntz) fmt.format(naiveUtc(t))
+    else fmt.withZone(java.time.ZoneId.of(
+      spark.conf.get("spark.sql.session.timeZone"))).format(t.toInstant)
+  }
+
+  /** `_shard` literals must match the INFERRED partition-column type
+    * (all-digit partition values read back as int by default).
+    */
+  private def shardLit(df: DataFrame, s: String): Column =
+    df.schema(ShardCol).dataType match {
+      case IntegerType => lit(s.toInt)
+      case LongType => lit(s.toLong)
+      case _ => lit(s)
+    }
+
+  /** Shard-level pruning predicate — lands in `PartitionFilters`: only
+    * shards whose day/month can intersect the range are listed or read.
+    * Border exclusion never tightens the SHARD bound (an excluded instant's
+    * own day can still hold qualifying rows); the row predicate finishes
+    * the job.
+    */
+  private def shardPred(spark: SparkSession, df: DataFrame, shardKey: String,
+      range: LogicalRange, granularity: String): Option[Column] = {
+    val ntz = isNtz(df, shardKey)
+    val lo = range.min.map(t =>
+      col(ShardCol) >= shardLit(df, shardOf(spark, t, granularity, ntz)))
+    val hi = range.max.map(t =>
+      col(ShardCol) <= shardLit(df, shardOf(spark, t, granularity, ntz)))
+    (lo, hi) match {
+      case (Some(a), Some(b)) => Some(a && b)
+      case (a, b) => a.orElse(b)
+    }
+  }
+
+  /** Row-level range predicate on the shard key (pushed to the scan). */
+  private def rowPred(df: DataFrame, shardKey: String,
+      range: LogicalRange): Option[Column] = {
+    val ntz = isNtz(df, shardKey)
+    val lo = range.min.map(t =>
+      if (range.minInclude) col(shardKey) >= keyLit(ntz, t)
+      else col(shardKey) > keyLit(ntz, t))
+    val hi = range.max.map(t =>
+      if (range.maxInclude) col(shardKey) <= keyLit(ntz, t)
+      else col(shardKey) < keyLit(ntz, t))
+    (lo, hi) match {
+      case (Some(a), Some(b)) => Some(a && b)
+      case (a, b) => a.orElse(b)
+    }
+  }
+
+  /** The shard-pruned, range-filtered logical table — the common scan under
+    * [[select]] and [[rangeFilter]].
+    */
+  def pruned(spark: SparkSession, root: String, shardKey: String,
+      range: LogicalRange = LogicalRange(),
+      granularity: Option[String] = None): DataFrame = {
+    val g = granularity.getOrElse(markerGranularity(root))
+    val df = table(spark, root)
+    val withShards =
+      shardPred(spark, df, shardKey, range, g).map(df.where).getOrElse(df)
+    rowPred(df, shardKey, range).map(withShards.where).getOrElse(withShards)
+  }
+
+  /** `logical_count` (reference logical_count.rb): rows in range matching
+    * `filter`. When no filter is given, INTERIOR shards (the reference's
+    * cover_type :all → `table.size`) count without projecting any column —
+    * parquet satisfies a zero-column count from row-group metadata — and
+    * only the ≤2 BOUNDARY shards evaluate the shard-key predicate.
+    */
+  def countDF(spark: SparkSession, root: String, shardKey: String,
+      range: LogicalRange = LogicalRange(),
+      filter: Option[Column] = None,
+      granularity: Option[String] = None): DataFrame = {
+    val g = granularity.getOrElse(markerGranularity(root))
+    val df = table(spark, root)
+    val counted: DataFrame = (filter, range.min, range.max) match {
+      case (None, min, max) if min.isDefined || max.isDefined =>
+        val ntz = isNtz(df, shardKey)
+        val loB = min.map(t => shardLit(df, shardOf(spark, t, g, ntz)))
+        val hiB = max.map(t => shardLit(df, shardOf(spark, t, g, ntz)))
+        val interior = Seq(
+          loB.map(col(ShardCol) > _), hiB.map(col(ShardCol) < _))
+          .flatten.reduceOption(_ && _).getOrElse(lit(true))
+        val boundary = Seq(
+          loB.map(col(ShardCol) === _), hiB.map(col(ShardCol) === _))
+          .flatten.reduceOption(_ || _).getOrElse(lit(false))
+        df.where(interior).select(lit(1L).as("one"))
+          .unionAll(df.where(boundary && rowPred(df, shardKey, range)
+            .getOrElse(lit(true))).select(lit(1L).as("one")))
+      case _ =>
+        val base = pruned(spark, root, shardKey, range, Some(g))
+        filter.map(base.where).getOrElse(base).select(lit(1L).as("one"))
+    }
+    counted.agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
+  }
+
+  def count(spark: SparkSession, root: String, shardKey: String,
+      range: LogicalRange = LogicalRange(),
+      filter: Option[Column] = None,
+      granularity: Option[String] = None): Long =
+    countDF(spark, root, shardKey, range, filter, granularity)
+      .head().getLong(0)
+
+  private def sortCols(keys: Seq[String]): Seq[Column] = keys.map { k =>
+    val (neg, body) =
+      if (k.startsWith("-")) (true, k.drop(1)) else (false, k.stripPrefix("+"))
+    val c = if (body.contains('(')) expr(body) else col(body)
+    if (neg) c.desc else c.asc
+  }
+
+  /** `logical_select` (reference logical_select.rb): range-pruned scan +
+    * filter + sort + offset/limit + output columns. `limit < 0` = all rows
+    * (the command's `--limit -1`). Sort keys use the select syntax
+    * (`-col` descending). The sorted page plans as TakeOrdered when a
+    * limit is present — per-partition top-k, no global sort.
+    */
+  def select(spark: SparkSession, root: String, shardKey: String,
+      range: LogicalRange = LogicalRange(),
+      filter: Option[Column] = None,
+      sortKeys: Seq[String] = Nil,
+      offset: Int = 0,
+      limit: Int = 10,
+      outputColumns: Seq[String] = Seq("*"),
+      granularity: Option[String] = None): DataFrame = {
+    require(offset >= 0, s"offset must be >= 0, got $offset")
+    val base0 = pruned(spark, root, shardKey, range, granularity)
+    val base = filter.map(base0.where).getOrElse(base0)
+    val keys = if (sortKeys.nonEmpty) sortKeys else Seq(shardKey)
+    val sorted = base.orderBy(sortCols(keys): _*)
+    val paged =
+      if (limit < 0) { if (offset == 0) sorted else sorted.offset(offset) }
+      else if (offset == 0) sorted.limit(limit)
+      else sorted.offset(offset).limit(limit)
+    if (outputColumns == Seq("*")) paged.drop(ShardCol)
+    else paged.select(outputColumns.map(c =>
+      (if (c.contains('(')) expr(c) else col(c)).as(c)): _*)
+  }
+
+  /** `logical_range_filter` (reference logical_range_filter.rb): rows in
+    * shard-key order (ascending/descending) with offset/limit — the paged
+    * time-window walk. `tiebreak` columns make paging deterministic on
+    * equal keys (the reference ties on `_id`).
+    */
+  def rangeFilter(spark: SparkSession, root: String, shardKey: String,
+      range: LogicalRange = LogicalRange(),
+      descending: Boolean = false,
+      offset: Int = 0,
+      limit: Int = 10,
+      filter: Option[Column] = None,
+      tiebreak: Seq[String] = Nil,
+      outputColumns: Seq[String] = Seq("*"),
+      granularity: Option[String] = None): DataFrame = {
+    val keys = (shardKey +: tiebreak).map(k => if (descending) s"-$k" else k)
+    select(spark, root, shardKey, range, filter, keys, offset, limit,
+      outputColumns, granularity)
+  }
+}

@@ -113,4 +113,19 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(lex.contains("PushedFilters: [In(term, [fast,spark])]"),
       s"lexicon scan not term-pruned:\n$lex")
   }
+
+  test("log_range: shard partitions prune, ts pushes down, page is TakeOrdered") {
+    // the sharded logical_* scale shape: out-of-range day shards are
+    // eliminated at planning (PartitionFilters — the reference never opens
+    // out-of-range tables), the shard-key predicate reaches the parquet
+    // scan, and the ordered page is per-partition top-k, not a global sort
+    val p = plan("log_range")
+    assert(p.contains("PartitionFilters: [") && p.contains("_shard"),
+      s"no shard partition pruning:\n$p")
+    assert(p.contains("GreaterThanOrEqual(ts"),
+      s"shard-key range not pushed to the scan:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"page is not a partial top-k:\n$p")
+    assert(!p.contains("Exchange"), s"unexpected shuffle:\n$p")
+  }
 }

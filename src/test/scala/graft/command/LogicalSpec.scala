@@ -1,0 +1,156 @@
+package graft.command
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Sharded logical_* library commands over a hand-built day-sharded table:
+  * layout, border semantics (min/max_border include|exclude), the
+  * interior/boundary count split, month granularity, select paging, and
+  * shard partition pruning in the physical plan.
+  */
+class LogicalSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  private def ts(s: String): java.sql.Timestamp =
+    java.sql.Timestamp.from(java.time.Instant.parse(s))
+
+  // 7 rows across 5 day-shards spanning two months
+  private lazy val rowsDf = {
+    import spark.implicits._
+    Seq(
+      (1L, "2024-01-01T00:00:00Z", "a", 1.0),
+      (2L, "2024-01-01T23:59:59Z", "b", 2.0),
+      (3L, "2024-01-02T00:00:00Z", "a", 3.0),
+      (4L, "2024-01-02T12:00:00Z", "b", 4.0),
+      (5L, "2024-01-03T00:00:00Z", "a", 5.0),
+      (6L, "2024-01-04T06:00:00Z", "b", 6.0),
+      (7L, "2024-02-01T00:00:00Z", "a", 7.0)
+    ).map { case (id, t, k, v) => (id, ts(t), k, v) }
+      .toDF("id", "t", "kind", "v")
+  }
+
+  private lazy val root: String = {
+    val dir =
+      java.nio.file.Files.createTempDirectory("graft_logical_").toString + "/t"
+    Logical.writeSharded(rowsDf, "t", dir)
+    dir
+  }
+
+  private def rng(min: String = null, minInc: Boolean = true,
+      max: String = null, maxInc: Boolean = true) =
+    Logical.LogicalRange(Option(min).map(ts), minInc, Option(max).map(ts), maxInc)
+
+  test("writeSharded lays out one partition dir per day + marker") {
+    val dirs = new java.io.File(root).listFiles.map(_.getName).toSet
+    assert(Set("_shard=20240101", "_shard=20240102", "_shard=20240103",
+      "_shard=20240104", "_shard=20240201").subsetOf(dirs), dirs.toString)
+    assert(dirs.contains("_logical"))
+    assert(Logical.table(spark, root).count() == 7)
+  }
+
+  test("count borders: include/exclude on both ends (reference min/max_border)") {
+    // [2024-01-01T23:59:59, 2024-01-03T00:00:00) → rows 2,3,4
+    assert(Logical.count(spark, root, "t",
+      rng("2024-01-01T23:59:59Z", max = "2024-01-03T00:00:00Z",
+        maxInc = false)) == 3)
+    // exclusive min drops row 2
+    assert(Logical.count(spark, root, "t",
+      rng("2024-01-01T23:59:59Z", minInc = false,
+        max = "2024-01-03T00:00:00Z", maxInc = false)) == 2)
+    // inclusive max picks up row 5 (exactly on the boundary)
+    assert(Logical.count(spark, root, "t",
+      rng("2024-01-01T23:59:59Z", max = "2024-01-03T00:00:00Z")) == 4)
+    // open-ended sides
+    assert(Logical.count(spark, root, "t", rng(max = "2024-01-02T00:00:00Z")) == 3)
+    assert(Logical.count(spark, root, "t", rng("2024-01-04T00:00:00Z")) == 2)
+    assert(Logical.count(spark, root, "t", rng()) == 7)
+  }
+
+  test("interior/boundary count split ≡ naive filtered count on every range") {
+    // cross-check the metadata-count split against the plain pruned scan
+    val probes = Seq(
+      ("2024-01-01T12:00:00Z", "2024-01-03T18:00:00Z"),
+      ("2024-01-02T00:00:00Z", "2024-01-02T23:00:00Z"), // same-shard min/max
+      ("2024-01-01T00:00:00Z", "2024-02-01T00:00:00Z"),
+      ("2023-12-01T00:00:00Z", "2023-12-31T00:00:00Z"), // fully out of range
+      ("2024-01-03T00:00:00Z", "2024-01-03T00:00:00Z")  // point range
+    )
+    for ((lo, hi) <- probes; minInc <- Seq(true, false); maxInc <- Seq(true, false)) {
+      val r = rng(lo, minInc, hi, maxInc)
+      val naive = Logical.pruned(spark, root, "t", r).count()
+      assert(Logical.count(spark, root, "t", r) == naive,
+        s"split count diverges for [$lo,$hi] inc=($minInc,$maxInc)")
+    }
+  }
+
+  test("count with a filter applies filter AND range") {
+    assert(Logical.count(spark, root, "t",
+      rng("2024-01-01T00:00:00Z", max = "2024-01-04T23:00:00Z"),
+      filter = Some(col("kind") === "a")) == 3) // rows 1,3,5
+  }
+
+  test("month granularity shards as yyyyMM and counts identically") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_logical_m_").toString + "/t"
+    Logical.writeSharded(rowsDf, "t", dir, granularity = "month")
+    val dirs = new java.io.File(dir).listFiles.map(_.getName).toSet
+    assert(Set("_shard=202401", "_shard=202402").subsetOf(dirs), dirs.toString)
+    // marker-driven granularity: no explicit param on the read side
+    assert(Logical.count(spark, dir, "t",
+      rng("2024-01-02T00:00:00Z", max = "2024-02-01T00:00:00Z")) == 5)
+  }
+
+  test("select: range + filter + sort + offset/limit + output columns") {
+    val got = Logical.select(spark, root, "t",
+      rng("2024-01-01T00:00:00Z", max = "2024-01-04T23:00:00Z"),
+      filter = Some(col("v") >= 2.0),
+      sortKeys = Seq("-v"), limit = 3, outputColumns = Seq("id", "v"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == Seq((6L, 6.0), (5L, 5.0), (4L, 4.0)))
+    val page2 = Logical.select(spark, root, "t",
+      rng("2024-01-01T00:00:00Z", max = "2024-01-04T23:00:00Z"),
+      filter = Some(col("v") >= 2.0),
+      sortKeys = Seq("-v"), offset = 3, limit = 3, outputColumns = Seq("id"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(page2 == Seq(3L, 2L))
+    // limit -1 = all rows
+    assert(Logical.select(spark, root, "t", rng(), limit = -1).count() == 7)
+  }
+
+  test("rangeFilter walks shard-key order both directions with paging") {
+    val asc = Logical.rangeFilter(spark, root, "t",
+      rng("2024-01-01T00:00:00Z", max = "2024-01-31T00:00:00Z"),
+      offset = 1, limit = 3, tiebreak = Seq("id"), outputColumns = Seq("id"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(asc == Seq(2L, 3L, 4L))
+    val desc = Logical.rangeFilter(spark, root, "t",
+      rng("2024-01-01T00:00:00Z", max = "2024-01-31T00:00:00Z"),
+      descending = true, limit = 2, tiebreak = Seq("id"),
+      outputColumns = Seq("id"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(desc == Seq(6L, 5L))
+  }
+
+  test("shard range prunes partitions in the physical plan") {
+    val p = Logical.pruned(spark, root, "t",
+      rng("2024-01-02T00:00:00Z", max = "2024-01-03T00:00:00Z"))
+      .queryExecution.sparkPlan.toString
+    assert(p.contains("PartitionFilters: ["), s"no partition filters:\n$p")
+    assert(p.contains("_shard") && (p.contains(">= 20240102") ||
+      p.contains(">= '20240102'")), s"shard lower bound not in plan:\n$p")
+    // the row-level ts predicate pushes to the scan
+    assert(p.contains("PushedFilters: [") && p.contains("GreaterThanOrEqual(t"),
+      s"shard-key predicate not pushed:\n$p")
+  }
+
+  test("inRange scalar twin: border semantics") {
+    import Logical.inRange
+    assert(inRange(5.0, Some(5.0), true, Some(6.0), true))
+    assert(!inRange(5.0, Some(5.0), false, Some(6.0), true))
+    assert(inRange(6.0, Some(5.0), false, Some(6.0), true))
+    assert(!inRange(6.0, Some(5.0), false, Some(6.0), false))
+    assert(!inRange(Double.NaN, None, true, None, true))
+    assert(inRange(1.0, None, true, None, true))
+  }
+}

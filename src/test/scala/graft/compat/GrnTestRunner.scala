@@ -1362,9 +1362,7 @@ object GrnTestRunner {
               val v = td.rows(i).get(key).map { n =>
                 if (n.isNumber) n.asDouble else timeish(n.asText)
               }.getOrElse(Double.NaN)
-              !v.isNaN &&
-                minV.forall(mv => if (minInc) v >= mv else v > mv) &&
-                maxV.forall(mv => if (maxInc) v <= mv else v < mv)
+              graft.command.Logical.inRange(v, minV, minInc, maxV, maxInc)
             }
             victims.sorted.reverse.foreach(td.rows.remove(_))
             if (td.rows.isEmpty) removeTable(s)
@@ -3385,9 +3383,8 @@ object GrnTestRunner {
             val v = m.get(shardKey).map { n =>
               if (n.isNumber) n.asDouble else timeish(n.asText)
             }.getOrElse(Double.NaN)
-            !v.isNaN &&
-              minV.forall(mv => if (minInc) v >= mv else v > mv) &&
-              maxV.forall(mv => if (maxInc) v <= mv else v < mv)
+            // border semantics delegate to the library operator
+            graft.command.Logical.inRange(v, minV, minInc, maxV, maxInc)
           }
         if (keep) { md.rows += (m - "__id"); ids += rowIdOf(tables(s), i) }
       }
