@@ -30,6 +30,22 @@ object QueryCache {
   /** Maximum cached results; eldest-accessed evicts beyond this. */
   @volatile var maxEntries: Int = 100
 
+  /** Byte budget across ALL entries. Entries materialize their result
+    * pages on the driver, so a count bound alone could pin GBs of heap
+    * (100 entries × a 10⁶-row page); the reference bounds its cache and
+    * exposes `cache_limit` (lib/proc.c registration, lib/grn_cache.h) —
+    * this is the byte-accounted analogue. Eldest-accessed entries evict
+    * until the total fits.
+    */
+  @volatile var maxBytes: Long = 64L * 1024 * 1024
+
+  /** Single-entry cap: a page estimated above this is NOT cached at all
+    * (the refuse-to-cache path — same discipline LocalServing.oversized
+    * applies to postings); the result is still served, job-free, from the
+    * materialized rows of that one call.
+    */
+  @volatile var maxEntryBytes: Long = 8L * 1024 * 1024
+
   private final case class Entry(
       nHits: Long,
       hitRows: Array[Row],
@@ -41,20 +57,57 @@ object QueryCache {
       * DataFrame's own cached QueryExecution — no re-analysis per fetch.
       */
     @volatile var rebuilt: (SparkSession, SelectResult) = null
+
+    /** Estimated driver-heap footprint of the materialized rows. */
+    lazy val sizeBytes: Long =
+      org.apache.spark.util.SizeEstimator.estimate(hitRows) +
+        dds.valuesIterator.map(v =>
+          org.apache.spark.util.SizeEstimator.estimate(v._1)).sum
   }
 
-  private val lru = new java.util.LinkedHashMap[String, Entry](32, 0.75f, true) {
-    override def removeEldestEntry(e: java.util.Map.Entry[String, Entry]): Boolean =
-      size() > maxEntries
-  }
+  private val lru = new java.util.LinkedHashMap[String, Entry](32, 0.75f, true)
 
   private var nHit = 0L
   private var nMiss = 0L
+  private var nOversized = 0L
+  private var totalBytes = 0L
 
   /** (hits, misses) since the last [[clear]]. */
   def stats: (Long, Long) = lru.synchronized((nHit, nMiss))
 
-  def clear(): Unit = lru.synchronized { lru.clear(); nHit = 0L; nMiss = 0L }
+  /** Bytes currently held across all entries (estimated). */
+  def currentBytes: Long = lru.synchronized(totalBytes)
+
+  /** Pages refused because they exceeded [[maxEntryBytes]]. */
+  def oversizedCount: Long = lru.synchronized(nOversized)
+
+  def clear(): Unit = lru.synchronized {
+    lru.clear(); nHit = 0L; nMiss = 0L; nOversized = 0L; totalBytes = 0L
+  }
+
+  /** One-row ops snapshot of the result cache — hit/miss/refusal counts
+    * and budget occupancy (the reference's status command reports its
+    * grn_cache the same way).
+    */
+  def metricsDF(spark: SparkSession): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val (h, m, o, e, b) = lru.synchronized(
+      (nHit, nMiss, nOversized, lru.size().toLong, totalBytes))
+    Seq((h, m, o, e, b, maxBytes, maxEntryBytes)).toDF(
+      "hits", "misses", "oversized", "entries", "bytes",
+      "max_bytes", "max_entry_bytes")
+  }
+
+  /** Evict eldest-accessed entries until both the count and byte budgets
+    * hold (caller holds the lock).
+    */
+  private def evictToBudget(): Unit = {
+    val it = lru.entrySet().iterator()
+    while ((lru.size() > maxEntries || totalBytes > maxBytes) && it.hasNext) {
+      totalBytes -= it.next().getValue.sizeBytes
+      it.remove()
+    }
+  }
 
   /** Unique ids for UDF function objects: Column.toString renders every
     * ScalaUDF as `UDF(args)` regardless of WHICH function it wraps, so two
@@ -164,7 +217,16 @@ object QueryCache {
         res.hits.collect(), res.hits.schema,
         res.drilldowns.map { case (k, df) => k -> (df.collect(), df.schema) },
         res.drilldownTotals)
-      lru.synchronized { lru.put(key, e): Unit }
+      if (e.sizeBytes > maxEntryBytes) {
+        // refuse-to-cache: the page is served from this call's rows but
+        // never pins the budget (and never evicts smaller useful entries)
+        lru.synchronized { nOversized += 1 }
+      } else lru.synchronized {
+        val prev = lru.put(key, e)
+        if (prev != null) totalBytes -= prev.sizeBytes
+        totalBytes += e.sizeBytes
+        evictToBudget()
+      }
       e
     }
     rebuild(reader.spark, entry)

@@ -55,6 +55,22 @@ final class LocalServing(
   def misses: Long = missCount.get
   def fallbacks: Long = fallbackCount.get
 
+  /** Postings bytes currently cached (LRU occupancy). */
+  def cachedBytesNow: Long = synchronized { cachedBytes }
+
+  /** Terms permanently routed to the distributed path (postings > budget). */
+  def oversizedTerms: Int = oversized.size
+
+  /** One-row ops snapshot — cache effectiveness and fallback pressure for
+    * dashboards/alerts (the reference surfaces the same through its
+    * status command's cache_hit_rate).
+    */
+  def metrics(spark: org.apache.spark.sql.SparkSession): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    Seq((hits, misses, fallbacks, cachedBytesNow, oversizedTerms.toLong))
+      .toDF("hits", "misses", "fallbacks", "cached_bytes", "oversized_terms")
+  }
+
   /** ~bytes per posting for the pre-fetch budget check (delta-varint docId +
     * varint tf; positions add more, so this under-estimate only errs toward
     * allowing a fetch the LRU then bounds anyway).

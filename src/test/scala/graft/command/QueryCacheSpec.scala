@@ -222,6 +222,57 @@ class QueryCacheSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.caseSensitive", "false")
   }
 
+  test("byte budget: eldest entries evict when the total exceeds maxBytes") {
+    val reader = freshReader()
+    val (mb, me) = (QueryCache.maxBytes, QueryCache.maxEntryBytes)
+    try {
+      QueryCache.clear()
+      // measure one entry, then budget for ~2 of them
+      Select.runCached(reader, P)
+      val one = QueryCache.currentBytes
+      assert(one > 0, "entry size accounting must be nonzero")
+      QueryCache.maxBytes = one * 5 / 2
+      QueryCache.clear()
+      val pa = P; val pb = P.copy(query = Some("banana"))
+      val pc = P.copy(query = Some("cherry"))
+      Select.runCached(reader, pa) // miss
+      Select.runCached(reader, pb) // miss
+      Select.runCached(reader, pc) // miss → evicts pa (eldest)
+      assert(QueryCache.currentBytes <= QueryCache.maxBytes,
+        "byte budget exceeded after eviction")
+      Select.runCached(reader, pc) // hit
+      Select.runCached(reader, pa) // MISS again: was evicted
+      assert(QueryCache.stats == ((1L, 4L)), QueryCache.stats.toString)
+    } finally { QueryCache.maxBytes = mb; QueryCache.maxEntryBytes = me }
+  }
+
+  test("oversized page: refused from the cache but still served correctly") {
+    val reader = freshReader()
+    val (mb, me) = (QueryCache.maxBytes, QueryCache.maxEntryBytes)
+    try {
+      QueryCache.clear()
+      QueryCache.maxEntryBytes = 1L // everything is oversized
+      val r1 = Select.runCached(reader, P)
+      val r2 = Select.runCached(reader, P)
+      assert(ids(r1) == ids(r2) && ids(r1).nonEmpty)
+      assert(QueryCache.stats == ((0L, 2L)), "oversized pages must never hit")
+      assert(QueryCache.oversizedCount == 2L)
+      assert(QueryCache.currentBytes == 0L, "refused pages must not pin bytes")
+    } finally { QueryCache.maxBytes = mb; QueryCache.maxEntryBytes = me }
+  }
+
+  test("metricsDF: one-row snapshot of counts and budget occupancy") {
+    val reader = freshReader()
+    QueryCache.clear()
+    Select.runCached(reader, P)
+    Select.runCached(reader, P)
+    val m = QueryCache.metricsDF(spark).collect().head
+    assert(m.schema.fieldNames.toSeq == Seq("hits", "misses", "oversized",
+      "entries", "bytes", "max_bytes", "max_entry_bytes"))
+    assert(m.getLong(0) == 1L && m.getLong(1) == 1L && m.getLong(3) == 1L)
+    assert(m.getLong(4) > 0L && m.getLong(4) == QueryCache.currentBytes)
+  }
+
   test("filterScript: deterministic text caches; rand()/now() bypass") {
     val reader = freshReader()
     QueryCache.clear()

@@ -98,4 +98,16 @@ class LocalServingSpec extends AnyFunSuite {
     assert(plan.contains("LocalRelation"), s"expected LocalRelation, got:\n$plan")
     assert(ds.count() == 10)
   }
+
+  test("metrics: one-row snapshot tracks hits/misses/bytes") {
+    val reader = new IndexReader(spark, dir)
+    val ls = new LocalServing(reader)
+    ls.bm25TopK("alpha", 5)
+    ls.bm25TopK("alpha", 5)
+    val m = ls.metrics(spark).collect().head
+    assert(m.schema.fieldNames.toSeq ==
+      Seq("hits", "misses", "fallbacks", "cached_bytes", "oversized_terms"))
+    assert(m.getLong(0) >= 1L, "second query must register a cache hit")
+    assert(m.getLong(1) >= 1L && m.getLong(3) > 0L)
+  }
 }
