@@ -5,8 +5,8 @@ import graft.query.QueryExec
 import graft.search.Engine
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Cast, EqualTo, Expression, ExpressionInfo, PredicateHelper, Unevaluable}
-import org.apache.spark.sql.catalyst.plans.LeftSemi
+import org.apache.spark.sql.catalyst.expressions.{Cast, EqualTo, Expression, ExpressionInfo, Not, PredicateHelper, Unevaluable}
+import org.apache.spark.sql.catalyst.plans.{LeftAnti, LeftSemi}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, JoinHint, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{BooleanType, DataType, LongType, StringType}
@@ -226,6 +226,18 @@ object GraftSql {
 /** Rewrites `Filter(... AND graft_match(docId, dir, query) AND ...)` into
   * `Filter(rest, child LEFT-SEMI-JOIN indexLookup(dir, query) ON docId)`.
   *
+  * Supported marker positions beyond the plain conjunct:
+  *   - `NOT graft_match(...)` as a conjunct → LEFT ANTI join (the
+  *     reference's AND_NOT set op);
+  *   - `graft_match(..) OR graft_match(..) [OR ...]` as a conjunct, all
+  *     branches on the same doc-id column → ONE semi-join against the
+  *     UNION of the lookups (semi-join membership is duplicate-tolerant,
+  *     so no dedup shuffle is added; each branch keeps its own term-pruned
+  *     scan, and branches may target different index dirs).
+  *   A marker mixed with a non-marker under OR (`graft_match(..) OR
+  *   lang='en'`) still fails: the disjunct has no index-backed docId-set
+  *   form.
+  *
   * The lookup subtree is taken in OPTIMIZED form (its own QueryExecution
   * runs first), so its parquet scans already carry the term-pruned
   * `PushedFilters` regardless of which optimizer batch this rule runs in.
@@ -247,28 +259,64 @@ case class IndexMatchRewrite(spark: SparkSession)
       .queryExecution.optimizedPlan
   }
 
+  /** An OR-tree whose EVERY branch is a marker on the same doc-id column:
+    * the docId-set of the disjunction is the union of the lookups.
+    */
+  private def asMatchDisjunction(e: Expression): Option[Seq[GraftSql.GraftMatch]] = {
+    val ds = splitDisjunctivePredicates(e)
+    val ms = ds.collect { case m: GraftSql.GraftMatch => m }
+    if (ms.length == ds.length && ms.length >= 2 &&
+      ms.forall(_.docId.semanticEquals(ms.head.docId))) Some(ms)
+    else None
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case f @ Filter(cond, child)
         if cond.exists(_.isInstanceOf[GraftSql.GraftMatch]) =>
       val conjuncts = splitConjunctivePredicates(cond)
-      val (markers, rest) = conjuncts.partition(_.isInstanceOf[GraftSql.GraftMatch])
-      if (markers.isEmpty)
-        // a marker nested under OR/NOT has no semi-join form — fail with a
-        // actionable message instead of the generic unevaluable error
-        throw new UnsupportedOperationException(
-          "graft_match must be a top-level AND conjunct of the WHERE clause " +
-            s"(cannot rewrite under OR/NOT): $cond")
-      else {
-        val joined = markers.foldLeft(child) { (acc, m) =>
-          val GraftSql.GraftMatch(docId, dirE, queryE) = m: @unchecked
-          val lookup = lookupPlan(dirE, queryE)
-          val left =
-            if (docId.dataType == LongType) docId else Cast(docId, LongType)
-          Join(acc, lookup, LeftSemi,
-            Some(EqualTo(left, lookup.output.head)), JoinHint.NONE)
+      // each semi group is one join: a single marker, or an OR of markers
+      // whose lookups union; antis are `NOT graft_match(..)` conjuncts
+      val semis = Seq.newBuilder[Seq[GraftSql.GraftMatch]]
+      val antis = Seq.newBuilder[GraftSql.GraftMatch]
+      val rest = Seq.newBuilder[Expression]
+      var nMarkers = 0
+      conjuncts.foreach {
+        case m: GraftSql.GraftMatch => semis += Seq(m); nMarkers += 1
+        case Not(m: GraftSql.GraftMatch) => antis += m; nMarkers += 1
+        case e => asMatchDisjunction(e) match {
+          case Some(ms) => semis += ms; nMarkers += 1
+          case None =>
+            if (e.exists(_.isInstanceOf[GraftSql.GraftMatch]))
+              // a marker mixed with non-markers under OR (or deeper inside
+              // an expression) has no index-backed docId-set form — fail
+              // with an actionable message, not the generic unevaluable
+              throw new UnsupportedOperationException(
+                "graft_match must be a top-level AND conjunct of the WHERE " +
+                  "clause, a NOT of one, or an OR whose every branch is a " +
+                  s"graft_match on the same doc-id column: $e")
+            rest += e
         }
-        if (rest.isEmpty) joined else Filter(rest.reduce(org.apache.spark.sql.catalyst.expressions.And), joined)
       }
+      assert(nMarkers > 0) // cond contains a marker, so one branch consumed it
+      def keyOf(docId: Expression): Expression =
+        if (docId.dataType == LongType) docId else Cast(docId, LongType)
+      def lookupFor(ms: Seq[GraftSql.GraftMatch]): LogicalPlan =
+        ms.map(m => lookupPlan(m.dir, m.query))
+          .reduce((a, b) =>
+            org.apache.spark.sql.catalyst.plans.logical.Union(Seq(a, b)))
+      val withSemis = semis.result().foldLeft(child) { (acc, ms) =>
+        val lookup = lookupFor(ms)
+        Join(acc, lookup, LeftSemi,
+          Some(EqualTo(keyOf(ms.head.docId), lookup.output.head)), JoinHint.NONE)
+      }
+      val joined = antis.result().foldLeft(withSemis) { (acc, m) =>
+        val lookup = lookupPlan(m.dir, m.query)
+        Join(acc, lookup, LeftAnti,
+          Some(EqualTo(keyOf(m.docId), lookup.output.head)), JoinHint.NONE)
+      }
+      val restE = rest.result()
+      if (restE.isEmpty) joined
+      else Filter(restE.reduce(org.apache.spark.sql.catalyst.expressions.And), joined)
   }
 }
 

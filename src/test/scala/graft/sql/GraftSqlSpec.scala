@@ -68,6 +68,43 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(got == Seq(0L)) // doc 2 matches 'apple' but is lang=de
   }
 
+  test("OR of graft_match markers rewrites to a unioned semi-join") {
+    installAndView()
+    // fig: doc 3; cherry: docs 1,2 — membership is the union
+    val got = spark.sql(
+      s"""SELECT docId FROM docs_v
+         |WHERE graft_match(docId, '$dir', 'fig')
+         |   OR graft_match(docId, '$dir', 'cherry')
+         |ORDER BY docId""".stripMargin)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(1L, 2L, 3L))
+    // the OR group composes with further AND conjuncts
+    val got2 = spark.sql(
+      s"""SELECT docId FROM docs_v
+         |WHERE (graft_match(docId, '$dir', 'fig')
+         |    OR graft_match(docId, '$dir', 'apple')) AND lang = 'en'
+         |ORDER BY docId""".stripMargin)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got2 == Seq(0L, 3L)) // apple: 0,2(de); fig: 3
+  }
+
+  test("NOT graft_match rewrites to an anti join") {
+    installAndView()
+    val got = spark.sql(
+      s"""SELECT docId FROM docs_v
+         |WHERE NOT graft_match(docId, '$dir', 'banana')
+         |ORDER BY docId""".stripMargin)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(2L, 3L)) // banana in docs 0,1
+    // apple AND NOT banana — the reference AND_NOT set op
+    val got2 = spark.sql(
+      s"""SELECT docId FROM docs_v
+         |WHERE graft_match(docId, '$dir', 'apple')
+         |  AND NOT graft_match(docId, '$dir', 'banana')""".stripMargin)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got2 == Seq(2L))
+  }
+
   test("a marker under OR fails with an actionable message") {
     installAndView()
     val e = intercept[Throwable] {
