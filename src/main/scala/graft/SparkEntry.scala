@@ -183,6 +183,14 @@ object SparkEntry {
     "ft_and_hot" -> ((s, d) =>
       scored(Engine.andAdaptive(DocIndex.reader(s, d), "dup", "batch"))),
 
+    // phrase form of the sequential fallback (reference lib/ii.c:6536-6654
+    // covers any query shape): the hot side is the PHRASE "table hash",
+    // whose every token's df is ~16× dup's — candidates re-verify by
+    // position alignment over re-tokenized content; the phrase postings
+    // never decode. Score = tf(dup) + phrase occurrence count.
+    "ft_and_hot_phrase" -> ((s, d) =>
+      scored(Engine.andAdaptive(DocIndex.reader(s, d), "dup", "table hash"))),
+
     // adjuster: additive boost factor*tf for members of the boost set
     // (reference lib/proc/proc_select.c:125)
     "ft_adjust" -> ((s, d) => {
@@ -748,6 +756,15 @@ object SparkEntry {
       s"""WITH a AS ${tfOf("dup")}, b AS ${tfOf("batch")}
          |SELECT a.doc_id, a.tf + b.tf AS score FROM a JOIN b USING (doc_id)
          |WHERE a.tf > 0 AND b.tf > 0 ORDER BY doc_id""".stripMargin,
+
+    "ft_and_hot_phrase" ->
+      s"""WITH a AS ${tfOf("dup")},
+         |t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |p AS (SELECT doc_id,
+         |  len([i for i in range(1, len(w)) if w[i] = 'table' AND w[i+1] = 'hash']) AS pc
+         | FROM t)
+         |SELECT a.doc_id, a.tf + p.pc AS score FROM a JOIN p USING (doc_id)
+         |WHERE a.tf > 0 AND p.pc > 0 ORDER BY doc_id""".stripMargin,
 
     "ft_phrase" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -144,16 +144,17 @@ object QueryExec {
       case And(l, r) =>
         val left = eval(ctx, l, esc, escalating)
         // too-many-matches escape (reference grn_ii_select sequential
-        // fallback, lib/ii.c:6536): when the right clause is a plain
-        // single-token match whose df dwarfs the left set's upper bound,
-        // verify the term against the candidates' source column instead of
-        // decoding its postings — cost ∝ candidates, not ∝ df(hot). The
+        // fallback, lib/ii.c:6536): when the right clause is a plain match
+        // — single token OR phrase — whose hottest token's df dwarfs the
+        // left set's upper bound, verify against the candidates' source
+        // column instead of decoding the hot postings (phrases re-verify
+        // by position alignment) — cost ∝ candidates, not ∝ df(hot). The
         // bound is the static df estimate (grn_ii_estimate_size spirit),
         // so the decision is action-free.
-        scanFallbackTerm(ctx, r) match {
-          case Some((reader, hotTok, dfHot))
+        scanFallbackMatch(ctx, r) match {
+          case Some((reader, qtoks, dfHot))
               if dfHot > TooManyMatchRatio * estimateSize(ctx, l) =>
-            Engine.andScanVerify(left, reader, hotTok)
+            Engine.andScanVerify(left, reader, qtoks)
           case _ =>
             Engine.SetOps.and(left, eval(ctx, r, esc, escalating = false))
         }
@@ -190,12 +191,18 @@ object QueryExec {
     */
   val TooManyMatchRatio: Double = 8.0
 
-  /** The (reader, normalized token, df) of a right-side clause eligible for
-    * the scan-verify escape: a plain single-token Match in a single-section
-    * context with default weight/cap/scorer (anything else changes the
-    * score algebra the escape reproduces).
+  /** The (reader, query tokens, hottest df) of a right-side clause
+    * eligible for the scan-verify escape: a plain Match — single token or
+    * phrase — in a single-section context with default weight/cap/scorer
+    * (anything else changes the score algebra the escape reproduces). The
+    * returned df is the LARGEST token df: that posting list is what the
+    * index path must decode and the escape avoids. Phrases additionally
+    * need stored positions (the index path degrades to presence without
+    * them); a token absent from the lexicon keeps the index path — the
+    * empty intersection is already cheap there.
     */
-  private def scanFallbackTerm(ctx: Ctx, node: Node): Option[(IndexReader, String, Long)] =
+  private def scanFallbackMatch(
+      ctx: Ctx, node: Node): Option[(IndexReader, Seq[graft.search.Searcher.QTok], Long)] =
     node match {
       case Match(text, _) if ctx.sections.size == 1 =>
         val (reader, sw) = ctx.sections.head
@@ -205,10 +212,16 @@ object QueryExec {
         // against — both stay on the index path
         if (sw.weight != 1.0 || sw.cap.nonEmpty || sw.tfIdf ||
           reader.manifest.withWeights || !reader.manifest.builtFromContent) None
-        else graft.search.Searcher.queryTokens(reader, text).map(_.term) match {
-          case Seq(tok) =>
-            reader.termStats(Seq(tok)).get(tok).map { case (df, _) => (reader, tok, df) }
-          case _ => None
+        else {
+          val qtoks = graft.search.Searcher.queryTokens(reader, text)
+          if (qtoks.isEmpty ||
+            (qtoks.size > 1 && !reader.manifest.withPositions)) None
+          else {
+            val terms = qtoks.map(_.term).distinct
+            val st = reader.termStats(terms)
+            if (terms.exists(t => !st.contains(t))) None
+            else Some((reader, qtoks, terms.map(t => st(t)._1).max))
+          }
         }
       case _ => None
     }

@@ -158,9 +158,10 @@ object Engine {
     * grn_ii_select_too_many_index_match_ratio knob. Default 8: the scan
     * verify re-tokenizes ~|candidates| docs (one pass each), which pays off
     * once the skipped posting list is roughly an order of magnitude larger
-    * than the candidate set. Falls back to the index path when the hot
-    * term isn't a single token of the index's analyzer (multi-token texts
-    * are phrase matches, whose tf isn't a plain token count).
+    * than the candidate set. Multi-token (phrase) sides verify by position
+    * alignment over the re-tokenized candidates ([[Searcher.countAligned]]
+    * — the reference's sequential phrase check); a phrase hot side needs
+    * stored positions, else the index path runs.
     */
   def andAdaptive(
       reader: IndexReader,
@@ -170,26 +171,30 @@ object Engine {
   ): Dataset[ScoredDoc] = {
     val spark = reader.spark
     import spark.implicits._
-    val stats = reader.termStats(
-      Searcher.queryTokens(reader, termA).map(_.term) ++
-        Searcher.queryTokens(reader, termB).map(_.term))
-    def dfOf(text: String): Long = {
-      val toks = Searcher.queryTokens(reader, text).map(_.term)
-      if (toks.size != 1) -1L // multi-token: no single df; stay on the index path
-      else stats.get(toks.head).map(_._1).getOrElse(0L)
+    val qtA = Searcher.queryTokens(reader, termA)
+    val qtB = Searcher.queryTokens(reader, termB)
+    val stats = reader.termStats((qtA ++ qtB).map(_.term).distinct)
+    // per side: (result-size upper bound, index-path decode cost) — the
+    // bound is the rarest token's df (grn_ii_estimate_size), the cost the
+    // HOTTEST token's df (its postings must decode even when another token
+    // drives the intersection)
+    def bounds(qts: Seq[Searcher.QTok]): (Long, Long) = {
+      if (qts.isEmpty) return (0L, 0L)
+      val dfs = qts.map(q => stats.get(q.term).map(_._1).getOrElse(0L))
+      (dfs.min, dfs.max)
     }
-    val (dfA, dfB) = (dfOf(termA), dfOf(termB))
-    if (dfA == 0L || dfB == 0L) return spark.emptyDataset[ScoredDoc]
+    val ((estA, costA), (estB, costB)) = (bounds(qtA), bounds(qtB))
+    if (estA == 0L || estB == 0L) return spark.emptyDataset[ScoredDoc]
     def indexPath = SetOps.and(matchScores(reader, termA), matchScores(reader, termB))
-    if (dfA < 0L || dfB < 0L) return indexPath
-    // scan-verify recounts tf by tokenizing the docs' content column — only
-    // sound when that is literally what produced the postings
+    // scan-verify recounts tf/alignments by tokenizing the docs' content
+    // column — only sound when that is literally what produced the
+    // postings; phrases additionally need stored positions
     if (!reader.manifest.builtFromContent) return indexPath
-    val (small, hot, dfSmall, dfHot) =
-      if (dfA <= dfB) (termA, termB, dfA, dfB) else (termB, termA, dfB, dfA)
-    if (dfHot.toDouble <= ratio * dfSmall) indexPath
-    else andScanVerify(matchScores(reader, small), reader,
-      Searcher.queryTokens(reader, hot).head.term)
+    val (small, hotQts, estSmall, costHot) =
+      if (estA <= estB) (termA, qtB, estA, costB) else (termB, qtA, estB, costA)
+    if (costHot.toDouble <= ratio * estSmall) indexPath
+    else if (hotQts.size > 1 && !reader.manifest.withPositions) indexPath
+    else andScanVerify(matchScores(reader, small), reader, hotQts)
   }
 
   /** The scan-verify half of the too-many-matches escape: AND a hot term
@@ -199,17 +204,33 @@ object Engine {
     * Scores follow res_add AND semantics: candidate score + tf.
     */
   def andScanVerify(left: Dataset[ScoredDoc], reader: IndexReader,
-      hotTok: String): Dataset[ScoredDoc] = {
+      hotTok: String): Dataset[ScoredDoc] =
+    andScanVerify(left, reader, Seq(Searcher.QTok(hotTok, 0)))
+
+  /** Phrase form of the scan-verify escape: the hot right side is a full
+    * token sequence (offsets from GET-mode tokenization); candidates
+    * re-verify by position alignment over their re-tokenized content
+    * (reference sequential phrase fallback, lib/ii.c:6536-6654). Scores
+    * follow res_add AND semantics: candidate score + noccur, where noccur
+    * is the alignment count ([[Searcher.countAligned]]) — tf for a single
+    * token, phrase-occurrence count otherwise.
+    */
+  def andScanVerify(left: Dataset[ScoredDoc], reader: IndexReader,
+      qtoks: Seq[Searcher.QTok]): Dataset[ScoredDoc] = {
     // soundness precondition enforced HERE, not just at the rewrite sites:
-    // the tf recount reproduces posting tf only when the postings came from
-    // tokenizing this docs table's content column
+    // the recount reproduces posting tf/positions only when the postings
+    // came from tokenizing this docs table's content column
     require(reader.manifest.builtFromContent,
       "andScanVerify needs an index built from the docs' content column " +
         "(manifest.builtFromContent): externally-supplied postings cannot " +
         "be re-verified against content")
+    require(qtoks.size == 1 || reader.manifest.withPositions,
+      "phrase scan-verify needs positions in the index (the index path " +
+        "degrades to presence without them; the escape must not differ)")
     val spark = reader.spark
     import spark.implicits._
     val tokName = reader.manifest.tokenizerName
+    val qtoksB = qtoks.toVector
     left.toDF("docId", "s1")
       .join(reader.liveDocs.select(col("docId"), col("content")), "docId")
       .select(col("docId").cast("long"), col("s1").cast("double"),
@@ -219,10 +240,11 @@ object Engine {
         val tok = graft.analysis.Tokenizers.byName(tokName)
         it.flatMap { case (id, s1, content) =>
           // Add-mode tokenization = exactly what the build indexed, so
-          // the counted tf equals the posting tf it replaces
-          val tf = tok.tokenize(if (content == null) "" else content,
-            graft.analysis.TokenizeMode.Add).count(_.term == hotTok)
-          if (tf > 0) Some(ScoredDoc(id, s1 + tf)) else None
+          // the aligned count equals the posting-path noccur it replaces
+          val toks = tok.tokenize(if (content == null) "" else content,
+            graft.analysis.TokenizeMode.Add)
+          val noccur = Searcher.countAligned(toks, qtoksB)
+          if (noccur > 0) Some(ScoredDoc(id, s1 + noccur)) else None
         }
       }
   }

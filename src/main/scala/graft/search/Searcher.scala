@@ -56,6 +56,51 @@ object Searcher {
   @inline private def containsSorted(arr: Array[Int], v: Int): Boolean =
     java.util.Arrays.binarySearch(arr, v) >= 0
 
+  /** Phrase-occurrence count over a RE-TOKENIZED document: one occurrence
+    * per base position where every query token's term appears at
+    * base+offset — the scan-side twin of the PhraseMatch alignment in
+    * [[evalShardMatch]] (reference sequential phrase check,
+    * lib/ii.c:6536-6654), so the too-many-matches escape can re-verify a
+    * phrase against candidates' source text instead of decoding hot
+    * postings. For a single-token query this degenerates to tf (every
+    * position counts), matching the posting path's `noccur = tf`.
+    */
+  def countAligned(tokens: Seq[graft.analysis.Token], qtoks: Seq[QTok]): Int = {
+    if (qtoks.isEmpty) return 0
+    val posByTerm: Map[String, Array[Int]] = tokens.groupBy(_.term)
+      .map { case (t, ts) => t -> ts.map(_.pos).distinct.sorted.toArray }
+    val uniq = qtoks.groupBy(_.term).toSeq
+      .map { case (t, qs) => (qs.map(_.offset), posByTerm.getOrElse(t, null)) }
+    if (uniq.exists(_._2 == null)) return 0
+    // drive from the sparsest term, like the posting path
+    val lists = uniq.sortBy(_._2.length)
+    val (driverOffs, driverPs) = lists.head
+    var cnt = 0
+    var p = 0
+    while (p < driverPs.length) {
+      val base = driverPs(p) - driverOffs.head
+      if (base >= 0) {
+        var all = true
+        var d = 1
+        while (all && d < driverOffs.size) {
+          all = containsSorted(driverPs, base + driverOffs(d)); d += 1
+        }
+        var q = 1
+        while (all && q < lists.size) {
+          val (offs, ps) = lists(q)
+          var d2 = 0
+          while (all && d2 < offs.size) {
+            all = containsSorted(ps, base + offs(d2)); d2 += 1
+          }
+          q += 1
+        }
+        if (all) cnt += 1
+      }
+      p += 1
+    }
+    cnt
+  }
+
   /** Galloping advance: smallest index >= lo with arr(idx).docId >= target. */
   private def advance(arr: Array[Posting], lo: Int, target: Long): Int = {
     var step = 1

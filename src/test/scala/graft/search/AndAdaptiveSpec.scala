@@ -89,4 +89,35 @@ class AndAdaptiveSpec extends AnyFunSuite {
     val rev = scoresOf(QueryExec.run(reader, "the fig"))
     assert(rev == direct)
   }
+
+  test("phrase hot side: scan-verify aligns positions, == index phrase AND") {
+    // "the quick"/"the lazy" are phrases of hot tokens (df 60 each);
+    // positions must align — token-presence AND would be wrong
+    val idxQuick = scoresOf(Engine.SetOps.and(
+      Engine.matchScores(reader, "fig"), Engine.matchScores(reader, "the quick")))
+    val viaScan = scoresOf(Engine.andAdaptive(reader, "fig", "the quick", ratio = 1.0))
+    assert(idxQuick.nonEmpty && viaScan == idxQuick)
+    // phrase occurrence COUNT (not presence): "the" appears 3×/doc but
+    // "the quick" exactly once → score = tf(fig) + 1
+    assert(viaScan.values.forall(_ == 2.0), viaScan.toString)
+    // a phrase absent as a SEQUENCE (both tokens present) yields empty on
+    // both paths — alignment is really checked
+    assert(Engine.andAdaptive(reader, "fig", "quick lazy", ratio = 1.0).isEmpty)
+    assert(Engine.SetOps.and(Engine.matchScores(reader, "fig"),
+      Engine.matchScores(reader, "quick lazy")).isEmpty)
+  }
+
+  test("query-syntax quoted phrase takes the escape and matches the index path") {
+    import graft.query.QueryExec
+    val viaQuery = scoresOf(QueryExec.run(reader, "fig \"the lazy\""))
+    val direct = scoresOf(Engine.SetOps.and(
+      Engine.matchScores(reader, "fig"), Engine.matchScores(reader, "the lazy")))
+    assert(viaQuery == direct && viaQuery.nonEmpty)
+    // the hot phrase's postings never reach a scan
+    val plan = QueryExec.run(reader, "fig \"the lazy\"")
+      .queryExecution.sparkPlan.toString
+    assert(!plan.contains("term,the") && !plan.contains("term,lazy") &&
+      plan.contains("EqualTo(term,fig)"),
+      s"hot phrase tokens should not reach a postings scan:\n$plan")
+  }
 }
