@@ -521,12 +521,18 @@ object Dedup {
       col("sh_lo").as("alo"), col("sh_hi").as("ahi"))
     val r = banded.select(col("t"), col("k"), col("doc_id").as("b"),
       col("sh_lo").as("blo"), col("sh_hi").as("bhi"))
-    l.join(r, Seq("t", "k"))
+    // materialize the (small) pair result eagerly, then drop the banded
+    // fingerprints persist — a session-lifetime CacheManager pin otherwise
+    // (checkpoint blocks are ContextCleaner-freed with the result)
+    val out = l.join(r, Seq("t", "k"))
       .filter(col("a") < col("b"))
       .select(col("a"), col("b"),
         expr("bit_count(alo ^ blo) + bit_count(ahi ^ bhi)").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxDist)
+      .localCheckpoint()
+    banded.unpersist()
+    out
   }
 
   // ---- exact n-gram Jaccard -------------------------------------------
@@ -552,13 +558,21 @@ object Dedup {
     val ga = p.join(grams.select(col("doc_id").as("a"), col("g")), "a")
     val interCnt = ga.join(grams.select(col("doc_id").as("b"), col("g")), Seq("b", "g"))
       .groupBy("a", "b").agg(count(lit(1)).as("inter"))
-    p
+    // materialize the (|pairs|-sized) result eagerly, then release the
+    // candidate persist — a Dataset persist pins the CacheManager for the
+    // session's lifetime; checkpoint blocks are ContextCleaner-freed once
+    // the caller drops the result. NOTE: this also releases any
+    // caller-side persist of the SAME pairs plan (plan-keyed cache).
+    val out = p
       .join(interCnt, Seq("a", "b"), "left_outer")
       .na.fill(0L, Seq("inter"))
       .join(sizes.select(col("doc_id").as("a"), col("sz").as("sa")), "a")
       .join(sizes.select(col("doc_id").as("b"), col("sz").as("sb")), "b")
       .select(col("a"), col("b"),
         expr("inter * 1000 div (sa + sb - inter)").as("jaccard_q3"))
+      .localCheckpoint()
+    p.unpersist()
+    out
   }
 
   /** MinHash-LSH candidates → exact Jaccard, the end-to-end near-dup
@@ -581,7 +595,15 @@ object Dedup {
     val bandRows = minhashBands(docs, textCol, numPerm, bands, shingleK, seed)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     bandRows.count(): Unit
-    jaccardForPairs(docs, lshCandidatePairs(bandRows, maxBucketSize), textCol, shingleK)
+    val cand = lshCandidatePairs(bandRows, maxBucketSize)
+    // jaccardForPairs returns an EAGER checkpoint and releases its own
+    // candidate persist; dropping the band-rows persist here leaves the
+    // whole call with zero session-lifetime CacheManager entries (the
+    // round-3 leak: MEMORY_AND_DISK blocks accumulating per dedup call in
+    // a long-lived session)
+    val out = jaccardForPairs(docs, cand, textCol, shingleK)
+    bandRows.unpersist()
+    out
   }
 
   /** Connected components over a near-dup pair set: every doc gets
@@ -714,7 +736,11 @@ object Dedup {
       labels = nextLabels
     }
     edges.unpersist()
-    labels.toDF("doc_id", "cluster_id")
+    // hand back an eager checkpoint so the final round's Dataset persist
+    // can release too — no session-lifetime CacheManager entry survives
+    val out = labels.toDF("doc_id", "cluster_id").localCheckpoint()
+    labels.unpersist()
+    out
   }
 
   /** The complete near-dup dedup pipeline in one call: exact dedup →
