@@ -29,14 +29,38 @@ object Suggest {
   def learn(log: DataFrame, sessionGapSec: Long = 600L): (DataFrame, DataFrame) = {
     val items = log.groupBy(col("query").as("item"))
       .agg(count(lit(1)).as("freq"))
-    val w = Window.partitionBy("user").orderBy("ts")
-    val pairs = log
+    // Skew guard: a window partitioned by raw `user` makes one bot account
+    // with 10⁸ log rows a single window partition on one task. Bucket by
+    // (user, coarse time) instead — partitions stay bounded by the bot's
+    // per-bucket volume — then recover the pairs that straddle a bucket
+    // boundary EXACTLY: two consecutive rows within the session gap can be
+    // at most one bucket apart (bucketSec ≥ sessionGapSec), and the
+    // straddling pair is always (last event of bucket k, first event of
+    // bucket k+1) — a bounded per-(user,bucket) aggregate + an adjacent-
+    // bucket self-join, both hash-keyed with map-side combine.
+    val bucketSec = math.max(86400L, sessionGapSec)
+    val withB = log.withColumn("__b", floor(col("ts") / bucketSec))
+    val w = Window.partitionBy("user", "__b").orderBy("ts")
+    val inBucket = withB
       .withColumn("prev_query", lag("query", 1).over(w))
       .withColumn("prev_ts", lag("ts", 1).over(w))
       .filter(col("prev_query").isNotNull &&
         col("prev_query") =!= col("query") &&
         (col("ts") - col("prev_ts")) <= sessionGapSec)
-      .groupBy(col("prev_query").as("query"), col("query").as("related"))
+      .select(col("prev_query").as("query"), col("query").as("related"))
+    val edges = withB.groupBy("user", "__b").agg(
+      min_by(col("query"), col("ts")).as("first_q"), min("ts").as("first_ts"),
+      max_by(col("query"), col("ts")).as("last_q"), max("ts").as("last_ts"))
+    val a = edges.select(col("user"), col("__b"),
+      col("last_q"), col("last_ts"))
+    val b = edges.select(col("user"), (col("__b") - 1).as("__b"),
+      col("first_q"), col("first_ts"))
+    val boundary = a.join(b, Seq("user", "__b"))
+      .filter(col("first_ts") - col("last_ts") <= sessionGapSec &&
+        col("last_q") =!= col("first_q"))
+      .select(col("last_q").as("query"), col("first_q").as("related"))
+    val pairs = inBucket.unionByName(boundary)
+      .groupBy("query", "related")
       .agg(count(lit(1)).as("freq"))
     (items, pairs)
   }

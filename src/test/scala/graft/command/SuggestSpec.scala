@@ -32,4 +32,39 @@ class SuggestSpec extends AnyFunSuite {
     // "groonga" is outside the 600s gap and must not appear
     assert(r.toSeq == Seq(("spark shell", 2L)))
   }
+
+  test("bucketed window == unbucketed semantics, incl. boundary-straddling pairs") {
+    // a bot spanning many day-buckets, with sessions crossing midnight:
+    // the de-skewed (user, day)-bucketed window must produce EXACTLY the
+    // consecutive-pair set of the naive user-wide window
+    val day = 86400L
+    val botLog = (0 until 6).flatMap { d =>
+      Seq(
+        ("bot", d * day + 100L, s"q${d}a"),
+        ("bot", d * day + 200L, s"q${d}b"),
+        // last event of day d, 30s before midnight...
+        ("bot", (d + 1) * day - 30L, s"q${d}c")
+      )
+    } ++ Seq(
+      // ...pairs with the first event of day d+1 (30+100 <= 600 gap)
+      ("u9", 50L, "x"), ("u9", 100L, "y")
+    )
+    val df = botLog.toDF("user", "ts", "query")
+    val (_, got) = Suggest.learn(df, sessionGapSec = 600L)
+    // naive reference: sort each user's rows, pair consecutive within gap
+    val expected = botLog.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      rows.sortBy(_._2).sliding(2).collect {
+        case Seq((_, t1, q1), (_, t2, q2))
+          if t2 - t1 <= 600L && q1 != q2 => (q1, q2)
+      }
+    }.groupBy(identity).map { case (k, v) => (k._1, k._2, v.size.toLong) }.toSet
+    val gotSet = got.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(gotSet == expected, s"got $gotSet\nexpected $expected")
+    // midnight-straddling pairs really exist in the expectation (q0c→q1a …)
+    assert(expected.exists(_._1 == "q0c"), "test must exercise boundary pairs")
+    // the skew guard is in the plan: the window partitions by (user, __b),
+    // never by user alone
+    val plan = Suggest.learn(df, 600L)._2.queryExecution.sparkPlan.toString
+    assert(plan.contains("__b"), s"window not bucketed:\n$plan")
+  }
 }
