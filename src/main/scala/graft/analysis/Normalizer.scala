@@ -145,6 +145,16 @@ object Normalizer {
     */
   private def nfkcOne(cp: Int): String = {
     if (cp < 0x80) return null // ASCII is NFKC-invariant; avoid allocation
+    // WAVE DASH → ASCII tilde: Unicode defines NO compatibility mapping
+    // for U+301C, but the reference's generated table adds one (the JP
+    // wave-dash/fullwidth-tilde unification, lib/nfkc.c grn_nfkc_map1) —
+    // match it so 〜 and ～ index identically (NfkcConformanceSpec)
+    if (cp == 0x301c) return "~"
+    // LATIN CAPITAL I WITH DOT ABOVE lowercases to i + COMBINING DOT
+    // ABOVE (the Unicode full lowercase mapping, which the reference's
+    // table bakes in); per-codepoint Character.toLowerCase would drop the
+    // dot — diverging on Turkish text
+    if (cp == 0x130) return "i̇"
     val s = new String(Character.toChars(cp))
     val n = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFKC)
     if (n == s) null else n

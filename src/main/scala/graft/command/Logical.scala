@@ -277,4 +277,65 @@ object Logical {
     select(spark, root, shardKey, range, filter, keys, offset, limit,
       outputColumns, granularity)
   }
+
+  /** `logical_shard_list` (reference logical_shard_list.rb): the shard
+    * names in key order — straight off the partition directory listing,
+    * no data read.
+    */
+  def shardList(root: String): Seq[String] = {
+    val d = new java.io.File(root)
+    if (!d.isDirectory) Seq.empty
+    else d.listFiles.iterator
+      .filter(f => f.isDirectory && f.getName.startsWith(s"$ShardCol="))
+      .map(_.getName.stripPrefix(s"$ShardCol="))
+      .toSeq.sorted
+  }
+
+  /** `logical_table_remove` with a range (reference
+    * logical_table_remove.rb:40-58: delete the rows whose shard-key value
+    * falls in the range; an emptied shard is removed outright) — the
+    * retention primitive at scale. Shards FULLY covered by the range are
+    * whole-directory deletes (no data read or rewritten — the common
+    * drop-old-days case costs O(shards), like the reference removing whole
+    * per-day tables); at most the 2 BOUNDARY shards rewrite with the
+    * surviving rows. Returns the number of shards dropped whole.
+    */
+  def removeRange(spark: SparkSession, root: String, shardKey: String,
+      range: LogicalRange,
+      granularity: Option[String] = None): Int = {
+    require(range.min.isDefined || range.max.isDefined,
+      "removeRange needs a bounded range; delete the directory to drop all")
+    val g = granularity.getOrElse(markerGranularity(root))
+    val df = table(spark, root)
+    val ntz = isNtz(df, shardKey)
+    val loB = range.min.map(t => shardOf(spark, t, g, ntz))
+    val hiB = range.max.map(t => shardOf(spark, t, g, ntz))
+    def del(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(del)
+      f.delete(): Unit
+    }
+    var dropped = 0
+    shardList(root).foreach { s =>
+      val isBoundary = loB.contains(s) || hiB.contains(s)
+      val inShardRange = loB.forall(s >= _) && hiB.forall(s <= _)
+      if (inShardRange && !isBoundary) {
+        del(new java.io.File(root, s"$ShardCol=$s")); dropped += 1
+      } else if (isBoundary) {
+        // rewrite the boundary shard with its SURVIVORS (rows outside the
+        // removal range); an emptied shard is removed outright
+        val shardDir = new java.io.File(root, s"$ShardCol=$s")
+        val rows = spark.read.parquet(shardDir.getPath)
+        val keep = rows.where(!rowPred(rows, shardKey, range).getOrElse(lit(true)))
+        val tmp = new java.io.File(root, s".rewrite_$s")
+        keep.write.mode("overwrite").parquet(tmp.getPath)
+        val kept = spark.read.parquet(tmp.getPath).limit(1).count() > 0
+        del(shardDir)
+        if (kept) {
+          if (!tmp.renameTo(shardDir))
+            throw new java.io.IOException(s"rename failed for shard $s")
+        } else { del(tmp); dropped += 1 }
+      }
+    }
+    dropped
+  }
 }

@@ -52,7 +52,11 @@ object SubmitBench {
     var bestFps = 0.0
     var bestQps = 0.0
     var bestP50 = Double.MaxValue
+    var totalTokens = 0L
+    var indexBytes = 0L
     val dir = "/dev/shm/graft-submit-build"
+    def dirBytes(f: java.io.File): Long =
+      if (f.isDirectory) f.listFiles().map(dirBytes).sum else f.length()
     for (rep <- 1 to reps) {
       deleteRecursively(new java.io.File(dir))
       val docs = spark.range(0, nFiles, 1, 64).map { i =>
@@ -68,6 +72,8 @@ object SubmitBench {
       if (fps > bestFps) bestFps = fps
 
       val reader = new IndexReader(spark, dir).cacheForServing()
+      totalTokens = reader.manifest.totalTokens
+      indexBytes = dirBytes(new java.io.File(dir))
       Engine.bm25TopKBatch(reader, batch, 10).count() // warm
       val tq = System.nanoTime()
       Engine.bm25TopKBatch(reader, batch, 10).count()
@@ -91,7 +97,8 @@ object SubmitBench {
     println(
       s"""{"metric":"spark_submit_leg","cores":$cores,"n_files":$nFiles,"reps":$reps,""" +
         s""""build_files_per_sec":${f"$bestFps%.1f"},"bm25_batch_qps":${f"$bestQps%.1f"},""" +
-        s""""bm25_p50_ms":${f"$bestP50%.1f"}}""")
+        s""""bm25_p50_ms":${f"$bestP50%.1f"},""" +
+        s""""total_tokens":$totalTokens,"index_bytes":$indexBytes}""")
     spark.stop()
   }
 }

@@ -144,6 +144,29 @@ class LogicalSpec extends AnyFunSuite {
       s"shard-key predicate not pushed:\n$p")
   }
 
+  test("shardList names shards in key order") {
+    assert(Logical.shardList(root) == Seq("20240101", "20240102",
+      "20240103", "20240104", "20240201"))
+  }
+
+  test("removeRange drops covered shards whole and rewrites boundaries") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_logical_rm_").toString + "/t"
+    Logical.writeSharded(rowsDf, "t", dir)
+    // remove [2024-01-02T12:00, 2024-02-01T00:00] inclusive:
+    // 20240103/20240104 are fully covered (whole-dir deletes, no rewrite);
+    // 20240102 rewrites keeping row 3 (00:00 < min); 20240201 empties out
+    val dropped = Logical.removeRange(spark, dir, "t",
+      rng("2024-01-02T12:00:00Z", max = "2024-02-01T00:00:00Z"))
+    assert(dropped == 3, s"expected 3 dropped shards, got $dropped")
+    assert(Logical.shardList(dir) == Seq("20240101", "20240102"))
+    val left = Logical.table(spark, dir).select("id")
+      .collect().map(_.getLong(0)).sorted
+    assert(left.toSeq == Seq(1L, 2L, 3L))
+    // removed rows are gone from counts too
+    assert(Logical.count(spark, dir, "t", rng()) == 3)
+  }
+
   test("inRange scalar twin: border semantics") {
     import Logical.inRange
     assert(inRange(5.0, Some(5.0), true, Some(6.0), true))
