@@ -512,6 +512,21 @@ object SparkEntry {
         (col("value").cast("decimal(18,2)") * 100).cast("long")
           .as("value_cents"))),
 
+    // ---- suggest family (learn) over an events-derived query log ----
+    // (reference plugins/suggest: per-item frequency + within-session
+    // co-occurrence; the oracle re-derives both with SQL window functions)
+    "sg_items" -> ((s, d) => {
+      val (items, _) = graft.command.Suggest.learn(suggestLog(s, d),
+        sessionGapSec = 600000000L) // micros
+      items.orderBy("item")
+    }),
+
+    "sg_pairs" -> ((s, d) => {
+      val (_, pairs) = graft.command.Suggest.learn(suggestLog(s, d),
+        sessionGapSec = 600000000L)
+      pairs.orderBy("query", "related")
+    }),
+
     // logical_range_filter: shard-key-ordered page (offset+limit) out of a
     // two-day window — plans as TakeOrdered over the two pruned shards
     "log_range" -> ((s, d) => graft.command.Logical.rangeFilter(
@@ -541,6 +556,14 @@ object SparkEntry {
   /** JVM-timezone-independent instant literal (session tz is UTC). */
   private def utcTs(iso: String): java.sql.Timestamp =
     java.sql.Timestamp.from(java.time.Instant.parse(iso))
+
+  /** Events as a suggest-learner query log: (user, ts-micros, query). No
+    * (user, ts) ties in the synthetic data, so lag order is total.
+    */
+  private def suggestLog(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events").select(col("user_id").as("user"),
+      expr("unix_micros(cast(ts as timestamp))").as("ts"),
+      col("event_type").as("query"))
 
   // ---- DuckDB oracles ---------------------------------------------------
   // The words CTE is the oracle-side TokenDelimit: documents.text is
@@ -1165,6 +1188,19 @@ object SparkEntry {
 
     "ta_fingerprint" ->
       "SELECT doc_id, substr(md5(text), 1, 16) AS fp FROM documents ORDER BY doc_id",
+
+    "sg_items" ->
+      "SELECT event_type AS item, count(*) AS freq FROM events GROUP BY 1 ORDER BY item",
+
+    "sg_pairs" ->
+      """WITH l AS (SELECT user_id, epoch_us(ts) AS tsu, event_type AS query FROM events),
+        |x AS (SELECT query,
+        |        lag(query) OVER (PARTITION BY user_id ORDER BY tsu) AS pq,
+        |        tsu - lag(tsu) OVER (PARTITION BY user_id ORDER BY tsu) AS gap
+        |      FROM l)
+        |SELECT pq AS query, query AS related, count(*) AS freq
+        |FROM x WHERE pq IS NOT NULL AND pq <> query AND gap <= 600000000
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // the logical_* gates run over a day-sharded COPY of events; shard
     // assignment never changes row content, so the flat table is the oracle
