@@ -114,6 +114,22 @@ class PlanAuditSpec extends AnyFunSuite {
       s"lexicon scan not term-pruned:\n$lex")
   }
 
+  test("log_count: interior shards count with ZERO columns; boundaries read only ts") {
+    // the cover_type :all analogue: fully-covered shards satisfy count()
+    // from parquet row-group metadata (ReadSchema struct<>), only the two
+    // boundary shards evaluate the shard-key predicate — and the whole
+    // count is one partial_count tree, no shuffle
+    val p = plan("log_count")
+    assert(p.contains("ReadSchema: struct<>"),
+      s"interior count scan reads columns:\n$p")
+    assert(p.contains("ReadSchema: struct<ts:timestamp"),
+      s"boundary scan should read only ts:\n$p")
+    assert(p.contains("PartitionFilters: [isnotnull(_shard"),
+      s"interior scan not partition-bounded:\n$p")
+    assert(p.contains("partial_count"), s"no map-side count:\n$p")
+    assert(!p.contains("Exchange"), s"count should not shuffle:\n$p")
+  }
+
   test("log_range: shard partitions prune, ts pushes down, page is TakeOrdered") {
     // the sharded logical_* scale shape: out-of-range day shards are
     // eliminated at planning (PartitionFilters — the reference never opens
