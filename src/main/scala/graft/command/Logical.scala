@@ -75,10 +75,34 @@ object Logical {
       granularity: String = "day"): Unit = {
     df.withColumn(ShardCol, date_format(col(shardKey), pattern(granularity)))
       .write.mode("overwrite").partitionBy(ShardCol).parquet(root)
+    writeMarker(root, shardKey, granularity)
+  }
+
+  private def writeMarker(root: String, shardKey: String,
+      granularity: String): Unit = {
     val marker = s"""{"shardKey":"$shardKey","granularity":"$granularity"}"""
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
     java.nio.file.Files.write(
       java.nio.file.Paths.get(root, "_logical"),
       marker.getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+  }
+
+  /** Continuous ingestion into the sharded layout: a STREAMING DataFrame
+    * appends day/month partitions as event time advances — the analogue of
+    * the reference's per-day `Logs_YYYYMMDD` tables filling from load
+    * hooks, and the natural feed for [[select]]/[[count]]/[[rangeFilter]]
+    * over live data (readers see new shards on their next listing; the
+    * partition-pruned plans never touch shards outside their range, so
+    * ingestion and query never contend). Caller starts the returned writer
+    * with its own checkpoint location and trigger.
+    */
+  def streamSharded(df: DataFrame, shardKey: String, root: String,
+      granularity: String = "day")
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    writeMarker(root, shardKey, granularity)
+    df.withColumn(ShardCol, date_format(col(shardKey), pattern(granularity)))
+      .writeStream.format("parquet").partitionBy(ShardCol)
+      .option("path", root)
   }
 
   private def markerGranularity(root: String): String = {

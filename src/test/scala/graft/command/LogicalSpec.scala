@@ -167,6 +167,37 @@ class LogicalSpec extends AnyFunSuite {
     assert(Logical.count(spark, dir, "t", rng()) == 3)
   }
 
+  test("streamSharded appends day partitions as event time advances") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_logical_st_").toString
+    val root = s"$base/t"
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val q = Logical.streamSharded(
+      mem.toDF().toDF("id", "t", "v"), "t", root)
+      .option("checkpointLocation", s"$base/ckpt")
+      .start()
+    try {
+      mem.addData((1L, ts("2024-01-01T10:00:00Z"), 1.0),
+        (2L, ts("2024-01-01T12:00:00Z"), 2.0))
+      q.processAllAvailable()
+      assert(Logical.shardList(root) == Seq("20240101"))
+      // a later micro-batch opens a NEW day shard; earlier shards untouched
+      mem.addData((3L, ts("2024-01-02T01:00:00Z"), 3.0))
+      q.processAllAvailable()
+      assert(Logical.shardList(root) == Seq("20240101", "20240102"))
+      // the batch readers work on the streamed layout, pruning included
+      assert(Logical.count(spark, root, "t",
+        rng("2024-01-02T00:00:00Z")) == 1)
+      assert(Logical.count(spark, root, "t", rng()) == 3)
+      val p = Logical.pruned(spark, root, "t", rng("2024-01-02T00:00:00Z"))
+        .queryExecution.sparkPlan.toString
+      assert(p.contains("PartitionFilters: ["), s"no pruning on streamed layout:\n$p")
+    } finally q.stop()
+  }
+
   test("inRange scalar twin: border semantics") {
     import Logical.inRange
     assert(inRange(5.0, Some(5.0), true, Some(6.0), true))
