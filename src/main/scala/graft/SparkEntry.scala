@@ -214,6 +214,21 @@ object SparkEntry {
     "ft_prefix" -> ((s, d) =>
       scored(Engine.prefixSearch(DocIndex.reader(s, d), "b"))),
 
+    // match escalation stage 2: EXACT("spar") is empty at threshold 0, so
+    // UNSPLIT answers — the whole normalized query as one prefix-expanded
+    // key (reference grn_ii_sel lib/ii.c:7212-7233); no word is exactly
+    // "spar", only "spark" extends it, so the result is the prefix tf
+    "ft_escalate" -> ((s, d) =>
+      scored(graft.search.Engine.matchScoresEscalating(
+        DocIndex.reader(s, d), "spar", 0L))),
+
+    // stage 3: for "spar dat" EXACT (phrase) and UNSPLIT ("spardat"
+    // after blank-removing normalization) are both empty → PARTIAL
+    // AND-folds per-token prefix expansions with presence scores (1 each)
+    "ft_escalate_partial" -> ((s, d) =>
+      scored(graft.search.Engine.matchScoresEscalating(
+        DocIndex.reader(s, d), "spar dat", 0L))),
+
     // index-assisted regexp: literal runs prefilter through the raw-bigram
     // index, candidates verify with rlike (reference lib/ii.c:6502)
     "ft_regexp" -> ((s, d) =>
@@ -816,6 +831,18 @@ object SparkEntry {
 
     "ft_regexp" ->
       "SELECT doc_id FROM documents WHERE regexp_matches(text, 'sp.rk') ORDER BY doc_id",
+
+    "ft_escalate" ->
+      """SELECT doc_id, len(list_filter(string_split(text, ' '), x -> x LIKE 'spar%')) AS score
+        |FROM documents
+        |WHERE len(list_filter(string_split(text, ' '), x -> x LIKE 'spar%')) > 0
+        |ORDER BY doc_id""".stripMargin,
+
+    "ft_escalate_partial" ->
+      """SELECT doc_id, CAST(2 AS BIGINT) AS score FROM documents
+        |WHERE len(list_filter(string_split(text, ' '), x -> x LIKE 'spar%')) > 0
+        |  AND len(list_filter(string_split(text, ' '), x -> x LIKE 'dat%')) > 0
+        |ORDER BY doc_id""".stripMargin,
 
     "ft_suffix" ->
       """SELECT doc_id, len(list_filter(string_split(text, ' '), x -> x LIKE '%er')) AS score
