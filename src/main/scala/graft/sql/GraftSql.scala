@@ -196,6 +196,57 @@ object GraftSql {
         .queryExecution.analyzed
     })
 
+  private def litTsOpt(e: Expression, fn: String, what: String): Option[java.sql.Timestamp] = {
+    val s = litString(e, fn, what)
+    if (s.isEmpty) None
+    else Some(java.sql.Timestamp.from(java.time.Instant.parse(s)))
+  }
+
+  /** `graft_logical_count(root, shardKey, minIso, maxIso)` — the sharded
+    * logical_count as a one-row SQL table function; empty-string bounds
+    * are open ends. Bounds are ISO instants (`2024-01-10T00:00:00Z`),
+    * min inclusive / max exclusive (the common window convention; the
+    * library API exposes the full border set).
+    */
+  val logicalCountTvfDescription: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) = (
+    FunctionIdentifier("graft_logical_count"),
+    new ExpressionInfo(GraftSql.getClass.getCanonicalName, "graft_logical_count"),
+    (args: Seq[Expression]) => {
+      require(args.length == 4,
+        s"graft_logical_count(root, shardKey, minIso, maxIso) takes 4 arguments, got ${args.length}")
+      val spark = SparkSession.active
+      graft.command.Logical.countDF(spark,
+          litString(args(0), "graft_logical_count", "root"),
+          litString(args(1), "graft_logical_count", "shardKey"),
+          graft.command.Logical.LogicalRange(
+            min = litTsOpt(args(2), "graft_logical_count", "minIso"),
+            max = litTsOpt(args(3), "graft_logical_count", "maxIso"),
+            maxInclude = false))
+        .queryExecution.analyzed
+    })
+
+  /** `graft_logical_range(root, shardKey, minIso, maxIso, limit)` — the
+    * sharded logical_range_filter page (shard-key ascending) as a SQL
+    * table function; plans partition-pruned TakeOrdered like the API path.
+    */
+  val logicalRangeTvfDescription: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) = (
+    FunctionIdentifier("graft_logical_range"),
+    new ExpressionInfo(GraftSql.getClass.getCanonicalName, "graft_logical_range"),
+    (args: Seq[Expression]) => {
+      require(args.length == 5,
+        s"graft_logical_range(root, shardKey, minIso, maxIso, limit) takes 5 arguments, got ${args.length}")
+      val spark = SparkSession.active
+      graft.command.Logical.rangeFilter(spark,
+          litString(args(0), "graft_logical_range", "root"),
+          litString(args(1), "graft_logical_range", "shardKey"),
+          graft.command.Logical.LogicalRange(
+            min = litTsOpt(args(2), "graft_logical_range", "minIso"),
+            max = litTsOpt(args(3), "graft_logical_range", "maxIso"),
+            maxInclude = false),
+          limit = litInt(args(4), "graft_logical_range", "limit"))
+        .queryExecution.analyzed
+    })
+
   /** Install on a LIVE session: registers `graft_match` + the scored TVFs
     * + the Groonga scalar/geo UDF families (`edit_distance`, `html_untag`,
     * `string_length`, `fuzzy_search`, `prefix_rk_search`, `geo_distance`,
@@ -213,7 +264,8 @@ object GraftSql {
     val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     val (ident, info, builder) = functionDescription
     cs.sessionState.functionRegistry.registerFunction(ident, info, builder)
-    for ((i, nfo, b) <- Seq(searchTvfDescription, bm25TvfDescription))
+    for ((i, nfo, b) <- Seq(searchTvfDescription, bm25TvfDescription,
+      logicalCountTvfDescription, logicalRangeTvfDescription))
       cs.sessionState.tableFunctionRegistry.registerFunction(i, nfo, b)
     graft.functions.GrnScalars.register(spark)
     graft.functions.GrnGeo.register(spark)
@@ -330,6 +382,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftSql.functionDescription)
     ext.injectTableFunction(GraftSql.searchTvfDescription)
     ext.injectTableFunction(GraftSql.bm25TvfDescription)
+    ext.injectTableFunction(GraftSql.logicalCountTvfDescription)
+    ext.injectTableFunction(GraftSql.logicalRangeTvfDescription)
     ext.injectOptimizerRule(s => IndexMatchRewrite(s))
   }
 }

@@ -154,6 +154,39 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(tiny == top.map(_._1).toSet)
   }
 
+  test("graft_logical_count / graft_logical_range SQL over a sharded table") {
+    installAndView()
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))
+    val rows = Seq(
+      (1L, ts("2024-01-01T10:00:00Z")), (2L, ts("2024-01-02T10:00:00Z")),
+      (3L, ts("2024-01-02T11:00:00Z")), (4L, ts("2024-01-03T10:00:00Z"))
+    ).toDF("id", "t")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_sql_log_").toString + "/t"
+    graft.command.Logical.writeSharded(rows, "t", root)
+    // [min, max) over the SQL surface = the library count
+    val n = spark.sql(
+      s"SELECT n FROM graft_logical_count('$root', 't', '2024-01-02T00:00:00Z', '2024-01-03T00:00:00Z')")
+      .head().getLong(0)
+    assert(n == 2L)
+    // open ends via empty strings
+    assert(spark.sql(
+      s"SELECT n FROM graft_logical_count('$root', 't', '', '')")
+      .head().getLong(0) == 4L)
+    val ids = spark.sql(
+      s"""SELECT id FROM graft_logical_range('$root', 't',
+         |'2024-01-02T00:00:00Z', '', 2)""".stripMargin)
+      .collect().map(_.getLong(0)).toSeq
+    assert(ids == Seq(2L, 3L))
+    // the SQL plan keeps the shard pruning
+    val p = spark.sql(
+      s"SELECT id FROM graft_logical_range('$root', 't', '2024-01-02T00:00:00Z', '', 2)")
+      .queryExecution.sparkPlan.toString
+    assert(p.contains("PartitionFilters: [") && p.contains("_shard"),
+      s"SQL logical range lost partition pruning:\n$p")
+  }
+
   test("a rebuilt index (new manifest) invalidates the rule's reader cache") {
     import spark.implicits._
     GraftSql.install(spark)
