@@ -560,7 +560,15 @@ object SparkEntry {
   private val logicalCache = scala.collection.mutable.Map[String, String]()
   private def shardedEvents(s: SparkSession, d: String): String = synchronized {
     logicalCache.getOrElseUpdate(d, {
-      val tag = d.replaceAll("[^A-Za-z0-9.]+", "_")
+      // the cache key carries the SOURCE file's stamp so a regenerated
+      // events.parquet at the same path never gates against a stale copy
+      val src = new java.io.File(s"$d/events.parquet")
+      val stamp =
+        if (src.isDirectory)
+          src.listFiles.map(f => f.lastModified ^ f.length).foldLeft(0L)(_ ^ _)
+        else src.lastModified ^ src.length
+      val tag = d.replaceAll("[^A-Za-z0-9.]+", "_") +
+        "-" + java.lang.Long.toHexString(stamp)
       val root = s"${sys.props("java.io.tmpdir")}/graft-logical-v1/$tag"
       if (!java.nio.file.Files.exists(java.nio.file.Paths.get(root, "_logical")))
         graft.command.Logical.writeSharded(t(s, d, "events"), "ts", root)

@@ -75,12 +75,20 @@ object Logical {
       granularity: String = "day"): Unit = {
     df.withColumn(ShardCol, date_format(col(shardKey), pattern(granularity)))
       .write.mode("overwrite").partitionBy(ShardCol).parquet(root)
-    writeMarker(root, shardKey, granularity)
+    writeMarker(df.sparkSession, root, shardKey, granularity)
   }
 
-  private def writeMarker(root: String, shardKey: String,
+  /** The marker records the WRITER's session time zone too: shard
+    * assignment for instant-typed keys bakes it in via `date_format`, so
+    * the read side must derive shard names with the SAME zone — a session
+    * tz change between write and read would otherwise silently prune
+    * shards that hold in-range rows.
+    */
+  private def writeMarker(spark: SparkSession, root: String, shardKey: String,
       granularity: String): Unit = {
-    val marker = s"""{"shardKey":"$shardKey","granularity":"$granularity"}"""
+    val tz = spark.conf.get("spark.sql.session.timeZone")
+    val marker =
+      s"""{"shardKey":"$shardKey","granularity":"$granularity","timeZone":"$tz"}"""
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
     java.nio.file.Files.write(
       java.nio.file.Paths.get(root, "_logical"),
@@ -99,20 +107,50 @@ object Logical {
   def streamSharded(df: DataFrame, shardKey: String, root: String,
       granularity: String = "day")
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
-    writeMarker(root, shardKey, granularity)
+    writeMarker(df.sparkSession, root, shardKey, granularity)
     df.withColumn(ShardCol, date_format(col(shardKey), pattern(granularity)))
       .writeStream.format("parquet").partitionBy(ShardCol)
       .option("path", root)
   }
 
-  private def markerGranularity(root: String): String = {
+  /** Parsed `_logical` marker; `timeZone` is absent on pre-marker layouts
+    * (read side then falls back to the query session's zone).
+    */
+  private final case class Marker(granularity: String, timeZone: Option[String])
+
+  // marker reads memoized per root (keyed on the file's mtime so a
+  // rewritten layout re-reads) — the serving path must not stat+read a
+  // driver file per query
+  private val markerCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Marker)]()
+
+  private def markerOf(root: String): Marker = {
     val p = java.nio.file.Paths.get(root, "_logical")
-    if (!java.nio.file.Files.exists(p)) "day"
+    if (!java.nio.file.Files.exists(p)) Marker("day", None)
     else {
-      val s = new String(java.nio.file.Files.readAllBytes(p),
-        java.nio.charset.StandardCharsets.UTF_8)
-      if (s.contains("\"month\"")) "month" else "day"
+      val stamp = java.nio.file.Files.getLastModifiedTime(p).toMillis
+      val cached = markerCache.get(root)
+      if (cached != null && cached._1 == stamp) cached._2
+      else {
+        val s = new String(java.nio.file.Files.readAllBytes(p),
+          java.nio.charset.StandardCharsets.UTF_8)
+        val tzR = """"timeZone":"([^"]+)"""".r
+        val m = Marker(
+          if (s.contains("\"month\"")) "month" else "day",
+          tzR.findFirstMatchIn(s).map(_.group(1)))
+        markerCache.put(root, (stamp, m))
+        m
+      }
     }
+  }
+
+  /** Effective marker for a read: an explicit granularity overrides the
+    * recorded one (the tz always comes from the marker when present).
+    */
+  private def resolvedMarker(root: String,
+      granularity: Option[String]): Marker = {
+    val m = markerOf(root)
+    granularity.map(g => m.copy(granularity = g)).getOrElse(m)
   }
 
   /** The logical table: all shards, `_shard` as a partition column. */
@@ -143,11 +181,11 @@ object Logical {
     * in the shard its rows were written to.
     */
   private def shardOf(spark: SparkSession, t: java.sql.Timestamp,
-      granularity: String, ntz: Boolean): String = {
-    val fmt = java.time.format.DateTimeFormatter.ofPattern(pattern(granularity))
+      m: Marker, ntz: Boolean): String = {
+    val fmt = java.time.format.DateTimeFormatter.ofPattern(pattern(m.granularity))
     if (ntz) fmt.format(naiveUtc(t))
-    else fmt.withZone(java.time.ZoneId.of(
-      spark.conf.get("spark.sql.session.timeZone"))).format(t.toInstant)
+    else fmt.withZone(java.time.ZoneId.of(m.timeZone.getOrElse(
+      spark.conf.get("spark.sql.session.timeZone")))).format(t.toInstant)
   }
 
   /** `_shard` literals must match the INFERRED partition-column type
@@ -166,16 +204,25 @@ object Logical {
     * own day can still hold qualifying rows); the row predicate finishes
     * the job.
     */
+  /** Digit-only shard guard: the null-key partition
+    * (`_shard=__HIVE_DEFAULT_PARTITION__`) must never satisfy a BOUNDED
+    * range — null shard keys match no range (the [[inRange]] NaN contract)
+    * — and the string compares `__HIVE… >= "20240110"` would otherwise
+    * admit it on a min-only bound. Stays a partition-level predicate.
+    */
+  private def digitShard: Column =
+    col(ShardCol).cast("string").rlike("^[0-9]+$")
+
   private def shardPred(spark: SparkSession, df: DataFrame, shardKey: String,
-      range: LogicalRange, granularity: String): Option[Column] = {
+      range: LogicalRange, m: Marker): Option[Column] = {
     val ntz = isNtz(df, shardKey)
     val lo = range.min.map(t =>
-      col(ShardCol) >= shardLit(df, shardOf(spark, t, granularity, ntz)))
+      col(ShardCol) >= shardLit(df, shardOf(spark, t, m, ntz)))
     val hi = range.max.map(t =>
-      col(ShardCol) <= shardLit(df, shardOf(spark, t, granularity, ntz)))
+      col(ShardCol) <= shardLit(df, shardOf(spark, t, m, ntz)))
     (lo, hi) match {
-      case (Some(a), Some(b)) => Some(a && b)
-      case (a, b) => a.orElse(b)
+      case (Some(a), Some(b)) => Some(a && b && digitShard)
+      case (a, b) => a.orElse(b).map(_ && digitShard)
     }
   }
 
@@ -201,10 +248,10 @@ object Logical {
   def pruned(spark: SparkSession, root: String, shardKey: String,
       range: LogicalRange = LogicalRange(),
       granularity: Option[String] = None): DataFrame = {
-    val g = granularity.getOrElse(markerGranularity(root))
+    val m = resolvedMarker(root, granularity)
     val df = table(spark, root)
     val withShards =
-      shardPred(spark, df, shardKey, range, g).map(df.where).getOrElse(df)
+      shardPred(spark, df, shardKey, range, m).map(df.where).getOrElse(df)
     rowPred(df, shardKey, range).map(withShards.where).getOrElse(withShards)
   }
 
@@ -218,16 +265,18 @@ object Logical {
       range: LogicalRange = LogicalRange(),
       filter: Option[Column] = None,
       granularity: Option[String] = None): DataFrame = {
-    val g = granularity.getOrElse(markerGranularity(root))
+    val m = resolvedMarker(root, granularity)
     val df = table(spark, root)
     val counted: DataFrame = (filter, range.min, range.max) match {
       case (None, min, max) if min.isDefined || max.isDefined =>
         val ntz = isNtz(df, shardKey)
-        val loB = min.map(t => shardLit(df, shardOf(spark, t, g, ntz)))
-        val hiB = max.map(t => shardLit(df, shardOf(spark, t, g, ntz)))
-        val interior = Seq(
+        val loB = min.map(t => shardLit(df, shardOf(spark, t, m, ntz)))
+        val hiB = max.map(t => shardLit(df, shardOf(spark, t, m, ntz)))
+        // digitShard keeps the null-key partition out of the zero-column
+        // interior count (its rows have NULL shard keys — in no range)
+        val interior = (Seq(
           loB.map(col(ShardCol) > _), hiB.map(col(ShardCol) < _))
-          .flatten.reduceOption(_ && _).getOrElse(lit(true))
+          .flatten :+ digitShard).reduce(_ && _)
         val boundary = Seq(
           loB.map(col(ShardCol) === _), hiB.map(col(ShardCol) === _))
           .flatten.reduceOption(_ || _).getOrElse(lit(false))
@@ -235,7 +284,7 @@ object Logical {
           .unionAll(df.where(boundary && rowPred(df, shardKey, range)
             .getOrElse(lit(true))).select(lit(1L).as("one")))
       case _ =>
-        val base = pruned(spark, root, shardKey, range, Some(g))
+        val base = pruned(spark, root, shardKey, range, Some(m.granularity))
         filter.map(base.where).getOrElse(base).select(lit(1L).as("one"))
     }
     counted.agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
@@ -329,35 +378,50 @@ object Logical {
       granularity: Option[String] = None): Int = {
     require(range.min.isDefined || range.max.isDefined,
       "removeRange needs a bounded range; delete the directory to drop all")
-    val g = granularity.getOrElse(markerGranularity(root))
+    val m = resolvedMarker(root, granularity)
     val df = table(spark, root)
     val ntz = isNtz(df, shardKey)
-    val loB = range.min.map(t => shardOf(spark, t, g, ntz))
-    val hiB = range.max.map(t => shardOf(spark, t, g, ntz))
+    val loB = range.min.map(t => shardOf(spark, t, m, ntz))
+    val hiB = range.max.map(t => shardOf(spark, t, m, ntz))
     def del(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles.foreach(del)
       f.delete(): Unit
     }
     var dropped = 0
-    shardList(root).foreach { s =>
+    // digit-only shard names: the null-key partition
+    // (__HIVE_DEFAULT_PARTITION__) holds rows whose shard key is NULL —
+    // in no range by the inRange contract — and the lexicographic
+    // comparison would wrongly cover it on a min-only bound
+    shardList(root).filter(_.forall(_.isDigit)).foreach { s =>
       val isBoundary = loB.contains(s) || hiB.contains(s)
       val inShardRange = loB.forall(s >= _) && hiB.forall(s <= _)
       if (inShardRange && !isBoundary) {
         del(new java.io.File(root, s"$ShardCol=$s")); dropped += 1
       } else if (isBoundary) {
         // rewrite the boundary shard with its SURVIVORS (rows outside the
-        // removal range); an emptied shard is removed outright
+        // removal range); an emptied shard is removed outright. Crash-safe
+        // order: survivors land in a dot-dir, the ORIGINAL moves aside to
+        // a dot-backup, the rewrite renames into place, THEN the backup
+        // deletes — at no instant are the surviving rows unreachable
+        // (dot-dirs are invisible to parquet discovery, so a reader mid-
+        // operation sees either the old or the new shard, never half).
         val shardDir = new java.io.File(root, s"$ShardCol=$s")
         val rows = spark.read.parquet(shardDir.getPath)
         val keep = rows.where(!rowPred(rows, shardKey, range).getOrElse(lit(true)))
         val tmp = new java.io.File(root, s".rewrite_$s")
         keep.write.mode("overwrite").parquet(tmp.getPath)
         val kept = spark.read.parquet(tmp.getPath).limit(1).count() > 0
-        del(shardDir)
+        val backup = new java.io.File(root, s".old_$s")
+        if (backup.exists) del(backup)
+        if (!shardDir.renameTo(backup))
+          throw new java.io.IOException(s"backup rename failed for shard $s")
         if (kept) {
-          if (!tmp.renameTo(shardDir))
+          if (!tmp.renameTo(shardDir)) {
+            backup.renameTo(shardDir) // restore; nothing was lost
             throw new java.io.IOException(s"rename failed for shard $s")
+          }
         } else { del(tmp); dropped += 1 }
+        del(backup)
       }
     }
     dropped

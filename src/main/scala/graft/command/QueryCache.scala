@@ -58,11 +58,17 @@ object QueryCache {
       */
     @volatile var rebuilt: (SparkSession, SelectResult) = null
 
-    /** Estimated driver-heap footprint of the materialized rows. */
+    /** Estimated driver-heap footprint of the entry — DOUBLED over the raw
+      * row estimate because a served entry also pins its memoized
+      * LocalRelation rebuild ([[rebuilt]]): `createDataFrame` converts the
+      * external Rows to InternalRows of comparable size, so the true pin
+      * of a hot entry is ~2× the stored rows. Budgets are checked against
+      * this honest figure.
+      */
     lazy val sizeBytes: Long =
-      org.apache.spark.util.SizeEstimator.estimate(hitRows) +
+      2 * (org.apache.spark.util.SizeEstimator.estimate(hitRows) +
         dds.valuesIterator.map(v =>
-          org.apache.spark.util.SizeEstimator.estimate(v._1)).sum
+          org.apache.spark.util.SizeEstimator.estimate(v._1)).sum)
   }
 
   private val lru = new java.util.LinkedHashMap[String, Entry](32, 0.75f, true)

@@ -69,6 +69,14 @@ object Searcher {
     if (qtoks.isEmpty) return 0
     val posByTerm: Map[String, Array[Int]] = tokens.groupBy(_.term)
       .map { case (t, ts) => t -> ts.map(_.pos).distinct.sorted.toArray }
+    // single-token query: noccur = tf, OFFSET IGNORED — mirroring the
+    // posting path's singleTerm shortcut (evalShardMatch: driver(i).tf).
+    // A lone token can carry offset > 0 (e.g. a stop-word filter dropped
+    // the query's first token without rebasing positions); the base>=0
+    // alignment below would then wrongly drop occurrences at positions
+    // below the offset.
+    if (qtoks.size == 1)
+      return posByTerm.get(qtoks.head.term).map(_.length).getOrElse(0)
     val uniq = qtoks.groupBy(_.term).toSeq
       .map { case (t, qs) => (qs.map(_.offset), posByTerm.getOrElse(t, null)) }
     if (uniq.exists(_._2 == null)) return 0

@@ -225,17 +225,25 @@ object GraftSql {
         .queryExecution.analyzed
     })
 
-  /** `graft_logical_range(root, shardKey, minIso, maxIso, limit)` — the
-    * sharded logical_range_filter page (shard-key ascending) as a SQL
-    * table function; plans partition-pruned TakeOrdered like the API path.
+  /** `graft_logical_range(root, shardKey, minIso, maxIso, limit
+    * [, tiebreak])` — the sharded logical_range_filter page (shard-key
+    * ascending) as a SQL table function; plans partition-pruned
+    * TakeOrdered like the API path. The optional 6th argument is a
+    * comma-separated tiebreak column list — without one, rows tied on the
+    * shard key sit at an unstable page boundary (the reference ties on
+    * `_id`; pass your row-id column).
     */
   val logicalRangeTvfDescription: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) = (
     FunctionIdentifier("graft_logical_range"),
     new ExpressionInfo(GraftSql.getClass.getCanonicalName, "graft_logical_range"),
     (args: Seq[Expression]) => {
-      require(args.length == 5,
-        s"graft_logical_range(root, shardKey, minIso, maxIso, limit) takes 5 arguments, got ${args.length}")
+      require(args.length == 5 || args.length == 6,
+        s"graft_logical_range(root, shardKey, minIso, maxIso, limit[, tiebreak]) takes 5-6 arguments, got ${args.length}")
       val spark = SparkSession.active
+      val tiebreak = args.lift(5)
+        .map(litString(_, "graft_logical_range", "tiebreak"))
+        .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+        .getOrElse(Nil)
       graft.command.Logical.rangeFilter(spark,
           litString(args(0), "graft_logical_range", "root"),
           litString(args(1), "graft_logical_range", "shardKey"),
@@ -243,7 +251,8 @@ object GraftSql {
             min = litTsOpt(args(2), "graft_logical_range", "minIso"),
             max = litTsOpt(args(3), "graft_logical_range", "maxIso"),
             maxInclude = false),
-          limit = litInt(args(4), "graft_logical_range", "limit"))
+          limit = litInt(args(4), "graft_logical_range", "limit"),
+          tiebreak = tiebreak)
         .queryExecution.analyzed
     })
 

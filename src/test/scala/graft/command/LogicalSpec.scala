@@ -198,6 +198,46 @@ class LogicalSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("null shard keys land in the default partition and match no range") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, Some(ts("2024-01-01T10:00:00Z"))),
+      (2L, None: Option[java.sql.Timestamp]),
+      (3L, Some(ts("2024-01-03T10:00:00Z")))
+    ).toDF("id", "t")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_logical_null_").toString + "/t"
+    Logical.writeSharded(rows, "t", dir)
+    // min-only bound: lexicographically __HIVE_DEFAULT_PARTITION__ >=
+    // '20240101', but a NULL key is in NO range (inRange NaN contract)
+    assert(Logical.count(spark, dir, "t", rng("2024-01-01T00:00:00Z")) == 2)
+    assert(Logical.select(spark, dir, "t", rng("2024-01-01T00:00:00Z"),
+      limit = -1).count() == 2)
+    // the UNBOUNDED logical table still includes the null-key row
+    assert(Logical.count(spark, dir, "t", rng()) == 3)
+    // removeRange with a min-only bound must never delete the null shard
+    assert(Logical.removeRange(spark, dir, "t",
+      rng("2024-01-01T00:00:00Z")) == 2)
+    assert(Logical.count(spark, dir, "t", rng()) == 1)
+  }
+
+  test("marker time zone survives a session tz change (instant keys)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_logical_tz_").toString + "/t"
+    val rows = Seq((1L, ts("2024-01-09T20:00:00Z"))).toDF("id", "t")
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+    try Logical.writeSharded(rows, "t", dir)
+    finally spark.conf.set("spark.sql.session.timeZone", "UTC")
+    // written under Tokyo time: 20:00Z is Jan 10 local
+    assert(Logical.shardList(dir) == Seq("20240110"))
+    // reading under UTC: the bounds' shard names must resolve through the
+    // WRITER's zone (marker) — a UTC derivation would look only in
+    // 20240109 and silently miss the row
+    assert(Logical.count(spark, dir, "t",
+      rng("2024-01-09T18:00:00Z", max = "2024-01-09T22:00:00Z")) == 1)
+  }
+
   test("inRange scalar twin: border semantics") {
     import Logical.inRange
     assert(inRange(5.0, Some(5.0), true, Some(6.0), true))

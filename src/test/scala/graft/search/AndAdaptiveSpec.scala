@@ -107,6 +107,25 @@ class AndAdaptiveSpec extends AnyFunSuite {
       Engine.matchScores(reader, "quick lazy")).isEmpty)
   }
 
+  test("countAligned: a single token ignores its offset (posting-tf parity)") {
+    import graft.analysis.Token
+    def tok(t: String, p: Int) = Token(t, p, forcePrefix = false, 0, 0)
+    val toks = Seq(tok("spark", 0), tok("batch", 1), tok("spark", 2))
+    // a lone token can carry offset > 0 (stop-word-filtered query); the
+    // posting path's singleTerm shortcut counts full tf regardless —
+    // the scan twin must match, not drop positions below the offset
+    assert(Searcher.countAligned(toks, Seq(Searcher.QTok("spark", 1))) == 2)
+    assert(Searcher.countAligned(toks, Seq(Searcher.QTok("spark", 0))) == 2)
+    // multi-token alignment still honors offsets
+    assert(Searcher.countAligned(toks,
+      Seq(Searcher.QTok("spark", 0), Searcher.QTok("batch", 1))) == 1)
+    assert(Searcher.countAligned(toks,
+      Seq(Searcher.QTok("batch", 0), Searcher.QTok("spark", 1))) == 1)
+    // and a sequence that does NOT occur counts zero
+    assert(Searcher.countAligned(toks,
+      Seq(Searcher.QTok("batch", 0), Searcher.QTok("batch", 1))) == 0)
+  }
+
   test("query-syntax quoted phrase takes the escape and matches the index path") {
     import graft.query.QueryExec
     val viaQuery = scoresOf(QueryExec.run(reader, "fig \"the lazy\""))

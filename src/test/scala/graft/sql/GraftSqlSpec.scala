@@ -185,6 +185,12 @@ class GraftSqlSpec extends AnyFunSuite {
       .queryExecution.sparkPlan.toString
     assert(p.contains("PartitionFilters: [") && p.contains("_shard"),
       s"SQL logical range lost partition pruning:\n$p")
+    // 6th arg: tiebreak columns pin the page boundary on tied shard keys
+    val tied = spark.sql(
+      s"""SELECT id FROM graft_logical_range('$root', 't',
+         |'2024-01-01T00:00:00Z', '', 3, 'id')""".stripMargin)
+      .collect().map(_.getLong(0)).toSeq
+    assert(tied == Seq(1L, 2L, 3L))
   }
 
   test("a rebuilt index (new manifest) invalidates the rule's reader cache") {
