@@ -542,6 +542,22 @@ object SparkEntry {
       pairs.orderBy("query", "related")
     }),
 
+    // time-windowed full-text search over the sharded layout: per-shard
+    // inverted indexes, only window-intersecting shards open, boundary
+    // shards trim to the row-level instant — the reference's
+    // logical_select --query pattern. tf scores are corpus-independent,
+    // so the per-shard union must equal the flat-table oracle exactly.
+    "lf_search" -> ((s, d) => {
+      val root = shardedDocsWithTs(s, d)
+      graft.command.LogicalSearch.search(s, root, "ts",
+        graft.command.Logical.LogicalRange(
+          min = Some(utcTs("2024-01-03T06:00:00Z")),
+          max = Some(utcTs("2024-01-08T00:00:00Z")), maxInclude = false),
+        "spark", idCol = "doc_id")
+        .select(col("docId").as("doc_id"), col("score").cast("long").as("score"))
+        .orderBy("doc_id")
+    }),
+
     // logical_range_filter: shard-key-ordered page (offset+limit) out of a
     // two-day window — plans as TakeOrdered over the two pruned shards
     "log_range" -> ((s, d) => graft.command.Logical.rangeFilter(
@@ -557,21 +573,47 @@ object SparkEntry {
   /** Build-once day-sharded copy of `events` (`_shard=yyyyMMdd` from ts) —
     * the physical layout the logical_* commands operate on.
     */
+  /** Cache tag carrying the SOURCE file's stamp so regenerated testdata
+    * at the same path never gates against a stale derived copy.
+    */
+  private def stampTag(d: String, table: String): String = {
+    val src = new java.io.File(s"$d/$table.parquet")
+    val stamp =
+      if (src.isDirectory)
+        src.listFiles.map(f => f.lastModified ^ f.length).foldLeft(0L)(_ ^ _)
+      else src.lastModified ^ src.length
+    d.replaceAll("[^A-Za-z0-9.]+", "_") + "-" + java.lang.Long.toHexString(stamp)
+  }
+
   private val logicalCache = scala.collection.mutable.Map[String, String]()
   private def shardedEvents(s: SparkSession, d: String): String = synchronized {
     logicalCache.getOrElseUpdate(d, {
-      // the cache key carries the SOURCE file's stamp so a regenerated
-      // events.parquet at the same path never gates against a stale copy
-      val src = new java.io.File(s"$d/events.parquet")
-      val stamp =
-        if (src.isDirectory)
-          src.listFiles.map(f => f.lastModified ^ f.length).foldLeft(0L)(_ ^ _)
-        else src.lastModified ^ src.length
-      val tag = d.replaceAll("[^A-Za-z0-9.]+", "_") +
-        "-" + java.lang.Long.toHexString(stamp)
-      val root = s"${sys.props("java.io.tmpdir")}/graft-logical-v1/$tag"
+      val root =
+        s"${sys.props("java.io.tmpdir")}/graft-logical-v1/${stampTag(d, "events")}"
       if (!java.nio.file.Files.exists(java.nio.file.Paths.get(root, "_logical")))
         graft.command.Logical.writeSharded(t(s, d, "events"), "ts", root)
+      root
+    })
+  }
+
+  /** Build-once day-sharded documents copy with a DERIVED timestamp
+    * (2024-01-01 + doc_id%10 days + doc_id%24 hours — both engines derive
+    * it identically) plus one inverted index per shard — the
+    * [[graft.command.LogicalSearch]] layout.
+    */
+  private val lsearchCache = scala.collection.mutable.Map[String, String]()
+  private def shardedDocsWithTs(s: SparkSession, d: String): String = synchronized {
+    lsearchCache.getOrElseUpdate(d, {
+      val root =
+        s"${sys.props("java.io.tmpdir")}/graft-lsearch-v1/${stampTag(d, "documents")}"
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(root, "_logical"))) {
+        val docs = t(s, d, "documents").withColumn("ts",
+          expr("timestamp'2024-01-01 00:00:00' + make_interval(0, 0, 0, " +
+            "CAST(doc_id % 10 AS INT), CAST(doc_id % 24 AS INT), 0, 0)"))
+        graft.command.Logical.writeSharded(docs, "ts", root)
+      }
+      graft.command.LogicalSearch.buildIndexes(s, root, "doc_id", "text",
+        graft.command.LogicalSearch.defaultConfig): Unit
       root
     })
   }
@@ -1236,6 +1278,17 @@ object SparkEntry {
         |SELECT pq AS query, query AS related, count(*) AS freq
         |FROM x WHERE pq IS NOT NULL AND pq <> query AND gap <= 600000000
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // lf_search runs over a day-sharded docs copy whose ts both engines
+    // DERIVE identically (2024-01-01 + doc_id%10 days + doc_id%24 hours);
+    // range [Jan3 06:00, Jan8) = (day 2 from 06:00) OR days 3..6
+    "lf_search" ->
+      """WITH t AS (SELECT doc_id,
+        |  len(list_filter(string_split(text, ' '), x -> x = 'spark')) AS score,
+        |  doc_id % 10 AS d, doc_id % 24 AS h FROM documents)
+        |SELECT doc_id, score FROM t
+        |WHERE score > 0 AND ((d = 2 AND h >= 6) OR (d BETWEEN 3 AND 6))
+        |ORDER BY doc_id""".stripMargin,
 
     // the logical_* gates run over a day-sharded COPY of events; shard
     // assignment never changes row content, so the flat table is the oracle

@@ -364,6 +364,40 @@ object Logical {
       .toSeq.sorted
   }
 
+  /** Digit-named shards whose day/month window can intersect `range` —
+    * the driver-side twin of [[shardPred]]'s partition pruning, for
+    * components that walk shards explicitly (per-shard indexes, retention
+    * audits). The null-key partition is never included in a bounded walk.
+    */
+  def shardsFor(spark: SparkSession, root: String, shardKey: String,
+      range: LogicalRange = LogicalRange(),
+      granularity: Option[String] = None): Seq[String] = {
+    val digits = shardList(root).filter(s => s.nonEmpty && s.forall(_.isDigit))
+    if (range.min.isEmpty && range.max.isEmpty) digits
+    else {
+      val m = resolvedMarker(root, granularity)
+      val ntz = isNtz(table(spark, root), shardKey)
+      val lo = range.min.map(shardOf(spark, _, m, ntz))
+      val hi = range.max.map(shardOf(spark, _, m, ntz))
+      digits.filter(s => lo.forall(s >= _) && hi.forall(s <= _))
+    }
+  }
+
+  /** The ≤2 shards a bounded range only PARTIALLY covers (the bounds'
+    * own day/month) — rows there still need the row-level predicate.
+    */
+  def boundaryShards(spark: SparkSession, root: String, shardKey: String,
+      range: LogicalRange,
+      granularity: Option[String] = None): Set[String] = {
+    if (range.min.isEmpty && range.max.isEmpty) Set.empty
+    else {
+      val m = resolvedMarker(root, granularity)
+      val ntz = isNtz(table(spark, root), shardKey)
+      (range.min.map(shardOf(spark, _, m, ntz)) ++
+        range.max.map(shardOf(spark, _, m, ntz))).toSet
+    }
+  }
+
   /** `logical_table_remove` with a range (reference
     * logical_table_remove.rb:40-58: delete the rows whose shard-key value
     * falls in the range; an emptied shard is removed outright) — the

@@ -1,0 +1,143 @@
+package graft.command
+
+import graft.index.{IndexBuilder, IndexConfig, IndexReader}
+import graft.query.QueryExec
+import graft.search.Engine
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Full-text search over a sharded logical table — the reference's
+  * flagship logical-table pattern: `logical_select` with `--query` over
+  * per-day tables, where EACH shard carries its own inverted index and a
+  * time-windowed search opens only the shards intersecting the window
+  * (reference plugins/sharding/logical_select.rb driving a per-shard
+  * select; each `Logs_YYYYMMDD` table has its own index columns).
+  *
+  * Layout: one index per shard under `root/_indexes/<shard>/` (underscore
+  * prefix — invisible to parquet discovery), built from that shard's rows
+  * only. [[buildIndexes]] is INCREMENTAL per shard: shards already
+  * carrying a manifest are skipped, so a periodic call after
+  * [[Logical.streamSharded]] ingestion indexes exactly the new days —
+  * the reference's load-hook maintenance, amortized per shard. Retention
+  * composes the same way: dropping a shard's data dir and its index dir
+  * retires both in O(1).
+  *
+  * Query semantics: the reference default scorer's tf-based scores are
+  * CORPUS-INDEPENDENT, so the union of per-shard results over the pruned
+  * shard set is EXACTLY the result of one index over the pruned rows —
+  * `lf_search` gates this against a flat-table oracle. BM25 idf is
+  * per-shard (each day's own df/N — the reference's per-table index
+  * behaves identically); [[bm25TopK]] documents that and merges per-shard
+  * top-k by score.
+  *
+  * Scale shape: shards outside the window are never opened (no manifest
+  * read, no postings touched); per-shard searches are independent unions
+  * of term-pruned scans; only BOUNDARY shards pay a row-level semi-join
+  * against the (partition-pruned) data to trim sub-shard instants.
+  */
+object LogicalSearch {
+
+  /** Default per-shard index build config: modest shard/partition counts —
+    * a day shard is a small fraction of the corpus (the parallelism at
+    * scale comes from the many shards, not from within one).
+    */
+  def defaultConfig: IndexConfig = IndexConfig(
+    tokenizerName = "TokenDelimit", withPositions = true,
+    nShards = 4, buildPartitions = 8, nSalts = 2, hotTermDf = 1000000L)
+
+  private def indexDir(root: String, shard: String): String =
+    s"$root/_indexes/$shard"
+
+  /** Build indexes for every shard that lacks one; returns the shards
+    * indexed by THIS call (empty = everything was already indexed).
+    */
+  def buildIndexes(spark: SparkSession, root: String,
+      idCol: String, contentCol: String,
+      config: IndexConfig = defaultConfig): Seq[String] = {
+    val todo = Logical.shardList(root).filter { s =>
+      !java.nio.file.Files.exists(
+        java.nio.file.Paths.get(indexDir(root, s), "manifest.json"))
+    }
+    todo.foreach { s =>
+      val docs = spark.read
+        .parquet(s"$root/${Logical.ShardCol}=$s")
+        .select(col(idCol).cast("long").as("docId"),
+          col(contentCol).cast("string").as("content"))
+      IndexBuilder.build(spark, docs, indexDir(root, s), config)
+    }
+    todo
+  }
+
+  private val readers =
+    new java.util.concurrent.ConcurrentHashMap[String, IndexReader]()
+
+  /** Reader for one shard's index (cached per directory). */
+  def reader(spark: SparkSession, root: String, shard: String): IndexReader =
+    readers.computeIfAbsent(indexDir(root, shard),
+      dir => new IndexReader(spark, dir))
+
+  /** Digit-named shards whose day/month range can intersect `range` —
+    * the driver-side twin of [[Logical]]'s partition pruning (reference
+    * LogicalEnumerator: only name-range-intersecting tables are opened).
+    */
+  def shardsInRange(spark: SparkSession, root: String, shardKey: String,
+      range: Logical.LogicalRange): Seq[String] =
+    Logical.shardsFor(spark, root, shardKey, range)
+
+  /** Reference-default-scorer search (`--query` semantics) over the
+    * shards intersecting `range`: per-shard index lookups union; boundary
+    * shards trim to the row-level window via a semi-join against the
+    * partition-pruned data (interior shards need no trim — every row is
+    * in range). Returns (docId, score, shard).
+    */
+  def search(spark: SparkSession, root: String, shardKey: String,
+      range: Logical.LogicalRange, query: String,
+      idCol: String = "docId"): DataFrame = {
+    import spark.implicits._
+    val shards = shardsInRange(spark, root, shardKey, range)
+    if (shards.isEmpty)
+      return Seq.empty[(Long, Double, String)].toDF("docId", "score", "shard")
+    val boundarySet = Logical.boundaryShards(spark, root, shardKey, range)
+    val (boundary, interior) = shards.partition(boundarySet.contains)
+    def shardResult(s: String): DataFrame =
+      QueryExec.run(reader(spark, root, s), query)
+        .toDF("docId", "score").withColumn("shard", lit(s))
+    val interiorDf = interior.map(shardResult)
+    // boundary shards: drop hits whose row instant is outside the window
+    val boundaryDf = boundary.map { s =>
+      val inWindow = Logical.pruned(spark, root, shardKey, range)
+        .where(col(Logical.ShardCol).cast("string") === s)
+        .select(col(idCol).cast("long").as("docId"))
+      shardResult(s).join(inWindow, Seq("docId"), "left_semi")
+    }
+    (interiorDf ++ boundaryDf).reduce(_ unionByName _)
+  }
+
+  /** Per-shard BM25 top-k over the window, merged globally by
+    * (score desc, docId asc). idf is per-shard (each shard's own df/N),
+    * the same semantics as the reference's per-table indexes — scores are
+    * comparable across shards of similar composition, and exact within a
+    * shard. Boundary trim as in [[search]].
+    */
+  def bm25TopK(spark: SparkSession, root: String, shardKey: String,
+      range: Logical.LogicalRange, query: String, k: Int,
+      idCol: String = "docId"): DataFrame = {
+    import spark.implicits._
+    val shards = shardsInRange(spark, root, shardKey, range)
+    if (shards.isEmpty)
+      return Seq.empty[(Long, Double, String)].toDF("docId", "score", "shard")
+    val boundarySet = Logical.boundaryShards(spark, root, shardKey, range)
+    val perShard = shards.map { s =>
+      val top = Engine.bm25TopK(reader(spark, root, s), query, k)
+        .toDF("docId", "score").withColumn("shard", lit(s))
+      if (!boundarySet.contains(s)) top
+      else top.join(
+        Logical.pruned(spark, root, shardKey, range)
+          .where(col(Logical.ShardCol).cast("string") === s)
+          .select(col(idCol).cast("long").as("docId")),
+        Seq("docId"), "left_semi")
+    }
+    perShard.reduce(_ unionByName _)
+      .orderBy(desc("score"), asc("docId")).limit(k)
+  }
+}
