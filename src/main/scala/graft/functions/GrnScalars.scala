@@ -79,6 +79,24 @@ object GrnScalars {
     spark.udf.register("string_length", (s: String) => if (s == null) 0 else s.codePointCount(0, s.length))
     spark.udf.register("damerau_levenshtein",
       (a: String, b: String) => damerauDistance(a, b))
+    // snippet/highlight with EXPLICIT keywords (CSV) for plain SQL use —
+    // the select command's output-column forms still pull keywords from
+    // the query condition (reference proc_snippet.c); these cover ad-hoc
+    // SQL where no condition context exists
+    spark.udf.register("snippet_html",
+      (text: String, keywordsCsv: String) => {
+        val kw = Option(keywordsCsv).toSeq
+          .flatMap(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+        val r = TextFunctions.snippetOf(text, kw, 200, 3,
+          "<span class=\"keyword\">", "</span>")
+        if (r.isEmpty) null else r
+      })
+    spark.udf.register("highlight_html",
+      (text: String, keywordsCsv: String) => {
+        val kw = Option(keywordsCsv).toSeq
+          .flatMap(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+        TextFunctions.highlightHtmlOf(text, kw)
+      })
     spark.udf.register("prefix_rk_search",
       (k: String, q: String) => RkText.prefixRkMatch(k, q))
   }

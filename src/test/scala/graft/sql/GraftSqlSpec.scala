@@ -124,6 +124,18 @@ class GraftSqlSpec extends AnyFunSuite {
       .collect().head.getInt(0) == 3)
     assert(spark.sql("SELECT html_untag('<b>x</b>')")
       .collect().head.getString(0) == "x")
+    // explicit-keyword snippet/highlight for ad-hoc SQL
+    val hl = spark.sql(
+      "SELECT highlight_html('an apple a day', 'apple,day')")
+      .collect().head.getString(0)
+    assert(hl == "an <span class=\"keyword\">apple</span> a " +
+      "<span class=\"keyword\">day</span>", hl)
+    val sn = spark.sql(
+      "SELECT snippet_html('an apple a day', 'apple')")
+      .collect().head.getSeq[String](0)
+    assert(sn.nonEmpty && sn.head.contains("<span class=\"keyword\">apple</span>"))
+    assert(spark.sql("SELECT snippet_html('no match here', 'zebra')")
+      .collect().head.isNullAt(0))
   }
 
   test("graft_search / graft_bm25 table functions return scored rows") {
