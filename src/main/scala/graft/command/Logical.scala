@@ -216,10 +216,10 @@ object Logical {
   private def shardPred(spark: SparkSession, df: DataFrame, shardKey: String,
       range: LogicalRange, m: Marker): Option[Column] = {
     val ntz = isNtz(df, shardKey)
-    val lo = range.min.map(t =>
-      col(ShardCol) >= shardLit(df, shardOf(spark, t, m, ntz)))
-    val hi = range.max.map(t =>
-      col(ShardCol) <= shardLit(df, shardOf(spark, t, m, ntz)))
+    val lo = loShardName(spark, range, m, ntz)
+      .map(s => col(ShardCol) >= shardLit(df, s))
+    val hi = hiShardName(spark, range, m, ntz)
+      .map(s => col(ShardCol) <= shardLit(df, s))
     (lo, hi) match {
       case (Some(a), Some(b)) => Some(a && b && digitShard)
       case (a, b) => a.orElse(b).map(_ && digitShard)
@@ -270,18 +270,22 @@ object Logical {
     val counted: DataFrame = (filter, range.min, range.max) match {
       case (None, min, max) if min.isDefined || max.isDefined =>
         val ntz = isNtz(df, shardKey)
-        val loB = min.map(t => shardLit(df, shardOf(spark, t, m, ntz)))
-        val hiB = max.map(t => shardLit(df, shardOf(spark, t, m, ntz)))
+        val loB = loShardName(spark, range, m, ntz)
+        val hiB = hiShardName(spark, range, m, ntz)
+        val bset = boundarySet(spark, range, m, ntz)
+        // interior = whole in-range span minus the partial shards; an
+        // edge-aligned bound's shard counts as interior (cover_type :all).
         // digitShard keeps the null-key partition out of the zero-column
         // interior count (its rows have NULL shard keys — in no range)
-        val interior = (Seq(
-          loB.map(col(ShardCol) > _), hiB.map(col(ShardCol) < _))
+        val inSpan = (Seq(
+          loB.map(s => col(ShardCol) >= shardLit(df, s)),
+          hiB.map(s => col(ShardCol) <= shardLit(df, s)))
           .flatten :+ digitShard).reduce(_ && _)
-        val boundary = Seq(
-          loB.map(col(ShardCol) === _), hiB.map(col(ShardCol) === _))
-          .flatten.reduceOption(_ || _).getOrElse(lit(false))
-        df.where(interior).select(lit(1L).as("one"))
-          .unionAll(df.where(boundary && rowPred(df, shardKey, range)
+        val inBoundary =
+          if (bset.isEmpty) lit(false)
+          else bset.map(s => col(ShardCol) === shardLit(df, s)).reduce(_ || _)
+        df.where(inSpan && !inBoundary).select(lit(1L).as("one"))
+          .unionAll(df.where(inBoundary && rowPred(df, shardKey, range)
             .getOrElse(lit(true))).select(lit(1L).as("one")))
       case _ =>
         val base = pruned(spark, root, shardKey, range, Some(m.granularity))
@@ -364,39 +368,84 @@ object Logical {
       .toSeq.sorted
   }
 
+  private def minusMicro(t: java.sql.Timestamp): java.sql.Timestamp =
+    java.sql.Timestamp.from(t.toInstant.minusNanos(1000))
+
+  /** Lowest shard a bounded range can touch. */
+  private def loShardName(spark: SparkSession, range: LogicalRange,
+      m: Marker, ntz: Boolean): Option[String] =
+    range.min.map(shardOf(spark, _, m, ntz))
+
+  /** Highest shard a bounded range can touch — an EXCLUSIVE max aligned
+    * exactly to a shard start never touches its own shard (the last
+    * covered instant is max − 1µs, the data resolution), mirroring the
+    * reference TargetRange's cover_type :none on edge-aligned bounds.
+    */
+  private def hiShardName(spark: SparkSession, range: LogicalRange,
+      m: Marker, ntz: Boolean): Option[String] =
+    range.max.map(t =>
+      shardOf(spark, if (range.maxInclude) t else minusMicro(t), m, ntz))
+
+  /** The shards a bounded range only PARTIALLY covers — rows there still
+    * need the row-level predicate. Edge-aligned bounds don't make a shard
+    * partial: an INCLUSIVE min at its shard's first instant covers that
+    * shard fully (cover_type :all), and an EXCLUSIVE max at a shard start
+    * fully covers the previous shard.
+    */
+  private def boundarySet(spark: SparkSession, range: LogicalRange,
+      m: Marker, ntz: Boolean): Set[String] = {
+    val lo = range.min.filterNot(t =>
+      // aligned to the shard's first instant AND inclusive → full cover
+      range.minInclude && shardOf(spark, minusMicro(t), m, ntz) !=
+        shardOf(spark, t, m, ntz))
+      .map(shardOf(spark, _, m, ntz))
+    val hi = range.max.flatMap { t =>
+      if (range.maxInclude) Some(shardOf(spark, t, m, ntz))
+      else {
+        val eff = minusMicro(t)
+        // max at a shard start: the previous shard's last instant is
+        // covered, so no row-level max check is needed there
+        if (shardOf(spark, t, m, ntz) != shardOf(spark, eff, m, ntz)) None
+        else Some(shardOf(spark, eff, m, ntz))
+      }
+    }
+    (lo.toSeq ++ hi.toSeq).toSet
+  }
+
+  /** One-pass window plan for components that walk shards explicitly
+    * (per-shard indexes, retention audits): the digit-named shards whose
+    * day/month can intersect `range`, plus the subset needing a row-level
+    * trim — marker, schema, and listing each read ONCE.
+    */
+  def windowPlan(spark: SparkSession, root: String, shardKey: String,
+      range: LogicalRange = LogicalRange(),
+      granularity: Option[String] = None): (Seq[String], Set[String]) = {
+    val digits = shardList(root).filter(s => s.nonEmpty && s.forall(_.isDigit))
+    if (range.min.isEmpty && range.max.isEmpty) return (digits, Set.empty)
+    val m = resolvedMarker(root, granularity)
+    val ntz = isNtz(table(spark, root), shardKey)
+    val lo = loShardName(spark, range, m, ntz)
+    val hi = hiShardName(spark, range, m, ntz)
+    val inRange = digits.filter(s => lo.forall(s >= _) && hi.forall(s <= _))
+    (inRange, boundarySet(spark, range, m, ntz) & inRange.toSet)
+  }
+
   /** Digit-named shards whose day/month window can intersect `range` —
-    * the driver-side twin of [[shardPred]]'s partition pruning, for
-    * components that walk shards explicitly (per-shard indexes, retention
-    * audits). The null-key partition is never included in a bounded walk.
+    * the driver-side twin of [[shardPred]]'s partition pruning. The
+    * null-key partition is never included in a bounded walk.
     */
   def shardsFor(spark: SparkSession, root: String, shardKey: String,
       range: LogicalRange = LogicalRange(),
-      granularity: Option[String] = None): Seq[String] = {
-    val digits = shardList(root).filter(s => s.nonEmpty && s.forall(_.isDigit))
-    if (range.min.isEmpty && range.max.isEmpty) digits
-    else {
-      val m = resolvedMarker(root, granularity)
-      val ntz = isNtz(table(spark, root), shardKey)
-      val lo = range.min.map(shardOf(spark, _, m, ntz))
-      val hi = range.max.map(shardOf(spark, _, m, ntz))
-      digits.filter(s => lo.forall(s >= _) && hi.forall(s <= _))
-    }
-  }
+      granularity: Option[String] = None): Seq[String] =
+    windowPlan(spark, root, shardKey, range, granularity)._1
 
-  /** The ≤2 shards a bounded range only PARTIALLY covers (the bounds'
-    * own day/month) — rows there still need the row-level predicate.
+  /** The ≤2 shards a bounded range only PARTIALLY covers (see
+    * [[boundarySet]] for the edge-aligned cover rules).
     */
   def boundaryShards(spark: SparkSession, root: String, shardKey: String,
       range: LogicalRange,
-      granularity: Option[String] = None): Set[String] = {
-    if (range.min.isEmpty && range.max.isEmpty) Set.empty
-    else {
-      val m = resolvedMarker(root, granularity)
-      val ntz = isNtz(table(spark, root), shardKey)
-      (range.min.map(shardOf(spark, _, m, ntz)) ++
-        range.max.map(shardOf(spark, _, m, ntz))).toSet
-    }
-  }
+      granularity: Option[String] = None): Set[String] =
+    windowPlan(spark, root, shardKey, range, granularity)._2
 
   /** `logical_table_remove` with a range (reference
     * logical_table_remove.rb:40-58: delete the rows whose shard-key value

@@ -54,10 +54,15 @@ object LogicalSearch {
   def buildIndexes(spark: SparkSession, root: String,
       idCol: String, contentCol: String,
       config: IndexConfig = defaultConfig): Seq[String] = {
-    val todo = Logical.shardList(root).filter { s =>
-      !java.nio.file.Files.exists(
-        java.nio.file.Paths.get(indexDir(root, s), "manifest.json"))
-    }
+    // digit-named shards only: the null-key partition is unreachable from
+    // any windowed search (null shard keys are in no range), so indexing
+    // it would be pure wasted work
+    val todo = Logical.shardList(root)
+      .filter(s => s.nonEmpty && s.forall(_.isDigit))
+      .filter { s =>
+        !java.nio.file.Files.exists(
+          java.nio.file.Paths.get(indexDir(root, s), "manifest.json"))
+      }
     todo.foreach { s =>
       val docs = spark.read
         .parquet(s"$root/${Logical.ShardCol}=$s")
@@ -68,13 +73,13 @@ object LogicalSearch {
     todo
   }
 
-  private val readers =
-    new java.util.concurrent.ConcurrentHashMap[String, IndexReader]()
-
-  /** Reader for one shard's index (cached per directory). */
+  /** Reader for one shard's index — delegates to the SQL surface's
+    * fingerprint-invalidated per-session cache ([[graft.sql.GraftSql]]):
+    * a rebuilt or tombstoned shard index re-opens on its next query, and
+    * stopped sessions don't pin stale readers.
+    */
   def reader(spark: SparkSession, root: String, shard: String): IndexReader =
-    readers.computeIfAbsent(indexDir(root, shard),
-      dir => new IndexReader(spark, dir))
+    graft.sql.GraftSql.readerFor(spark, indexDir(root, shard))
 
   /** Digit-named shards whose day/month range can intersect `range` —
     * the driver-side twin of [[Logical]]'s partition pruning (reference
@@ -94,10 +99,11 @@ object LogicalSearch {
       range: Logical.LogicalRange, query: String,
       idCol: String = "docId"): DataFrame = {
     import spark.implicits._
-    val shards = shardsInRange(spark, root, shardKey, range)
+    // one pass over marker/schema/listing for the whole query
+    val (shards, boundarySet) =
+      Logical.windowPlan(spark, root, shardKey, range)
     if (shards.isEmpty)
       return Seq.empty[(Long, Double, String)].toDF("docId", "score", "shard")
-    val boundarySet = Logical.boundaryShards(spark, root, shardKey, range)
     val (boundary, interior) = shards.partition(boundarySet.contains)
     def shardResult(s: String): DataFrame =
       QueryExec.run(reader(spark, root, s), query)
@@ -105,13 +111,18 @@ object LogicalSearch {
     val interiorDf = interior.map(shardResult)
     // boundary shards: drop hits whose row instant is outside the window
     val boundaryDf = boundary.map { s =>
-      val inWindow = Logical.pruned(spark, root, shardKey, range)
-        .where(col(Logical.ShardCol).cast("string") === s)
-        .select(col(idCol).cast("long").as("docId"))
-      shardResult(s).join(inWindow, Seq("docId"), "left_semi")
+      shardResult(s).join(inWindowIds(spark, root, shardKey, range, s, idCol),
+        Seq("docId"), "left_semi")
     }
     (interiorDf ++ boundaryDf).reduce(_ unionByName _)
   }
+
+  /** In-window row ids of ONE boundary shard (partition-pruned scan). */
+  private def inWindowIds(spark: SparkSession, root: String, shardKey: String,
+      range: Logical.LogicalRange, shard: String, idCol: String): DataFrame =
+    Logical.pruned(spark, root, shardKey, range)
+      .where(col(Logical.ShardCol).cast("string") === shard)
+      .select(col(idCol).cast("long").as("docId"))
 
   /** Per-shard BM25 top-k over the window, merged globally by
     * (score desc, docId asc). idf is per-shard (each shard's own df/N),
@@ -123,19 +134,27 @@ object LogicalSearch {
       range: Logical.LogicalRange, query: String, k: Int,
       idCol: String = "docId"): DataFrame = {
     import spark.implicits._
-    val shards = shardsInRange(spark, root, shardKey, range)
+    val (shards, boundarySet) =
+      Logical.windowPlan(spark, root, shardKey, range)
     if (shards.isEmpty)
       return Seq.empty[(Long, Double, String)].toDF("docId", "score", "shard")
-    val boundarySet = Logical.boundaryShards(spark, root, shardKey, range)
     val perShard = shards.map { s =>
-      val top = Engine.bm25TopK(reader(spark, root, s), query, k)
-        .toDF("docId", "score").withColumn("shard", lit(s))
-      if (!boundarySet.contains(s)) top
-      else top.join(
-        Logical.pruned(spark, root, shardKey, range)
-          .where(col(Logical.ShardCol).cast("string") === s)
-          .select(col(idCol).cast("long").as("docId")),
-        Seq("docId"), "left_semi")
+      val r = reader(spark, root, s)
+      if (!boundarySet.contains(s))
+        Engine.bm25TopK(r, query, k)
+          .toDF("docId", "score").withColumn("shard", lit(s))
+      else {
+        // boundary: trim to the window BEFORE taking the shard's top-k —
+        // trimming after would silently drop in-window docs ranked below
+        // out-of-window ones. Exhaustive scoring over the shard's matches
+        // (cost ∝ one day's matches, the same order as the semi-join)
+        // keeps the merge exact.
+        Engine.bm25TopK(r, query, r.manifest.numDocs.toInt, useWand = false)
+          .toDF("docId", "score").withColumn("shard", lit(s))
+          .join(inWindowIds(spark, root, shardKey, range, s, idCol),
+            Seq("docId"), "left_semi")
+          .orderBy(desc("score"), asc("docId")).limit(k)
+      }
     }
     perShard.reduce(_ unionByName _)
       .orderBy(desc("score"), asc("docId")).limit(k)

@@ -89,7 +89,7 @@ object GraftSql {
     s"${Files.getLastModifiedTime(mf)}:${Files.size(mf)}:$delTag"
   }
 
-  private[sql] def readerFor(spark: SparkSession, dir: String): IndexReader = {
+  def readerFor(spark: SparkSession, dir: String): IndexReader = {
     val readers = readersBySession.synchronized {
       var m = readersBySession.get(spark)
       if (m == null) {

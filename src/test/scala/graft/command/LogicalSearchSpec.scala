@@ -79,6 +79,29 @@ class LogicalSearchSpec extends AnyFunSuite {
     assert(got == Seq(10L))
   }
 
+  test("bm25TopK: in-window docs below a boundary shard's raw top-k still surface") {
+    import spark.implicits._
+    // day 1: three OUT-of-window heavy hitters (tf 3) + one in-window
+    // doc (tf 1); day 2 interior. Trimming AFTER the shard top-k would
+    // lose doc 24 behind the out-of-window docs.
+    val rows = Seq(
+      (21L, "2024-02-01T01:00:00Z", "apple apple apple pad"),
+      (22L, "2024-02-01T02:00:00Z", "apple apple apple pod"),
+      (23L, "2024-02-01T03:00:00Z", "apple apple apple ped"),
+      (24L, "2024-02-01T20:00:00Z", "apple solo"),
+      (25L, "2024-02-02T01:00:00Z", "apple duo")
+    ).map { case (id, t, x) => (id, ts(t), x) }.toDF("doc_id", "t", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_lsearch_bm_").toString + "/t"
+    Logical.writeSharded(rows, "t", dir)
+    LogicalSearch.buildIndexes(spark, dir, "doc_id", "text"): Unit
+    val got = LogicalSearch.bm25TopK(spark, dir, "t",
+      rng("2024-02-01T10:00:00Z", max = "2024-02-03T00:00:00Z",
+        maxInc = false), "apple", k = 2, idCol = "doc_id")
+      .select("docId").collect().map(_.getLong(0)).toSet
+    assert(got == Set(24L, 25L), s"in-window doc lost behind trimmed top-k: $got")
+  }
+
   test("bm25TopK merges per-shard top-k by score with boundary trim") {
     LogicalSearch.buildIndexes(spark, root, "doc_id", "text"): Unit
     val got = LogicalSearch.bm25TopK(spark, root, "t",

@@ -198,6 +198,26 @@ class LogicalSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("windowPlan: edge-aligned bounds are full covers, not boundaries") {
+    // [Jan2 00:00 incl, Jan3 00:00 excl): both bounds shard-aligned →
+    // exactly one shard, fully covered (cover_type :all — no row trim)
+    val (s1, b1) = Logical.windowPlan(spark, root, "t",
+      rng("2024-01-02T00:00:00Z", max = "2024-01-03T00:00:00Z",
+        maxInc = false))
+    assert(s1 == Seq("20240102") && b1.isEmpty, s"$s1 / $b1")
+    // unaligned bounds make their shards partial
+    val (s2, b2) = Logical.windowPlan(spark, root, "t",
+      rng("2024-01-01T12:00:00Z", max = "2024-01-02T12:00:00Z"))
+    assert(s2 == Seq("20240101", "20240102") &&
+      b2 == Set("20240101", "20240102"), s"$s2 / $b2")
+    // inclusive min at shard start: that shard is interior; max mid-shard
+    // is the only boundary
+    val (s3, b3) = Logical.windowPlan(spark, root, "t",
+      rng("2024-01-01T00:00:00Z", max = "2024-01-02T12:00:00Z"))
+    assert(s3 == Seq("20240101", "20240102") && b3 == Set("20240102"),
+      s"$s3 / $b3")
+  }
+
   test("null shard keys land in the default partition and match no range") {
     import spark.implicits._
     val rows = Seq(
