@@ -79,6 +79,21 @@ object GrnScalars {
     spark.udf.register("string_length", (s: String) => if (s == null) 0 else s.codePointCount(0, s.length))
     spark.udf.register("damerau_levenshtein",
       (a: String, b: String) => damerauDistance(a, b))
+    // the tokenize command for SQL (reference lib/proc.c:2475): the
+    // analysis chain's token texts; pair with LATERAL VIEW explode for
+    // the table form. Mode ADD = index-side, GET = query-side.
+    spark.udf.register("grn_tokenize",
+      (text: String, tokenizer: String, mode: String) => {
+        if (text == null) null
+        else {
+          val md =
+            if (mode != null && mode.equalsIgnoreCase("GET"))
+              graft.analysis.TokenizeMode.Get
+            else graft.analysis.TokenizeMode.Add
+          graft.analysis.Tokenizers.byName(tokenizer).tokenize(text, md)
+            .map(_.term)
+        }
+      })
     // snippet/highlight with EXPLICIT keywords (CSV) for plain SQL use —
     // the select command's output-column forms still pull keywords from
     // the query condition (reference proc_snippet.c); these cover ad-hoc

@@ -136,6 +136,11 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(sn.nonEmpty && sn.head.contains("<span class=\"keyword\">apple</span>"))
     assert(spark.sql("SELECT snippet_html('no match here', 'zebra')")
       .collect().head.isNullAt(0))
+    // tokenize command parity: the analysis chain's token texts
+    assert(spark.sql("SELECT grn_tokenize('Fast Keys', 'TokenDelimit', 'ADD')")
+      .collect().head.getSeq[String](0) == Seq("fast", "keys"))
+    assert(spark.sql("SELECT grn_tokenize('ab', 'TokenBigram', 'ADD')")
+      .collect().head.getSeq[String](0).nonEmpty)
   }
 
   test("graft_search / graft_bm25 table functions return scored rows") {
