@@ -40,6 +40,16 @@ object SparkEntry {
     e.unionByName(pert)
   }
 
+  /** Documents with planted within-doc repetition: doc_id % 3 == 0 rows
+    * get their own first 5 words appended (mirrored verbatim in the
+    * ta_repetition / ta_gopher_keep oracles).
+    */
+  private def repDocs(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents").withColumn("text",
+      expr("""IF(doc_id % 3 = 0,
+             |   concat(text, ' ', array_join(slice(split(text, ' '), 1, 5), ' ')),
+             |   text)""".stripMargin))
+
   /** ScoredDoc dataset → (doc_id, score bigint), ordered. */
   private def scored(ds: org.apache.spark.sql.Dataset[graft.search.ScoredDoc]): DataFrame =
     ds.toDF("doc_id", "s")
@@ -500,6 +510,45 @@ object SparkEntry {
     "ta_fingerprint_rolling" -> ((s, d) =>
       TextAnalysis.rollingFingerprint(t(s, d, "documents")).orderBy("doc_id")),
 
+    // the raw synthetic corpus repeats words and bigrams but never a full
+    // 5-gram (dup5 would be a vacuous column); every doc_id % 3 == 0 doc
+    // gets its own first 5 words appended — the SAME deterministic
+    // transform in both engines — so all three Gopher signals carry
+    // nonzero values THROUGH the oracle
+    "ta_repetition" -> ((s, d) =>
+      TextAnalysis.repetition(repDocs(s, d)).orderBy("doc_id")),
+
+    // the Gopher-rule filter with every threshold individually binding on
+    // this corpus (dup_word drops 114 docs, top2 125, dup5 34; 261 remain)
+    "ta_gopher_keep" -> ((s, d) =>
+      TextAnalysis.gopherKeep(repDocs(s, d),
+          maxDupWordQ3 = 650, maxTop2Q3 = 100, maxDup5Q3 = 60)
+        .select("doc_id").orderBy("doc_id")),
+
+    // GPT-3-style n-gram decontamination: src0 documents act as the
+    // held-out benchmark set, the rest of the corpus is scanned for any
+    // shared word 4-gram (49 of 475 docs hit at this corpus)
+    "dd_contamination" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Dedup.contaminationHits(
+          docs.filter(col("source") =!= "src0"),
+          docs.filter(col("source") === "src0"), k = 4)
+        .orderBy("doc_id")
+    }),
+
+    "dd_decontaminated" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Dedup.decontaminate(
+          docs.filter(col("source") =!= "src0"),
+          docs.filter(col("source") === "src0"), k = 4)
+        .select("doc_id").orderBy("doc_id")
+    }),
+
+    // CCNet-style chunk-level dedup stats vs the whole corpus (10-word
+    // non-overlapping windows; 96 of 500 docs carry duplicated chunks)
+    "dd_chunk_dup" -> ((s, d) =>
+      Dedup.chunkDupStats(t(s, d, "documents")).orderBy("doc_id")),
+
     // ---- sharded logical_* commands over day-partitioned events ----
     // (reference plugins/sharding/logical_count.rb etc; the library form
     // plans partition pruning on the _shard column — see Logical.scala)
@@ -642,6 +691,49 @@ object SparkEntry {
     * bands × 4 rows): the DuckDB re-implementation of Dedup's md5-derived
     * hashing — must stay in lockstep with Dedup.minhashSignatures/lshBands.
     */
+  /** Shared CTE: Gopher repetition signals over the repDocs-augmented
+    * corpus (mirrors [[graft.ops.TextAnalysis.repetition]] exactly —
+    * integer fixed-point, greatest-guarded divisions).
+    */
+  private val REP =
+    """d AS (SELECT doc_id,
+      |    CASE WHEN doc_id % 3 = 0
+      |      THEN text || ' ' || array_to_string(list_slice(string_split(text, ' '), 1, 5), ' ')
+      |      ELSE text END AS text FROM documents),
+      |t AS (SELECT doc_id, string_split(text, ' ') AS w FROM d),
+      |bg AS (SELECT t.doc_id AS doc_id,
+      |  unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS g
+      |  FROM t WHERE len(w) >= 2),
+      |bgc AS (SELECT doc_id, max(cnt) AS top2 FROM
+      |  (SELECT doc_id, g, count(*) AS cnt FROM bg GROUP BY doc_id, g) GROUP BY doc_id),
+      |g5 AS (SELECT t.doc_id AS doc_id,
+      |  unnest([array_to_string(list_slice(w, i, i + 4), ' ') for i in range(1, len(w) - 3)]) AS g
+      |  FROM t WHERE len(w) >= 5),
+      |g5c AS (SELECT doc_id, sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup5 FROM
+      |  (SELECT doc_id, g, count(*) AS cnt FROM g5 GROUP BY doc_id, g) GROUP BY doc_id),
+      |rep AS (SELECT t.doc_id AS doc_id, CAST(len(w) AS BIGINT) AS n_words,
+      |  CAST((len(w) - len(list_distinct(w))) * 1000 // greatest(len(w), 1) AS BIGINT) AS dup_word_frac_q3,
+      |  CAST(coalesce(top2, 0) AS BIGINT) AS top2_cnt,
+      |  CAST(coalesce(top2, 0) * 2 * 1000 // greatest(len(w), 1) AS BIGINT) AS top2_frac_q3,
+      |  CAST(coalesce(dup5, 0) AS BIGINT) AS dup5_cnt,
+      |  CAST(CASE WHEN len(w) >= 5 THEN coalesce(dup5, 0) * 1000 // (len(w) - 4)
+      |       ELSE 0 END AS BIGINT) AS dup5_frac_q3
+      |  FROM t LEFT JOIN bgc ON bgc.doc_id = t.doc_id
+      |         LEFT JOIN g5c ON g5c.doc_id = t.doc_id)""".stripMargin
+
+  /** Shared CTE: word-4-gram shingle sets of the corpus (source <> src0)
+    * and benchmark (source = src0) sides, whole-text fallback below 4
+    * words (mirrors [[graft.ops.Dedup.gramsExpr]] at k = 4).
+    */
+  private val CONTAM =
+    """t AS (SELECT doc_id, source, text, string_split(text, ' ') AS w FROM documents),
+      |cg AS (SELECT t.doc_id AS doc_id, unnest(CASE WHEN len(w) >= 4
+      |  THEN list_distinct([array_to_string(list_slice(w, i, i + 3), ' ') for i in range(1, len(w) - 2)])
+      |  ELSE [text] END) AS g FROM t WHERE source <> 'src0'),
+      |bgm AS (SELECT DISTINCT unnest(CASE WHEN len(w) >= 4
+      |  THEN list_distinct([array_to_string(list_slice(w, i, i + 3), ' ') for i in range(1, len(w) - 2)])
+      |  ELSE [text] END) AS g FROM t WHERE source = 'src0')""".stripMargin
+
   private lazy val MH = {
     val (a, c) = Dedup.permCoeffs(64, 42L)
     def arr(xs: Array[Long]) = xs.mkString("[", ", ", "]")
@@ -1265,6 +1357,44 @@ object SparkEntry {
 
     "ta_fingerprint" ->
       "SELECT doc_id, substr(md5(text), 1, 16) AS fp FROM documents ORDER BY doc_id",
+
+    "ta_repetition" ->
+      s"""WITH $REP
+         |SELECT doc_id, n_words, dup_word_frac_q3, top2_cnt, top2_frac_q3,
+         |  dup5_cnt, dup5_frac_q3
+         |FROM rep ORDER BY doc_id""".stripMargin,
+
+    "ta_gopher_keep" ->
+      s"""WITH $REP
+         |SELECT doc_id FROM rep
+         |WHERE dup_word_frac_q3 <= 650 AND top2_frac_q3 <= 100
+         |  AND dup5_frac_q3 <= 60
+         |ORDER BY doc_id""".stripMargin,
+
+    "dd_contamination" ->
+      s"""WITH $CONTAM
+         |SELECT cg.doc_id AS doc_id, CAST(count(*) AS BIGINT) AS hit_grams
+         |FROM cg JOIN bgm USING (g) GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    "dd_decontaminated" ->
+      s"""WITH $CONTAM
+         |SELECT doc_id FROM documents
+         |WHERE source <> 'src0'
+         |  AND doc_id NOT IN (SELECT cg.doc_id FROM cg JOIN bgm USING (g))
+         |ORDER BY doc_id""".stripMargin,
+
+    "dd_chunk_dup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |ch AS (SELECT t.doc_id AS doc_id,
+        |  unnest([array_to_string(list_slice(w, j * 10 + 1, j * 10 + 10), ' ')
+        |          for j in range(0, (len(w) + 9) // 10)]) AS chunk FROM t),
+        |cnt AS (SELECT md5(chunk) AS digest, count(*) AS cnt FROM ch GROUP BY 1)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_chunks,
+        |  CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) * 1000
+        |       // greatest(count(*), 1) AS BIGINT) AS dup_chunk_frac_q3
+        |FROM ch JOIN cnt ON cnt.digest = md5(ch.chunk)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "sg_items" ->
       "SELECT event_type AS item, count(*) AS freq FROM events GROUP BY 1 ORDER BY item",

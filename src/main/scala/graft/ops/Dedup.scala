@@ -830,4 +830,88 @@ object Dedup {
       .select(col("a"), col("b"),
         expr("inter * 1000 div (sa + sb - inter)").as("jaccard_q3"))
   }
+
+  // ---- benchmark decontamination ---------------------------------------
+
+  /** Word-k-gram benchmark-contamination scan (the GPT-3/PaLM n-gram
+    * decontamination rule, Brown et al. 2020 §C): a corpus doc is
+    * contaminated when it shares ANY word k-gram with the benchmark set.
+    * Returns one row per contaminated doc: (doc_id, hit_grams) where
+    * hit_grams counts its DISTINCT shingles that occur anywhere in
+    * `bench`. Shingling reuses [[gramsExpr]] (docs shorter than k words
+    * contribute their whole text as one shingle, so an exact short-doc
+    * match still flags).
+    *
+    * 100 TB shape: benchmarks are MB-scale, so the distinct bench shingle
+    * set broadcasts — the corpus side is one narrow shingle map + a
+    * broadcast-hash semi-side join + a partial-agg count; the corpus is
+    * never shuffled on content. Set `broadcastBench = false` only when the
+    * "benchmark" side is itself corpus-scale.
+    */
+  def contaminationHits(
+      corpus: DataFrame,
+      bench: DataFrame,
+      k: Int = 5,
+      textCol: String = "text",
+      broadcastBench: Boolean = true
+  ): DataFrame = {
+    val cg = shingles(corpus, textCol, k)
+    val bgRaw = bench.select(explode(gramsExpr(textCol, k)).as("g")).distinct()
+    val bg = if (broadcastBench) broadcast(bgRaw) else bgRaw
+    cg.join(bg, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("hit_grams"))
+  }
+
+  /** The cleaning composition: corpus rows that share no word-k-gram with
+    * the benchmark set (anti-join on [[contaminationHits]]).
+    */
+  def decontaminate(
+      corpus: DataFrame,
+      bench: DataFrame,
+      k: Int = 5,
+      textCol: String = "text",
+      broadcastBench: Boolean = true
+  ): DataFrame =
+    corpus.join(
+      contaminationHits(corpus, bench, k, textCol, broadcastBench),
+      Seq("doc_id"), "left_anti")
+
+  // ---- chunk-level corpus dedup (CCNet-style line dedup analogue) ------
+
+  /** (doc_id, chunk_idx, chunk): non-overlapping `chunkWords`-word windows
+    * of each document, last partial window included — every word belongs to
+    * exactly one chunk. The analogue of line-splitting for single-line
+    * corpora (CCNet dedups at the line/paragraph level; Wenzek et al.
+    * 2020 §3.1).
+    */
+  def chunks(docs: DataFrame, chunkWords: Int = 10, textCol: String = "text"): DataFrame =
+    docs.select(col("doc_id"),
+      posexplode(expr(
+        s"""element_at(transform(array(split($textCol, ' ')), ws ->
+           |  transform(sequence(0, (size(ws) + $chunkWords - 1) div $chunkWords - 1),
+           |    j -> array_join(slice(ws, j * $chunkWords + 1, $chunkWords), ' '))), 1)""".stripMargin))
+        .as(Seq("chunk_idx", "chunk")))
+
+  /** Per-document chunk-duplication stats against the WHOLE corpus:
+    * n_chunks, dup_chunks (chunk positions whose chunk text occurs more
+    * than once corpus-wide, counted by md5 digest), and the ×1000
+    * fixed-point fraction. The global count shuffles digests (uniform
+    * keys, no skew) and only digests with count > 1 come back to the
+    * per-doc join — at web scale that surviving set is the boilerplate,
+    * orders of magnitude smaller than the corpus.
+    */
+  def chunkDupStats(docs: DataFrame, chunkWords: Int = 10, textCol: String = "text"): DataFrame = {
+    val ch = chunks(docs, chunkWords, textCol)
+      .select(col("doc_id"), md5(col("chunk")).as("digest"))
+    val dup = ch.groupBy("digest").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1)
+      .select(col("digest"), lit(1L).as("isdup"))
+    ch.join(dup, Seq("digest"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(coalesce(col("isdup"), lit(0L))).as("dup_chunks"))
+      .withColumn("dup_chunk_frac_q3",
+        expr("dup_chunks * 1000 div greatest(n_chunks, 1L)"))
+  }
 }

@@ -153,4 +153,80 @@ object TextAnalysis {
 
   /** `html_untag` (reference lib/proc.c:3460): strip tags via regex. */
   def htmlUntag(c: Column): Column = regexp_replace(c, "<[^>]*>", "")
+
+  // ---- repetition signals (Gopher/MassiveText quality rules) -----------
+
+  /** Run-length stats over a sorted gram array, computed with a single
+    * `aggregate` fold: `best` = the multiplicity of the most frequent gram,
+    * `dup` = total occurrences belonging to grams that appear more than
+    * once. O(d log d) per row (the sort dominates), no shuffle, stays in
+    * codegen — the 100 TB shape is one narrow map stage.
+    */
+  private def runStats(gramsCol: String): String =
+    s"""aggregate(array_sort($gramsCol),
+       |  named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'best', 0L, 'dup', 0L),
+       |  (acc, x) -> named_struct(
+       |    'prev', x,
+       |    'run', IF(acc.prev IS NOT NULL AND x = acc.prev, acc.run + 1L, 1L),
+       |    'best', greatest(acc.best,
+       |      IF(acc.prev IS NOT NULL AND x = acc.prev, acc.run + 1L, 1L)),
+       |    'dup', acc.dup +
+       |      IF(acc.prev IS NOT NULL AND x = acc.prev, IF(acc.run = 1L, 2L, 1L), 0L)))""".stripMargin
+
+  /** Per-document repetition signals in the style of the Gopher /
+    * MassiveText quality rules (Rae et al. 2021 §A1.1), adapted to
+    * word-level text (the corpus is single-line): duplicate-word fraction,
+    * most-frequent-bigram coverage, and duplicate-5-gram fraction. All
+    * exact integer fixed-point (×1000), so any engine reproduces them
+    * bit-for-bit. Appends the metric columns to the input rows.
+    */
+  def withRepetition(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("w", words(col(textCol)))
+      .withColumn("n_words", size(col("w")).cast("long"))
+      // repeated-word occurrences beyond the first, per word
+      .withColumn("dup_word_frac_q3",
+        expr("(n_words - size(array_distinct(w))) * 1000 div greatest(n_words, 1L)"))
+      // adjacent word bigrams / 5-grams (empty below the window size)
+      .withColumn("bg", expr(
+        """CASE WHEN size(w) >= 2
+          |  THEN transform(sequence(1, size(w) - 1), i -> array_join(slice(w, i, 2), ' '))
+          |  ELSE slice(w, 1, 0) END""".stripMargin))
+      .withColumn("g5", expr(
+        """CASE WHEN size(w) >= 5
+          |  THEN transform(sequence(1, size(w) - 4), i -> array_join(slice(w, i, 5), ' '))
+          |  ELSE slice(w, 1, 0) END""".stripMargin))
+      .withColumn("top2_cnt", expr(s"${runStats("bg")}.best"))
+      // fraction of words covered by the most frequent bigram (x1000)
+      .withColumn("top2_frac_q3", expr("top2_cnt * 2 * 1000 div greatest(n_words, 1L)"))
+      .withColumn("dup5_cnt", expr(s"${runStats("g5")}.dup"))
+      // fraction of 5-gram positions whose 5-gram repeats within the doc
+      .withColumn("dup5_frac_q3",
+        expr("IF(n_words >= 5, dup5_cnt * 1000 div (n_words - 4), 0L)"))
+      .drop("w", "bg", "g5")
+
+  /** Repetition metric rows only (doc_id + signals). */
+  def repetition(docs: DataFrame, textCol: String = "text"): DataFrame =
+    withRepetition(docs, textCol).select("doc_id", "n_words", "dup_word_frac_q3",
+      "top2_cnt", "top2_frac_q3", "dup5_cnt", "dup5_frac_q3")
+
+  /** Gopher-rule document filter: keep rows whose repetition signals stay
+    * under the given fixed-point thresholds. Returns the surviving input
+    * rows with their original columns — compose ahead of dedup/tokenize in
+    * a cleaning pipeline (still one narrow map stage; the filter folds into
+    * the scan).
+    */
+  def gopherKeep(
+      docs: DataFrame,
+      maxDupWordQ3: Long = 300,
+      maxTop2Q3: Long = 200,
+      maxDup5Q3: Long = 300,
+      textCol: String = "text"): DataFrame = {
+    val cols = docs.columns.map(col).toIndexedSeq
+    withRepetition(docs, textCol)
+      .filter(col("dup_word_frac_q3") <= maxDupWordQ3 &&
+        col("top2_frac_q3") <= maxTop2Q3 &&
+        col("dup5_frac_q3") <= maxDup5Q3)
+      .select(cols: _*)
+  }
 }

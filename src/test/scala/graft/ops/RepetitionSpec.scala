@@ -1,0 +1,89 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Gopher-style repetition signals, n-gram benchmark decontamination, and
+  * chunk-level corpus dedup stats — hand-computed expectations.
+  */
+class RepetitionSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def repRow(text: String): (Long, Long, Long, Long, Long, Long) = {
+    val r = TextAnalysis.repetition(Seq((0L, text)).toDF("doc_id", "text"))
+      .collect()(0)
+    (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+  }
+
+  test("repetition: alternating pair doc") {
+    // "a b a b a": 5 words, 2 distinct; top bigram ("a b") x2; one 5-gram
+    assert(repRow("a b a b a") == ((5L, 600L, 2L, 800L, 0L, 0L)))
+  }
+
+  test("repetition: fully periodic doc has total 5-gram duplication") {
+    // 12 words, period 3: every 5-gram position repeats -> dup5 = 8 of 8
+    assert(repRow("x y z x y z x y z x y z") == ((12L, 750L, 4L, 666L, 8L, 1000L)))
+  }
+
+  test("repetition: all-distinct doc scores zero duplication") {
+    assert(repRow("unique words only here now") == ((5L, 0L, 1L, 400L, 0L, 0L)))
+  }
+
+  test("repetition: below the 5-gram window the fraction is zero") {
+    assert(repRow("a b c") == ((3L, 0L, 1L, 666L, 0L, 0L)))
+  }
+
+  test("gopherKeep drops high-repetition docs, keeps clean ones, preserves columns") {
+    val docs = Seq(
+      (0L, (1 to 30).map(i => s"distinct$i").mkString(" "), "s"),
+      (1L, "spam spam spam spam spam spam spam spam", "s")
+    ).toDF("doc_id", "text", "source")
+    val kept = TextAnalysis.gopherKeep(docs)
+    assert(kept.columns.toSeq == Seq("doc_id", "text", "source"))
+    assert(kept.select("doc_id").as[Long].collect().toSeq == Seq(0L))
+  }
+
+  test("contamination flags shared 4-grams and exact short docs; decontaminate is the complement") {
+    val corpus = Seq(
+      (10L, "one two three four five six"),   // shares "two three four five"
+      (11L, "totally different text content here"),
+      (12L, "tiny doc")                        // < k words: whole-text shingle
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (0L, "zz two three four five yy"),
+      (1L, "tiny doc")
+    ).toDF("doc_id", "text")
+    val hits = Dedup.contaminationHits(corpus, bench, k = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(hits == Map(10L -> 1L, 12L -> 1L))
+    val clean = Dedup.decontaminate(corpus, bench, k = 4)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(clean == Seq(11L))
+  }
+
+  test("chunks: non-overlapping windows, last partial kept") {
+    val words = (1 to 23).map(i => s"w$i").mkString(" ")
+    val ch = Dedup.chunks(Seq((0L, words)).toDF("doc_id", "text"))
+      .orderBy("chunk_idx").as[(Long, Int, String)].collect()
+    assert(ch.length == 3)
+    assert(ch(0)._3 == (1 to 10).map(i => s"w$i").mkString(" "))
+    assert(ch(2)._3 == (21 to 23).map(i => s"w$i").mkString(" "))
+  }
+
+  test("chunkDupStats counts corpus-wide duplicate chunks per doc") {
+    val boiler = (1 to 10).map(i => s"b$i").mkString(" ")
+    val docs = Seq(
+      (0L, boiler + " " + (1 to 7).map(i => s"x$i").mkString(" ")),
+      (1L, boiler + " " + (1 to 7).map(i => s"y$i").mkString(" ")),
+      (2L, (1 to 12).map(i => s"z$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val st = Dedup.chunkDupStats(docs).orderBy("doc_id")
+      .as[(Long, Long, Long, Long)].collect()
+    // docs 0/1: 2 chunks each, the shared boilerplate chunk is duplicated
+    assert(st(0) == ((0L, 2L, 1L, 500L)))
+    assert(st(1) == ((1L, 2L, 1L, 500L)))
+    assert(st(2) == ((2L, 2L, 0L, 0L)))
+  }
+}
