@@ -44,6 +44,15 @@ object SparkEntry {
     * get their own first 5 words appended (mirrored verbatim in the
     * ta_repetition / ta_gopher_keep oracles).
     */
+  /** Documents with deterministic planted PII (see the PII oracle CTE). */
+  private def piiDocs(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents").withColumn("text", expr(
+      """concat(text,
+        |  IF(doc_id % 5 = 0, concat(' user', doc_id, '@example.com'), ''),
+        |  IF(doc_id % 7 = 0, concat(' 10.0.', doc_id % 256, '.1'), ''),
+        |  IF(doc_id % 11 = 0,
+        |     concat(' 555-867-', lpad(CAST(doc_id % 10000 AS STRING), 4, '0')), ''))""".stripMargin))
+
   private def repDocs(s: SparkSession, d: String): DataFrame =
     t(s, d, "documents").withColumn("text",
       expr("""IF(doc_id % 3 = 0,
@@ -549,6 +558,14 @@ object SparkEntry {
     "dd_chunk_dup" -> ((s, d) =>
       Dedup.chunkDupStats(t(s, d, "documents")).orderBy("doc_id")),
 
+    // PII scan + redaction over deterministically planted addresses
+    "ta_pii" -> ((s, d) =>
+      TextAnalysis.piiStats(piiDocs(s, d)).orderBy("doc_id")),
+
+    "ta_pii_redacted" -> ((s, d) =>
+      TextAnalysis.redactPii(piiDocs(s, d))
+        .select("doc_id", "text").orderBy("doc_id")),
+
     // ---- sharded logical_* commands over day-partitioned events ----
     // (reference plugins/sharding/logical_count.rb etc; the library form
     // plans partition pruning on the _shard column — see Logical.scala)
@@ -733,6 +750,18 @@ object SparkEntry {
       |bgm AS (SELECT DISTINCT unnest(CASE WHEN len(w) >= 4
       |  THEN list_distinct([array_to_string(list_slice(w, i, i + 3), ' ') for i in range(1, len(w) - 2)])
       |  ELSE [text] END) AS g FROM t WHERE source = 'src0')""".stripMargin
+
+  /** Shared CTE: documents with deterministic planted PII (the corpus
+    * alphabet is [a-z0-9 ] so raw PII hits would be vacuously zero; both
+    * engines append identical synthetic addresses — mirrors [[piiDocs]]).
+    */
+  private val PII =
+    """pd AS (SELECT doc_id, text ||
+      |  CASE WHEN doc_id % 5 = 0 THEN ' user' || doc_id || '@example.com' ELSE '' END ||
+      |  CASE WHEN doc_id % 7 = 0 THEN ' 10.0.' || (doc_id % 256) || '.1' ELSE '' END ||
+      |  CASE WHEN doc_id % 11 = 0
+      |    THEN ' 555-867-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+      |  AS text FROM documents)""".stripMargin
 
   private lazy val MH = {
     val (a, c) = Dedup.permCoeffs(64, 42L)
@@ -1382,6 +1411,22 @@ object SparkEntry {
          |WHERE source <> 'src0'
          |  AND doc_id NOT IN (SELECT cg.doc_id FROM cg JOIN bgm USING (g))
          |ORDER BY doc_id""".stripMargin,
+
+    "ta_pii" ->
+      s"""WITH $PII
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}')) AS BIGINT) AS email_hits,
+         |  CAST(len(regexp_extract_all(text, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT) AS ipv4_hits,
+         |  CAST(len(regexp_extract_all(text, '\\b\\d{3}-\\d{3}-\\d{4}\\b')) AS BIGINT) AS phone_hits
+         |FROM pd ORDER BY doc_id""".stripMargin,
+
+    "ta_pii_redacted" ->
+      s"""WITH $PII
+         |SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(text,
+         |  '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '<PII>', 'g'),
+         |  '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<PII>', 'g'),
+         |  '\\b\\d{3}-\\d{3}-\\d{4}\\b', '<PII>', 'g') AS text
+         |FROM pd ORDER BY doc_id""".stripMargin,
 
     "dd_chunk_dup" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -210,6 +210,39 @@ object TextAnalysis {
     withRepetition(docs, textCol).select("doc_id", "n_words", "dup_word_frac_q3",
       "top2_cnt", "top2_frac_q3", "dup5_cnt", "dup5_frac_q3")
 
+  // ---- PII scan / redaction --------------------------------------------
+
+  /** PII patterns scanned/redacted by [[piiStats]]/[[redactPii]], in
+    * redaction order (emails first — an address contains dot runs an IP
+    * pattern could otherwise claim). The regex subset is RE2-compatible
+    * (no backreferences/lookarounds) so SQL engines agree on matches.
+    */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "email" -> "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}",
+    "ipv4" -> "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b",
+    "phone" -> "\\b\\d{3}-\\d{3}-\\d{4}\\b")
+
+  /** Per-document PII hit counts, one `regexp_count` column per pattern
+    * (`<name>_hits`). Narrow codegen map — the 100 TB scan shape.
+    */
+  def piiStats(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(col("doc_id") +: piiPatterns.map { case (name, pat) =>
+      // regexp_count via the function API: a SQL-literal route would eat
+      // the \b/\d escapes under default (non-escapedStringLiterals) parsing
+      regexp_count(col(textCol), lit(pat)).cast("long").as(s"${name}_hits")
+    }: _*)
+
+  /** Redact every PII pattern occurrence with `replacement`, applied in
+    * [[piiPatterns]] order. Returns the input rows with `textCol`
+    * rewritten.
+    */
+  def redactPii(docs: DataFrame, textCol: String = "text",
+      replacement: String = "<PII>"): DataFrame =
+    docs.withColumn(textCol,
+      piiPatterns.foldLeft(col(textCol)) { case (c, (_, pat)) =>
+        regexp_replace(c, pat, replacement)
+      })
+
   /** Gopher-rule document filter: keep rows whose repetition signals stay
     * under the given fixed-point thresholds. Returns the surviving input
     * rows with their original columns — compose ahead of dedup/tokenize in

@@ -72,6 +72,21 @@ class RepetitionSpec extends AnyFunSuite {
     assert(ch(2)._3 == (21 to 23).map(i => s"w$i").mkString(" "))
   }
 
+  test("piiStats counts and redactPii replaces emails, IPs, phones") {
+    val docs = Seq(
+      (0L, "contact me at bob.smith@corp.io or 192.168.0.1 or 555-123-4567 ok"),
+      (1L, "no pii here at all")
+    ).toDF("doc_id", "text")
+    val st = TextAnalysis.piiStats(docs).orderBy("doc_id")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(st(0) == ((0L, 1L, 1L, 1L)))
+    assert(st(1) == ((1L, 0L, 0L, 0L)))
+    val red = TextAnalysis.redactPii(docs).orderBy("doc_id")
+      .select("text").as[String].collect()
+    assert(red(0) == "contact me at <PII> or <PII> or <PII> ok")
+    assert(red(1) == "no pii here at all")
+  }
+
   test("chunkDupStats counts corpus-wide duplicate chunks per doc") {
     val boiler = (1 to 10).map(i => s"b$i").mkString(" ")
     val docs = Seq(
