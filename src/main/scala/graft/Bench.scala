@@ -204,7 +204,8 @@ object Bench {
     // ---- headline SparkEntry queries on the testdata tables --------------
     val headline = Seq("q1_drilldown_calc", "q4_ref_join", "q7_window_subrec",
       "ft_bm25_topk", "dd_ngram_jaccard", "dd_lsh_pairs", "sim_topk",
-      "ta_quality", "log_count", "log_range", "lf_search")
+      "ta_quality", "log_count", "log_range", "lf_search",
+      "ta_gopher_keep", "dd_contamination", "dd_chunk_dup")
     // warm once (documents-index open/build, parquet footers, JIT) then
     // time once: the number measures the OPERATOR, not one-time index
     // amortization — the same warm-then-measure discipline as the bm25 and

@@ -558,6 +558,15 @@ object SparkEntry {
     "dd_chunk_dup" -> ((s, d) =>
       Dedup.chunkDupStats(t(s, d, "documents")).orderBy("doc_id")),
 
+    // reproducible md5-bucket train/test split (full membership checked)
+    "ta_split" -> ((s, d) =>
+      TextAnalysis.hashSplit(t(s, d, "documents"))
+        .select("doc_id", "bucket", "split").orderBy("doc_id")),
+
+    // corpus vocabulary with counts, truncated at minCount
+    "ta_vocab" -> ((s, d) =>
+      TextAnalysis.vocab(t(s, d, "documents"), minCount = 5L).orderBy("token")),
+
     // PII scan + redaction over deterministically planted addresses
     "ta_pii" -> ((s, d) =>
       TextAnalysis.piiStats(piiDocs(s, d)).orderBy("doc_id")),
@@ -1411,6 +1420,18 @@ object SparkEntry {
          |WHERE source <> 'src0'
          |  AND doc_id NOT IN (SELECT cg.doc_id FROM cg JOIN bgm USING (g))
          |ORDER BY doc_id""".stripMargin,
+
+    "ta_split" ->
+      """SELECT doc_id,
+        |  ('0x' || substr(md5('42:' || doc_id), 1, 15))::BIGINT % 1000 AS bucket,
+        |  CASE WHEN ('0x' || substr(md5('42:' || doc_id), 1, 15))::BIGINT % 1000 < 900
+        |       THEN 'train' ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "ta_vocab" ->
+      """SELECT token, CAST(count(*) AS BIGINT) AS cnt
+        |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |GROUP BY token HAVING count(*) >= 5 ORDER BY token""".stripMargin,
 
     "ta_pii" ->
       s"""WITH $PII

@@ -210,6 +210,36 @@ object TextAnalysis {
     withRepetition(docs, textCol).select("doc_id", "n_words", "dup_word_frac_q3",
       "top2_cnt", "top2_frac_q3", "dup5_cnt", "dup5_frac_q3")
 
+  // ---- reproducible corpus splitting & vocab ---------------------------
+
+  /** Deterministic train/test assignment: bucket = the 60-bit md5 of
+    * `seed ":" id` mod 1000; rows with bucket < trainPerMille are "train".
+    * Engine-independent (same digest arithmetic as the dedup family),
+    * stable under repartitioning and re-runs — the reproducible-split
+    * primitive a training pipeline needs. Appends `bucket` and `split`.
+    */
+  def hashSplit(
+      docs: DataFrame,
+      trainPerMille: Int = 900,
+      seed: String = "42",
+      idCol: String = "doc_id"): DataFrame =
+    docs
+      .withColumn("bucket", expr(
+        s"CAST(conv(substring(md5(concat('$seed', ':', CAST($idCol AS STRING))), 1, 15), 16, 10) AS BIGINT) % 1000"))
+      .withColumn("split",
+        when(col("bucket") < trainPerMille, "train").otherwise("test"))
+
+  /** Corpus-wide token vocabulary with counts (whitespace tokens),
+    * truncated at `minCount` — the vocab/BPE-seed building stage. One
+    * shuffle keyed by token with map-side partial aggregation; hot tokens
+    * are exactly the partial-agg-friendly case.
+    */
+  def vocab(docs: DataFrame, minCount: Long = 1L, textCol: String = "text"): DataFrame =
+    docs.select(explode(words(col(textCol))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+
   // ---- PII scan / redaction --------------------------------------------
 
   /** PII patterns scanned/redacted by [[piiStats]]/[[redactPii]], in

@@ -72,6 +72,28 @@ class RepetitionSpec extends AnyFunSuite {
     assert(ch(2)._3 == (21 to 23).map(i => s"w$i").mkString(" "))
   }
 
+  test("hashSplit is deterministic, well-proportioned, and column-preserving") {
+    val docs = (0L until 1000L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val a = TextAnalysis.hashSplit(docs).select("doc_id", "split")
+      .as[(Long, String)].collect().toMap
+    val b = TextAnalysis.hashSplit(docs).select("doc_id", "split")
+      .as[(Long, String)].collect().toMap
+    assert(a == b)
+    val train = a.values.count(_ == "train")
+    assert(train > 850 && train < 950) // md5 buckets ~ uniform at n=1000
+    // a different seed reshuffles membership
+    val c = TextAnalysis.hashSplit(docs, seed = "7").select("doc_id", "split")
+      .as[(Long, String)].collect().toMap
+    assert(a != c)
+  }
+
+  test("vocab counts tokens corpus-wide and truncates at minCount") {
+    val docs = Seq((0L, "a b a c"), (1L, "a b b")).toDF("doc_id", "text")
+    val v = TextAnalysis.vocab(docs, minCount = 2L)
+      .as[(String, Long)].collect().toMap
+    assert(v == Map("a" -> 3L, "b" -> 3L))
+  }
+
   test("piiStats counts and redactPii replaces emails, IPs, phones") {
     val docs = Seq(
       (0L, "contact me at bob.smith@corp.io or 192.168.0.1 or 555-123-4567 ok"),
