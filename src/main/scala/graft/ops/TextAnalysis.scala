@@ -273,6 +273,21 @@ object TextAnalysis {
         regexp_replace(c, pat, replacement)
       })
 
+  private lazy val piiCompiled: Seq[java.util.regex.Pattern] =
+    piiPatterns.map { case (_, p) => java.util.regex.Pattern.compile(p) }
+
+  /** String-level twin of [[redactPii]] (for SQL UDF registration). */
+  def redactPiiString(s: String, replacement: String = "<PII>"): String =
+    if (s == null) null
+    else piiCompiled.foldLeft(s)((acc, p) => p.matcher(acc).replaceAll(replacement))
+
+  /** String-level total PII hit count (for SQL UDF registration). */
+  def piiCountString(s: String): Long =
+    if (s == null) 0L
+    else piiCompiled.map { p =>
+      val m = p.matcher(s); var n = 0L; while (m.find()) n += 1; n
+    }.sum
+
   /** Gopher-rule document filter: keep rows whose repetition signals stay
     * under the given fixed-point thresholds. Returns the surviving input
     * rows with their original columns — compose ahead of dedup/tokenize in

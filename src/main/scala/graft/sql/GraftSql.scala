@@ -278,6 +278,12 @@ object GraftSql {
       cs.sessionState.tableFunctionRegistry.registerFunction(i, nfo, b)
     graft.functions.GrnScalars.register(spark)
     graft.functions.GrnGeo.register(spark)
+    // pipeline cleaning scalars for plain SQL use (batch callers should
+    // prefer the codegen column forms in graft.ops.TextAnalysis)
+    spark.udf.register("graft_redact_pii",
+      (s: String) => graft.ops.TextAnalysis.redactPiiString(s))
+    spark.udf.register("graft_pii_count",
+      (s: String) => graft.ops.TextAnalysis.piiCountString(s))
     if (!cs.experimental.extraOptimizations.exists(_.isInstanceOf[IndexMatchRewrite]))
       cs.experimental.extraOptimizations =
         cs.experimental.extraOptimizations :+ IndexMatchRewrite(spark)

@@ -136,6 +136,11 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(sn.nonEmpty && sn.head.contains("<span class=\"keyword\">apple</span>"))
     assert(spark.sql("SELECT snippet_html('no match here', 'zebra')")
       .collect().head.isNullAt(0))
+    // pipeline cleaning scalars
+    assert(spark.sql("SELECT graft_redact_pii('mail a.b@c.io or 10.0.0.1')")
+      .collect().head.getString(0) == "mail <PII> or <PII>")
+    assert(spark.sql("SELECT graft_pii_count('a.b@c.io and 555-123-4567')")
+      .collect().head.getLong(0) == 2L)
     // tokenize command parity: the analysis chain's token texts
     assert(spark.sql("SELECT grn_tokenize('Fast Keys', 'TokenDelimit', 'ADD')")
       .collect().head.getSeq[String](0) == Seq("fast", "keys"))

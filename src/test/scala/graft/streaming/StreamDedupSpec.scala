@@ -50,6 +50,27 @@ class StreamDedupSpec extends AnyFunSuite {
     assert(rows.toSeq == Seq(1L))
   }
 
+  test("cleaning chain (gopherKeep + redactPii) runs unchanged on a stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF().toDF("doc_id", "text")
+    // both ops are stateless narrow maps, so the whole pretraining cleaning
+    // chain composes with readStream/writeStream as-is
+    val q = graft.ops.TextAnalysis.redactPii(
+        graft.ops.TextAnalysis.gopherKeep(stream))
+      .writeStream.format("memory").queryName("sd_clean").outputMode("append").start()
+    mem.addData(
+      (0L, (1 to 30).map(i => s"word$i").mkString(" ") + " mail me at a.b@c.io"),
+      (1L, "spam spam spam spam spam spam spam spam"))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("sd_clean").select("doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(out.keySet == Set(0L))
+    assert(out(0L).endsWith("mail me at <PII>"))
+  }
+
   test("nearDupCandidates with tsCol ages out idle bucket state past the horizon") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
