@@ -171,6 +171,22 @@ object SparkEntry {
           concat(lit("<b>"), col("p_name"), lit("</b>")))).as("untag_len"))
       .orderBy("p_partkey")),
 
+    // geo sort: nearest-50 by great-circle distance to a fixed center
+    // (reference grn_geo_distance + sortby 'geo_distance(col, "pt")',
+    // lib/geo.c); coordinates derive deterministically from doc_id in both
+    // engines, output sorts on FLOORED meters so float ulps can't reorder,
+    // and the page is TakeOrderedAndProject (no global sort)
+    "q11_geo_sort" -> ((s, d) => {
+      val g = t(s, d, "documents")
+        .withColumn("lat", expr("(doc_id * 7919 % 18000) / 100.0 - 90.0"))
+        .withColumn("lon", expr("(doc_id * 104729 % 36000) / 100.0 - 180.0"))
+      g.select(col("doc_id"),
+          floor(graft.functions.TextFunctions.geoDistance(
+            col("lat"), col("lon"), lit(35.68), lit(139.76)))
+            .cast("long").as("dist_m"))
+        .orderBy("dist_m", "doc_id").limit(50)
+    }),
+
     // ---- full-text engine over the documents index ----
     // single-term match, default scorer: _score = tf
     // (reference lib/ii.c:6984)
@@ -194,6 +210,18 @@ object SparkEntry {
       scored(Engine.SetOps.andNot(
         Engine.matchScores(r, "spark"), Engine.matchScores(r, "dup")))
     }),
+    // symmetric difference (reference grn_table_difference, lib/db.c:4309:
+    // common keys removed from BOTH sides); both outputs pinned via a
+    // side tag in one result set
+    "ft_symdiff" -> ((s, d) => {
+      val r = DocIndex.reader(s, d)
+      val (l, rt) = Engine.SetOps.difference(
+        Engine.matchScores(r, "spark"), Engine.matchScores(r, "dup"))
+      scored(l).withColumn("side", lit("a"))
+        .unionByName(scored(rt).withColumn("side", lit("b")))
+        .orderBy("side", "doc_id")
+    }),
+
     // too-many-matches AND escape (reference grn_ii_select sequential
     // fallback, lib/ii.c:6536): df(batch)≈400 vs df(dup)=25 exceeds the
     // ratio, so the hot term's postings are never decoded — candidates
@@ -969,6 +997,26 @@ object SparkEntry {
       s"""WITH a AS ${tfOf("spark")}, b AS ${tfOf("dup")}
          |SELECT a.doc_id, a.tf + 3 * b.tf AS score FROM a JOIN b USING (doc_id)
          |WHERE a.tf > 0 ORDER BY doc_id""".stripMargin,
+
+    "q11_geo_sort" ->
+      """WITH g AS (SELECT doc_id,
+        |  (doc_id * 7919 % 18000) / 100.0 - 90.0 AS lat,
+        |  (doc_id * 104729 % 36000) / 100.0 - 180.0 AS lon FROM documents)
+        |SELECT doc_id, CAST(floor(6371009.0 * 2 * asin(sqrt(
+        |    pow(sin(radians(35.68 - lat) / 2), 2) +
+        |    cos(radians(lat)) * cos(radians(35.68)) *
+        |      pow(sin(radians(139.76 - lon) / 2), 2)
+        |  ))) AS BIGINT) AS dist_m
+        |FROM g ORDER BY dist_m, doc_id LIMIT 50""".stripMargin,
+
+    "ft_symdiff" ->
+      s"""WITH a AS ${tfOf("spark")}, b AS ${tfOf("dup")}
+         |SELECT a.doc_id, a.tf AS score, 'a' AS side FROM a JOIN b USING (doc_id)
+         |  WHERE a.tf > 0 AND b.tf = 0
+         |UNION ALL
+         |SELECT b.doc_id, b.tf AS score, 'b' AS side FROM a JOIN b USING (doc_id)
+         |  WHERE b.tf > 0 AND a.tf = 0
+         |ORDER BY side, doc_id""".stripMargin,
 
     "ft_and_hot" ->
       s"""WITH a AS ${tfOf("dup")}, b AS ${tfOf("batch")}

@@ -173,14 +173,77 @@ object TextAnalysis {
        |    'dup', acc.dup +
        |      IF(acc.prev IS NOT NULL AND x = acc.prev, IF(acc.run = 1L, 2L, 1L), 0L)))""".stripMargin
 
+  /** Plain record for the kernel path of the repetition signals. */
+  case class RepMetrics(n_words: Long, dup_word_frac_q3: Long, top2_cnt: Long,
+      top2_frac_q3: Long, dup5_cnt: Long, dup5_frac_q3: Long)
+
+  /** Single-document repetition metrics, identical integer math to the
+    * expression form in [[withRepetitionExpr]] (split semantics match
+    * Spark's `split(text, ' ')`: regex split, limit −1).
+    */
+  def repetitionMetrics(text: String): RepMetrics = {
+    val w = text.split(" ", -1)
+    val n = w.length
+    val nL = math.max(n, 1).toLong
+    val distinct = new java.util.HashSet[String]()
+    var i = 0
+    while (i < n) { distinct.add(w(i)); i += 1 }
+    val dupWordQ3 = (n - distinct.size).toLong * 1000L / nL
+    var top2 = 0L
+    if (n >= 2) {
+      val m = new java.util.HashMap[String, Int]()
+      i = 0
+      while (i < n - 1) {
+        val g = w(i) + " " + w(i + 1)
+        val c = m.getOrDefault(g, 0) + 1
+        m.put(g, c)
+        if (c > top2) top2 = c.toLong
+        i += 1
+      }
+    }
+    val top2Q3 = top2 * 2L * 1000L / nL
+    var dup5 = 0L
+    if (n >= 5) {
+      val m = new java.util.HashMap[String, Int]()
+      i = 0
+      while (i <= n - 5) {
+        val g = w(i) + " " + w(i + 1) + " " + w(i + 2) + " " + w(i + 3) + " " + w(i + 4)
+        m.put(g, m.getOrDefault(g, 0) + 1)
+        i += 1
+      }
+      m.values.forEach(c => if (c > 1) dup5 += c)
+    }
+    val dup5Q3 = if (n >= 5) dup5 * 1000L / (n - 4) else 0L
+    RepMetrics(n.toLong, dupWordQ3, top2, top2Q3, dup5, dup5Q3)
+  }
+
+  private lazy val repKernelUdf =
+    udf((s: String) => repetitionMetrics(if (s == null) "" else s))
+
+  /** Kernel form of [[withRepetitionExpr]]: one compiled-Scala pass per row
+    * instead of Catalyst higher-order lambda folds (those evaluate
+    * INTERPRETED — measured ~8× slower on the bench corpus). Same
+    * dual-definition policy as [[Dedup]]'s hashing: the expression form is
+    * the executable cross-engine spec, this is the default entry point,
+    * and RepetitionSpec asserts row-identity between the two.
+    */
+  def withRepetition(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val metricCols = Seq("n_words", "dup_word_frac_q3", "top2_cnt",
+      "top2_frac_q3", "dup5_cnt", "dup5_frac_q3")
+    metricCols.foldLeft(docs.withColumn("_rep", repKernelUdf(col(textCol)))) {
+      (df, c) => df.withColumn(c, col(s"_rep.$c"))
+    }.drop("_rep")
+  }
+
   /** Per-document repetition signals in the style of the Gopher /
     * MassiveText quality rules (Rae et al. 2021 §A1.1), adapted to
     * word-level text (the corpus is single-line): duplicate-word fraction,
     * most-frequent-bigram coverage, and duplicate-5-gram fraction. All
     * exact integer fixed-point (×1000), so any engine reproduces them
     * bit-for-bit. Appends the metric columns to the input rows.
+    * Expression (spec) form — prefer [[withRepetition]].
     */
-  def withRepetition(docs: DataFrame, textCol: String = "text"): DataFrame =
+  def withRepetitionExpr(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs
       .withColumn("w", words(col(textCol)))
       .withColumn("n_words", size(col("w")).cast("long"))

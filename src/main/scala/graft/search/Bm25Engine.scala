@@ -33,12 +33,30 @@ final class TopKAgg(k: Int) extends Aggregator[ScoredDoc, TopKBuf, TopKBuf] {
   *                summed in termIdx order in every execution path so WAND and
   *                exhaustive produce bit-identical floats (rank-identity)
   */
+/** Shared posting-block decode memo for BATCHED retrieval: many queries in
+  * one batch walk the same hot term's blocks within a shard, and without
+  * sharing each query re-decodes them (the decode is the bandwidth-bound
+  * part of a hot-term walk). Identity-keyed — blocks are in-memory rows of
+  * the shard being processed; the cache's lifetime is one shard task, so
+  * memory is bounded by that shard's touched postings. Single-threaded use
+  * (one flatMapGroups group).
+  */
+final class DecodeCache(withPos: Boolean) {
+  private val m = new java.util.IdentityHashMap[PostingBlock, Array[Posting]]()
+  def get(b: PostingBlock): Array[Posting] = {
+    var v = m.get(b)
+    if (v == null) { v = PostingCodec.decodeBlock(b, withPos); m.put(b, v) }
+    v
+  }
+}
+
 final class TermCursor(
     val blocks: Array[PostingBlock],
     withPos: Boolean,
     val termIdx: Int,
     val idfWeight: Double,
-    bm25: Bm25
+    bm25: Bm25,
+    cache: DecodeCache = null
 ) {
   private var blockIdx = 0
   private var decoded: Array[Posting] = _
@@ -54,7 +72,9 @@ final class TermCursor(
   if (blocks.nonEmpty) loadBlock()
 
   private def loadBlock(): Unit = {
-    decoded = PostingCodec.decodeBlock(blocks(blockIdx), withPos)
+    decoded =
+      if (cache == null) PostingCodec.decodeBlock(blocks(blockIdx), withPos)
+      else cache.get(blocks(blockIdx))
     inBlock = 0
   }
 

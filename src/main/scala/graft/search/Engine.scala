@@ -353,10 +353,13 @@ object Engine {
         segRows.groupBy(_.term)
           .map { case (t, rows) => t -> TermCursor.mergedBlocks(rows, withPos) }
       val lookup = Norms.decode(normsBlob)
+      // one decode memo for the whole batch: every query that walks a hot
+      // term's block reuses the first decode instead of re-paying it
+      val decodeCache = new DecodeCache(withPos)
       plansB.value.iterator.flatMap { case (qid, plan) =>
         val cursors = plan.toSeq.collect {
           case (t, (idx, idf)) if byTerm.contains(t) =>
-            new TermCursor(byTerm(t), withPos, idx, idf, bm25)
+            new TermCursor(byTerm(t), withPos, idx, idf, bm25, decodeCache)
         }.sortBy(_.termIdx)
         if (cursors.isEmpty) Iterator.empty
         else {

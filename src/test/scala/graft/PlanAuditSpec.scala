@@ -57,6 +57,33 @@ class PlanAuditSpec extends AnyFunSuite {
       s"documents scan not pruned:\n$p")
   }
 
+  test("ta_repetition/ta_gopher_keep: one narrow map, zero shuffle") {
+    // the repetition path deliberately runs the typed KERNEL (a compiled
+    // scalar function) — Catalyst higher-order lambda folds evaluate
+    // interpreted and measured ~8x slower; the expression twin stays as
+    // the cross-engine spec (RepetitionSpec asserts row-identity)
+    for (name <- Seq("ta_repetition", "ta_gopher_keep")) {
+      val p = plan(name)
+      assert(!p.contains("Exchange hashpartitioning"), s"$name shuffles:\n$p")
+      assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+        s"$name scan not pruned:\n$p")
+    }
+  }
+
+  test("dd_contamination: bench shingles broadcast — corpus never shuffled on content") {
+    val p = plan("dd_contamination")
+    assert(p.contains("BroadcastHashJoin"), s"gram join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus shuffled for the gram join:\n$p")
+    assert(p.contains("partial_count"), s"no map-side combine for hit counts:\n$p")
+  }
+
+  test("ta_split/ta_pii: pure narrow maps over the scan") {
+    for (name <- Seq("ta_split", "ta_pii")) {
+      val p = plan(name)
+      assert(!p.contains("Exchange hashpartitioning"), s"$name shuffles:\n$p")
+    }
+  }
+
   test("dd_exact: map-side partial aggregation before the one shuffle") {
     val p = plan("dd_exact")
     assert(p.contains("partial_count"), s"no map-side combine:\n$p")

@@ -72,6 +72,23 @@ class RepetitionSpec extends AnyFunSuite {
     assert(ch(2)._3 == (21 to 23).map(i => s"w$i").mkString(" "))
   }
 
+  test("repetition kernel ≡ expression spec on a real corpus + edge cases") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+      .unionByName(Seq(
+        (100000L, ""), (100001L, "one"), (100002L, "a a a a a a"),
+        (100003L, "x  y"), (100004L, "tail space ")).toDF("doc_id", "text"))
+    val k = TextAnalysis.withRepetition(docs)
+      .select("doc_id", "n_words", "dup_word_frac_q3", "top2_cnt",
+        "top2_frac_q3", "dup5_cnt", "dup5_frac_q3")
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    val e = TextAnalysis.withRepetitionExpr(docs)
+      .select("doc_id", "n_words", "dup_word_frac_q3", "top2_cnt",
+        "top2_frac_q3", "dup5_cnt", "dup5_frac_q3")
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(k == e)
+  }
+
   test("hashSplit is deterministic, well-proportioned, and column-preserving") {
     val docs = (0L until 1000L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     val a = TextAnalysis.hashSplit(docs).select("doc_id", "split")
