@@ -595,6 +595,11 @@ object SparkEntry {
     "ta_vocab" -> ((s, d) =>
       TextAnalysis.vocab(t(s, d, "documents"), minCount = 5L).orderBy("token")),
 
+    // unigram-LM surprisal (the CCNet perplexity-filter core): per-token
+    // surprisal quantized BEFORE summation, so the gate is integer-exact
+    "ta_surprisal" -> ((s, d) =>
+      TextAnalysis.unigramSurprisal(t(s, d, "documents")).orderBy("doc_id")),
+
     // PII scan + redaction over deterministically planted addresses
     "ta_pii" -> ((s, d) =>
       TextAnalysis.piiStats(piiDocs(s, d)).orderBy("doc_id")),
@@ -1480,6 +1485,17 @@ object SparkEntry {
       """SELECT token, CAST(count(*) AS BIGINT) AS cnt
         |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
         |GROUP BY token HAVING count(*) >= 5 ORDER BY token""".stripMargin,
+
+    "ta_surprisal" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |lm AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+        |tt AS (SELECT sum(cnt) AS total FROM lm),
+        |lmq AS (SELECT token,
+        |  CAST(floor(-ln(cnt / (SELECT total FROM tt)) * 1000) AS BIGINT) AS s_q3 FROM lm)
+        |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+        |  CAST(sum(s_q3) // count(*) AS BIGINT) AS surprisal_q3
+        |FROM tok t JOIN lmq USING (token)
+        |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin,
 
     "ta_pii" ->
       s"""WITH $PII

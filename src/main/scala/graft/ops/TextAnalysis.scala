@@ -303,6 +303,33 @@ object TextAnalysis {
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minCount)
 
+  /** Per-document mean unigram surprisal −(1/n)·Σ ln p(tokenᵢ) under the
+    * corpus's own unigram LM (p = corpus count / corpus total) — the
+    * LM-quality-filter stage of a cleaning pipeline (CCNet filters on
+    * KenLM perplexity; the unigram LM is its engine-reproducible core).
+    * Low = stereotypical text, high = rare-token text.
+    *
+    * Numerics: each TOKEN's surprisal quantizes to ×1000 fixed point
+    * FIRST (`floor(−ln p · 1000)` — a handful of distinct values, stable
+    * across engines), and the document mean is integer division of
+    * integer sums — so float summation order can never flip a result
+    * bit, the same exactness discipline as every other gate. The LM fits
+    * in a broadcast (vocab ≪ corpus): one narrow explode + broadcast
+    * join + per-doc partial agg, no corpus-keyed shuffle beyond doc_id.
+    */
+  def unigramSurprisal(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(words(col(textCol))).as("token"))
+    val lm = vocab(docs, minCount = 1L, textCol)
+    val total = lm.agg(sum("cnt")).collect()(0).getLong(0).toDouble
+    val lmQ = lm.select(col("token"),
+      floor(-log(col("cnt") / total) * 1000).cast("long").as("s_q3"))
+    toks.join(broadcast(lmQ), "token")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"), sum("s_q3").as("ll_q3"))
+      .select(col("doc_id"), col("n_tok"),
+        expr("ll_q3 div n_tok").as("surprisal_q3"))
+  }
+
   // ---- PII scan / redaction --------------------------------------------
 
   /** PII patterns scanned/redacted by [[piiStats]]/[[redactPii]], in

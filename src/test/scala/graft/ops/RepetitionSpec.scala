@@ -104,6 +104,18 @@ class RepetitionSpec extends AnyFunSuite {
     assert(a != c)
   }
 
+  test("unigramSurprisal: rare-token docs score higher; integer-exact mean") {
+    // corpus: "a" x 6, "b" x 2, "rare" x 1, total 9
+    val docs = Seq((0L, "a a a"), (1L, "a a a b b"), (2L, "rare")).toDF("doc_id", "text")
+    val s = TextAnalysis.unigramSurprisal(docs).orderBy("doc_id")
+      .as[(Long, Long, Long)].collect()
+    def q(p: Double): Long = math.floor(-math.log(p) * 1000).toLong
+    assert(s(0) == ((0L, 3L, q(6.0 / 9))))
+    assert(s(1) == ((1L, 5L, (3 * q(6.0 / 9) + 2 * q(2.0 / 9)) / 5)))
+    assert(s(2) == ((2L, 1L, q(1.0 / 9))))
+    assert(s(2)._3 > s(1)._3 && s(1)._3 > s(0)._3)
+  }
+
   test("vocab counts tokens corpus-wide and truncates at minCount") {
     val docs = Seq((0L, "a b a c"), (1L, "a b b")).toDF("doc_id", "text")
     val v = TextAnalysis.vocab(docs, minCount = 2L)
