@@ -40,10 +40,6 @@ object SparkEntry {
     e.unionByName(pert)
   }
 
-  /** Documents with planted within-doc repetition: doc_id % 3 == 0 rows
-    * get their own first 5 words appended (mirrored verbatim in the
-    * ta_repetition / ta_gopher_keep oracles).
-    */
   /** Documents with deterministic planted PII (see the PII oracle CTE). */
   private def piiDocs(s: SparkSession, d: String): DataFrame =
     t(s, d, "documents").withColumn("text", expr(
@@ -53,6 +49,10 @@ object SparkEntry {
         |  IF(doc_id % 11 = 0,
         |     concat(' 555-867-', lpad(CAST(doc_id % 10000 AS STRING), 4, '0')), ''))""".stripMargin))
 
+  /** Documents with planted within-doc repetition: doc_id % 3 == 0 rows
+    * get their own first 5 words appended (mirrored verbatim in the
+    * ta_repetition / ta_gopher_keep oracles).
+    */
   private def repDocs(s: SparkSession, d: String): DataFrame =
     t(s, d, "documents").withColumn("text",
       expr("""IF(doc_id % 3 = 0,

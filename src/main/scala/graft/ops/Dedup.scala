@@ -901,12 +901,17 @@ object Dedup {
     * per-doc join — at web scale that surviving set is the boilerplate,
     * orders of magnitude smaller than the corpus.
     */
-  def chunkDupStats(docs: DataFrame, chunkWords: Int = 10, textCol: String = "text"): DataFrame = {
+  def chunkDupStats(docs: DataFrame, chunkWords: Int = 10, textCol: String = "text",
+      broadcastDups: Boolean = true): DataFrame = {
     val ch = chunks(docs, chunkWords, textCol)
       .select(col("doc_id"), md5(col("chunk")).as("digest"))
-    val dup = ch.groupBy("digest").agg(count(lit(1)).as("cnt"))
+    val dupRaw = ch.groupBy("digest").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") > 1)
       .select(col("digest"), lit(1L).as("isdup"))
+    // the surviving set is the BOILERPLATE, normally ≪ corpus — broadcast
+    // it so the per-doc pass stays a narrow map; flip broadcastDups off
+    // for pathological corpora where duplicated chunks rival the corpus
+    val dup = if (broadcastDups) broadcast(dupRaw) else dupRaw
     ch.join(dup, Seq("digest"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_chunks"),

@@ -217,8 +217,11 @@ object TextAnalysis {
     RepMetrics(n.toLong, dupWordQ3, top2, top2Q3, dup5, dup5Q3)
   }
 
+  // null text -> null metrics, matching the expression form exactly
+  // (split(null) propagates null there); the row-identity contract covers
+  // null rows too (RepetitionSpec)
   private lazy val repKernelUdf =
-    udf((s: String) => repetitionMetrics(if (s == null) "" else s))
+    udf((s: String) => if (s == null) null else repetitionMetrics(s))
 
   /** Kernel form of [[withRepetitionExpr]]: one compiled-Scala pass per row
     * instead of Catalyst higher-order lambda folds (those evaluate
@@ -228,11 +231,13 @@ object TextAnalysis {
     * and RepetitionSpec asserts row-identity between the two.
     */
   def withRepetition(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val tmp = "_graft_rep_tmp"
+    require(!docs.columns.contains(tmp), s"input already has a $tmp column")
     val metricCols = Seq("n_words", "dup_word_frac_q3", "top2_cnt",
       "top2_frac_q3", "dup5_cnt", "dup5_frac_q3")
-    metricCols.foldLeft(docs.withColumn("_rep", repKernelUdf(col(textCol)))) {
-      (df, c) => df.withColumn(c, col(s"_rep.$c"))
-    }.drop("_rep")
+    metricCols.foldLeft(docs.withColumn(tmp, repKernelUdf(col(textCol)))) {
+      (df, c) => df.withColumn(c, col(s"$tmp.$c"))
+    }.drop(tmp)
   }
 
   /** Per-document repetition signals in the style of the Gopher /
@@ -265,7 +270,9 @@ object TextAnalysis {
       .withColumn("dup5_cnt", expr(s"${runStats("g5")}.dup"))
       // fraction of 5-gram positions whose 5-gram repeats within the doc
       .withColumn("dup5_frac_q3",
-        expr("IF(n_words >= 5, dup5_cnt * 1000 div (n_words - 4), 0L)"))
+        expr("""CASE WHEN n_words IS NULL THEN CAST(NULL AS BIGINT)
+               |     WHEN n_words >= 5 THEN dup5_cnt * 1000 div (n_words - 4)
+               |     ELSE 0L END""".stripMargin))
       .drop("w", "bg", "g5")
 
   /** Repetition metric rows only (doc_id + signals). */
@@ -318,11 +325,21 @@ object TextAnalysis {
     * join + per-doc partial agg, no corpus-keyed shuffle beyond doc_id.
     */
   def unigramSurprisal(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // the LM is broadcast-small by this method's own premise, so collect
+    // it ONCE — computing the total via an action and re-deriving the lm
+    // lazily would re-run the corpus-wide token aggregation a second time
+    val lmRows: Array[(String, Long)] =
+      vocab(docs, minCount = 1L, textCol).as[(String, Long)].collect()
     val toks = docs.select(col("doc_id"), explode(words(col(textCol))).as("token"))
-    val lm = vocab(docs, minCount = 1L, textCol)
-    val total = lm.agg(sum("cnt")).collect()(0).getLong(0).toDouble
-    val lmQ = lm.select(col("token"),
-      floor(-log(col("cnt") / total) * 1000).cast("long").as("s_q3"))
+    if (lmRows.isEmpty)
+      return spark.emptyDataset[(Long, Long, Long)]
+        .toDF("doc_id", "n_tok", "surprisal_q3")
+    val total = lmRows.map(_._2).sum.toDouble
+    val lmQ = lmRows.toSeq.map { case (t, cnt) =>
+      (t, math.floor(-math.log(cnt / total) * 1000).toLong)
+    }.toDF("token", "s_q3")
     toks.join(broadcast(lmQ), "token")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tok"), sum("s_q3").as("ll_q3"))

@@ -24,6 +24,33 @@ final class TopKAgg(k: Int) extends Aggregator[ScoredDoc, TopKBuf, TopKBuf] {
   def outputEncoder: Encoder[TopKBuf] = Encoders.product[TopKBuf]
 }
 
+/** Shared posting-block decode memo for BATCHED retrieval: many queries in
+  * one batch walk the same hot term's blocks within a shard, and without
+  * sharing each query re-decodes them (the decode is the bandwidth-bound
+  * part of a hot-term walk). Identity-keyed — blocks are in-memory rows of
+  * the shard being processed; the cache's lifetime is one shard task.
+  * Memory is BOUNDED: once `budgetPostings` decoded postings are retained
+  * (default 512k ≈ tens of MB), further blocks decode transiently like the
+  * uncached path — hot blocks are touched first, so the budget keeps
+  * exactly the re-decode-prone ones. Single-threaded use (one
+  * flatMapGroups group).
+  */
+final class DecodeCache(withPos: Boolean, budgetPostings: Long = 512 * 1024L) {
+  private val m = new java.util.IdentityHashMap[PostingBlock, Array[Posting]]()
+  private var retained = 0L
+  def get(b: PostingBlock): Array[Posting] = {
+    var v = m.get(b)
+    if (v == null) {
+      v = PostingCodec.decodeBlock(b, withPos)
+      if (retained + v.length <= budgetPostings) {
+        m.put(b, v)
+        retained += v.length
+      }
+    }
+    v
+  }
+}
+
 /** A per-term posting cursor over one shard with block-level skipping —
   * blocks decode lazily; firstDoc/lastDoc/maxTf headers drive both skips and
   * block-max score bounds (the chunk/dgap role of reference lib/ii.c:2659,
@@ -33,23 +60,6 @@ final class TopKAgg(k: Int) extends Aggregator[ScoredDoc, TopKBuf, TopKBuf] {
   *                summed in termIdx order in every execution path so WAND and
   *                exhaustive produce bit-identical floats (rank-identity)
   */
-/** Shared posting-block decode memo for BATCHED retrieval: many queries in
-  * one batch walk the same hot term's blocks within a shard, and without
-  * sharing each query re-decodes them (the decode is the bandwidth-bound
-  * part of a hot-term walk). Identity-keyed — blocks are in-memory rows of
-  * the shard being processed; the cache's lifetime is one shard task, so
-  * memory is bounded by that shard's touched postings. Single-threaded use
-  * (one flatMapGroups group).
-  */
-final class DecodeCache(withPos: Boolean) {
-  private val m = new java.util.IdentityHashMap[PostingBlock, Array[Posting]]()
-  def get(b: PostingBlock): Array[Posting] = {
-    var v = m.get(b)
-    if (v == null) { v = PostingCodec.decodeBlock(b, withPos); m.put(b, v) }
-    v
-  }
-}
-
 final class TermCursor(
     val blocks: Array[PostingBlock],
     withPos: Boolean,

@@ -77,7 +77,8 @@ class RepetitionSpec extends AnyFunSuite {
       .select("doc_id", "text")
       .unionByName(Seq(
         (100000L, ""), (100001L, "one"), (100002L, "a a a a a a"),
-        (100003L, "x  y"), (100004L, "tail space ")).toDF("doc_id", "text"))
+        (100003L, "x  y"), (100004L, "tail space "),
+        (100005L, null.asInstanceOf[String])).toDF("doc_id", "text"))
     val k = TextAnalysis.withRepetition(docs)
       .select("doc_id", "n_words", "dup_word_frac_q3", "top2_cnt",
         "top2_frac_q3", "dup5_cnt", "dup5_frac_q3")
