@@ -24,27 +24,32 @@ final class TopKAgg(k: Int) extends Aggregator[ScoredDoc, TopKBuf, TopKBuf] {
   def outputEncoder: Encoder[TopKBuf] = Encoders.product[TopKBuf]
 }
 
-/** Shared posting-block decode memo for BATCHED retrieval: many queries in
-  * one batch walk the same hot term's blocks within a shard, and without
-  * sharing each query re-decodes them (the decode is the bandwidth-bound
-  * part of a hot-term walk). Identity-keyed — blocks are in-memory rows of
-  * the shard being processed; the cache's lifetime is one shard task.
-  * Memory is BOUNDED: once `budgetPostings` decoded postings are retained
-  * (default 512k ≈ tens of MB), further blocks decode transiently like the
-  * uncached path — hot blocks are touched first, so the budget keeps
-  * exactly the re-decode-prone ones. Single-threaded use (one
-  * flatMapGroups group).
+/** Shared posting-block decode memo: repeated walks over the same blocks
+  * (many queries of one batch within a shard task, or a serving node's
+  * repeated hot-term queries) reuse the first decode — the decode is the
+  * bandwidth-bound part of a hot-term walk. Identity-keyed on the
+  * in-memory block rows. Memory is BOUNDED: once `budgetPostings` decoded
+  * postings are retained (default 512k ≈ tens of MB), further blocks
+  * decode transiently like the uncached path — hot blocks are touched
+  * first, so the budget keeps exactly the re-decode-prone ones.
+  * Thread-safe: map access is synchronized, the decode itself runs outside
+  * the lock (two threads racing on a cold block decode twice; the first
+  * insert wins).
   */
 final class DecodeCache(withPos: Boolean, budgetPostings: Long = 512 * 1024L) {
   private val m = new java.util.IdentityHashMap[PostingBlock, Array[Posting]]()
   private var retained = 0L
   def get(b: PostingBlock): Array[Posting] = {
-    var v = m.get(b)
+    var v = synchronized { m.get(b) }
     if (v == null) {
       v = PostingCodec.decodeBlock(b, withPos)
-      if (retained + v.length <= budgetPostings) {
-        m.put(b, v)
-        retained += v.length
+      synchronized {
+        val prev = m.get(b)
+        if (prev != null) v = prev
+        else if (retained + v.length <= budgetPostings) {
+          m.put(b, v)
+          retained += v.length
+        }
       }
     }
     v
