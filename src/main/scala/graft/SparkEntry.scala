@@ -595,6 +595,12 @@ object SparkEntry {
     "ta_vocab" -> ((s, d) =>
       TextAnalysis.vocab(t(s, d, "documents"), minCount = 5L).orderBy("token")),
 
+    // corpus mixing: src0 kept at 25%, src1 at 50%, everything else whole
+    "ta_sample" -> ((s, d) =>
+      TextAnalysis.sampleByHash(t(s, d, "documents"),
+          rates = Map("src0" -> 250, "src1" -> 500))
+        .select("doc_id", "source").orderBy("doc_id")),
+
     // unigram-LM surprisal (the CCNet perplexity-filter core): per-token
     // surprisal quantized BEFORE summation, so the gate is integer-exact
     "ta_surprisal" -> ((s, d) =>
@@ -1485,6 +1491,13 @@ object SparkEntry {
       """SELECT token, CAST(count(*) AS BIGINT) AS cnt
         |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
         |GROUP BY token HAVING count(*) >= 5 ORDER BY token""".stripMargin,
+
+    "ta_sample" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE ('0x' || substr(md5('mix:' || doc_id), 1, 15))::BIGINT % 1000 <
+        |  CASE WHEN source = 'src0' THEN 250
+        |       WHEN source = 'src1' THEN 500 ELSE 1000 END
+        |ORDER BY doc_id""".stripMargin,
 
     "ta_surprisal" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),

@@ -299,6 +299,28 @@ object TextAnalysis {
       .withColumn("split",
         when(col("bucket") < trainPerMille, "train").otherwise("test"))
 
+  /** Deterministic per-group subsampling (corpus mixing / domain
+    * reweighting): keep a row when its md5 bucket — same digest arithmetic
+    * as [[hashSplit]] — falls below the group's per-mille rate. Groups
+    * without an explicit rate keep `defaultPerMille`. Engine-independent
+    * and stable under repartitioning; use a seed DIFFERENT from your
+    * split seed so sampling and splitting stay independent.
+    */
+  def sampleByHash(
+      docs: DataFrame,
+      rates: Map[String, Int],
+      groupCol: String = "source",
+      defaultPerMille: Int = 1000,
+      seed: String = "mix",
+      idCol: String = "doc_id"): DataFrame = {
+    val rate = rates.foldLeft(lit(defaultPerMille)) { case (acc, (g, r)) =>
+      when(col(groupCol) === g, lit(r)).otherwise(acc)
+    }
+    val bucket = expr(
+      s"CAST(conv(substring(md5(concat('$seed', ':', CAST($idCol AS STRING))), 1, 15), 16, 10) AS BIGINT) % 1000")
+    docs.filter(bucket < rate)
+  }
+
   /** Corpus-wide token vocabulary with counts (whitespace tokens),
     * truncated at `minCount` — the vocab/BPE-seed building stage. One
     * shuffle keyed by token with map-side partial aggregation; hot tokens

@@ -117,6 +117,27 @@ class RepetitionSpec extends AnyFunSuite {
     assert(s(2)._3 > s(1)._3 && s(1)._3 > s(0)._3)
   }
 
+  test("sampleByHash: deterministic per-group rates, independent of the split hash") {
+    val docs = (0L until 1000L)
+      .map(i => (i, if (i < 500) "a" else "b")).toDF("doc_id", "source")
+    val kept = TextAnalysis.sampleByHash(docs, Map("a" -> 200))
+      .select("doc_id", "source").as[(Long, String)].collect()
+    val (ka, kb) = (kept.count(_._2 == "a"), kept.count(_._2 == "b"))
+    assert(kb == 500)            // default rate keeps everything
+    assert(ka > 60 && ka < 140)  // ~20% of 500, md5-uniform
+    // deterministic
+    val again = TextAnalysis.sampleByHash(docs, Map("a" -> 200))
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == kept.map(_._1).toSet)
+    // a 50% sample and a 50% split use different seeds -> near-independent
+    val half = TextAnalysis.sampleByHash(docs, Map("a" -> 500, "b" -> 500))
+      .select("doc_id").as[Long].collect().toSet
+    val train = TextAnalysis.hashSplit(docs, trainPerMille = 500)
+      .filter(col("split") === "train").select("doc_id").as[Long].collect().toSet
+    val overlap = (half & train).size.toDouble / 1000.0
+    assert(overlap > 0.15 && overlap < 0.35) // ~25% under independence
+  }
+
   test("vocab counts tokens corpus-wide and truncates at minCount") {
     val docs = Seq((0L, "a b a c"), (1L, "a b b")).toDF("doc_id", "text")
     val v = TextAnalysis.vocab(docs, minCount = 2L)
