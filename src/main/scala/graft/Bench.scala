@@ -126,7 +126,9 @@ object Bench {
       (i.toLong, if (a == b) s"$a $c" else s"$a $b $c")
     }
     val bestQps = scala.collection.mutable.Map[Int, Double]().withDefaultValue(0.0)
-    Seq(cpusN, cpusNN, cpusN, cpusNN).foreach { legCpus =>
+    // one leg per level, best-of-2 in-session reps (the build phase above
+    // already brackets these in time, bounding throttle-burst bias)
+    Seq(cpusN, cpusNN).foreach { legCpus =>
       val s = session(legCpus)
       val rd = new IndexReader(s, buildDir).cacheForServing()
       Engine.bm25TopKBatch(rd, qBatch, 10).count() // warm (footers, JIT)
