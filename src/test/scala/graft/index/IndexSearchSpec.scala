@@ -149,6 +149,28 @@ class IndexSearchSpec extends AnyFunSuite {
     }
   }
 
+  test("bm25TopKBatch ≡ per-query bm25TopK (shared DecodeCache path)") {
+    val rnd = new scala.util.Random(3)
+    val vocab = reader.lexicon.select("term").collect().map(_.getString(0))
+    // repeated hot terms across the batch so the per-shard decode memo is
+    // actually hit (identical blocks served from cache for later queries)
+    val queries = (0 until 40).map { i =>
+      val nTerms = 1 + rnd.nextInt(3)
+      i.toLong -> Seq.fill(nTerms)(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    }
+    val k = 7
+    val batch = Engine.bm25TopKBatch(reader, queries, k).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1)
+      .map { case (qid, rows) => qid -> rows.map(t => (t._2, t._3)).sortBy(x => (-x._2, x._1)).toSeq }
+    queries.foreach { case (qid, q) =>
+      val single = Engine.bm25TopK(reader, q, k).collect().toSeq
+        .sortWith((x, y) => x.score > y.score || (x.score == y.score && x.docId < y.docId))
+        .map(s => (s.docId, s.score))
+      assert(batch.getOrElse(qid, Seq.empty) == single, s"batch != single for [$q]")
+    }
+  }
+
   test("set ops: or/and/andNot/adjust score arithmetic") {
     import spark.implicits._
     val a = Engine.matchScores(reader, "return")
