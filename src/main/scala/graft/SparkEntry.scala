@@ -606,6 +606,13 @@ object SparkEntry {
     "ta_surprisal" -> ((s, d) =>
       TextAnalysis.unigramSurprisal(t(s, d, "documents")).orderBy("doc_id")),
 
+    // capped-LM surprisal: top-10 vocabulary + one OOV bucket carrying the
+    // residual probability mass — the heavy-tail web-vocab path (nothing
+    // uncapped reaches the driver)
+    "ta_surprisal_oov" -> ((s, d) =>
+      TextAnalysis.unigramSurprisal(t(s, d, "documents"), maxVocab = 10)
+        .orderBy("doc_id")),
+
     // PII scan + redaction over deterministically planted addresses
     "ta_pii" -> ((s, d) =>
       TextAnalysis.piiStats(piiDocs(s, d)).orderBy("doc_id")),
@@ -1508,6 +1515,21 @@ object SparkEntry {
         |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tok,
         |  CAST(sum(s_q3) // count(*) AS BIGINT) AS surprisal_q3
         |FROM tok t JOIN lmq USING (token)
+        |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin,
+
+    "ta_surprisal_oov" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |lm AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+        |tt AS (SELECT sum(cnt) AS total FROM lm),
+        |top AS (SELECT token, cnt FROM lm ORDER BY cnt DESC, token LIMIT 10),
+        |oov AS (SELECT CAST(floor(-ln(
+        |  ((SELECT total FROM tt) - (SELECT sum(cnt) FROM top))
+        |    / (SELECT total FROM tt)) * 1000) AS BIGINT) AS s_q3),
+        |lmq AS (SELECT token,
+        |  CAST(floor(-ln(cnt / (SELECT total FROM tt)) * 1000) AS BIGINT) AS s_q3 FROM top)
+        |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+        |  CAST(sum(coalesce(l.s_q3, (SELECT s_q3 FROM oov))) // count(*) AS BIGINT) AS surprisal_q3
+        |FROM tok t LEFT JOIN lmq l USING (token)
         |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin,
 
     "ta_pii" ->

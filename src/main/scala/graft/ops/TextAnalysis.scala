@@ -282,6 +282,14 @@ object TextAnalysis {
 
   // ---- reproducible corpus splitting & vocab ---------------------------
 
+  /** 60-bit md5 bucket of `seed ":" id`, mod 1000 — built with the typed
+    * functions API (not SQL-string splicing), so seeds containing quotes
+    * and idCols needing backticks are safe.
+    */
+  private def md5Bucket(seed: String, idCol: String): Column =
+    conv(substring(md5(concat(lit(seed), lit(":"), col(idCol).cast("string"))),
+      1, 15), 16, 10).cast("long") % 1000
+
   /** Deterministic train/test assignment: bucket = the 60-bit md5 of
     * `seed ":" id` mod 1000; rows with bucket < trainPerMille are "train".
     * Engine-independent (same digest arithmetic as the dedup family),
@@ -294,8 +302,7 @@ object TextAnalysis {
       seed: String = "42",
       idCol: String = "doc_id"): DataFrame =
     docs
-      .withColumn("bucket", expr(
-        s"CAST(conv(substring(md5(concat('$seed', ':', CAST($idCol AS STRING))), 1, 15), 16, 10) AS BIGINT) % 1000"))
+      .withColumn("bucket", md5Bucket(seed, idCol))
       .withColumn("split",
         when(col("bucket") < trainPerMille, "train").otherwise("test"))
 
@@ -316,9 +323,7 @@ object TextAnalysis {
     val rate = rates.foldLeft(lit(defaultPerMille)) { case (acc, (g, r)) =>
       when(col(groupCol) === g, lit(r)).otherwise(acc)
     }
-    val bucket = expr(
-      s"CAST(conv(substring(md5(concat('$seed', ':', CAST($idCol AS STRING))), 1, 15), 16, 10) AS BIGINT) % 1000")
-    docs.filter(bucket < rate)
+    docs.filter(md5Bucket(seed, idCol) < rate)
   }
 
   /** Corpus-wide token vocabulary with counts (whitespace tokens),
@@ -342,31 +347,64 @@ object TextAnalysis {
     * FIRST (`floor(−ln p · 1000)` — a handful of distinct values, stable
     * across engines), and the document mean is integer division of
     * integer sums — so float summation order can never flip a result
-    * bit, the same exactness discipline as every other gate. The LM fits
-    * in a broadcast (vocab ≪ corpus): one narrow explode + broadcast
-    * join + per-doc partial agg, no corpus-keyed shuffle beyond doc_id.
+    * bit, the same exactness discipline as every other gate.
+    *
+    * LM capping (the 100 TB shape): the distinct-token set of raw web
+    * text is itself heavy-tailed (URLs, hex ids, typos — billions of
+    * singletons), so the LM side is capped at `maxVocab` tokens — the
+    * top-K by count with ties broken by token order, so the cap is
+    * deterministic and oracle-reproducible. Out-of-vocabulary tokens
+    * share one OOV bucket carrying the residual probability mass
+    * (p_oov = residual_count / total — the standard <unk> treatment).
+    * Nothing uncapped ever reaches the driver: with `broadcastLm = true`
+    * (default) at most `maxVocab` LM rows are collected and broadcast;
+    * with `broadcastLm = false` the LM stays distributed and the scoring
+    * join is token-keyed (the shape for LMs beyond the broadcast budget —
+    * note the vocab aggregate then re-runs when the result executes,
+    * since the LM cannot be pinned past this call's scope).
     */
-  def unigramSurprisal(docs: DataFrame, textCol: String = "text"): DataFrame = {
+  def unigramSurprisal(
+      docs: DataFrame,
+      textCol: String = "text",
+      maxVocab: Int = 1 << 22,
+      broadcastLm: Boolean = true): DataFrame = {
+    require(maxVocab > 0, "maxVocab must be positive")
     val spark = docs.sparkSession
     import spark.implicits._
-    // the LM is broadcast-small by this method's own premise, so collect
-    // it ONCE — computing the total via an action and re-deriving the lm
-    // lazily would re-run the corpus-wide token aggregation a second time
-    val lmRows: Array[(String, Long)] =
-      vocab(docs, minCount = 1L, textCol).as[(String, Long)].collect()
     val toks = docs.select(col("doc_id"), explode(words(col(textCol))).as("token"))
-    if (lmRows.isEmpty)
-      return spark.emptyDataset[(Long, Long, Long)]
-        .toDF("doc_id", "n_tok", "surprisal_q3")
-    val total = lmRows.map(_._2).sum.toDouble
-    val lmQ = lmRows.toSeq.map { case (t, cnt) =>
-      (t, math.floor(-math.log(cnt / total) * 1000).toLong)
-    }.toDF("token", "s_q3")
-    toks.join(broadcast(lmQ), "token")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tok"), sum("s_q3").as("ll_q3"))
-      .select(col("doc_id"), col("n_tok"),
-        expr("ll_q3 div n_tok").as("surprisal_q3"))
+    val v = vocab(docs, minCount = 1L, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val stats = v.agg(sum("cnt"), count(lit(1))).head()
+      if (stats.isNullAt(0))
+        return spark.emptyDataset[(Long, Long, Long)]
+          .toDF("doc_id", "n_tok", "surprisal_q3")
+      val total = stats.getLong(0)
+      val capped = stats.getLong(1) > maxVocab
+      val top = if (capped) v.orderBy(col("cnt").desc, col("token")).limit(maxVocab) else v
+      def q3(cnt: Long): Long = math.floor(-math.log(cnt.toDouble / total) * 1000).toLong
+      // every excluded token has cnt >= 1, so capped implies residual >= 1
+      val oovQ3: Option[Long] =
+        if (capped) Some(q3(total - top.agg(sum("cnt")).head().getLong(0))) else None
+      val lmQ: DataFrame =
+        if (broadcastLm)
+          // bounded: at most maxVocab LM rows reach the driver
+          broadcast(top.as[(String, Long)].collect().toSeq
+            .map { case (t, c) => (t, q3(c)) }.toDF("token", "s_q3"))
+        else
+          top.select(col("token"),
+            floor(-log(col("cnt").cast("double") / total.toDouble) * 1000)
+              .cast("long").as("s_q3"))
+      val scored = oovQ3 match {
+        case None => toks.join(lmQ, Seq("token"))
+        case Some(o) => toks.join(lmQ, Seq("token"), "left")
+          .withColumn("s_q3", coalesce(col("s_q3"), lit(o)))
+      }
+      scored.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tok"), sum("s_q3").as("ll_q3"))
+        .select(col("doc_id"), col("n_tok"),
+          expr("ll_q3 div n_tok").as("surprisal_q3"))
+    } finally v.unpersist()
   }
 
   // ---- PII scan / redaction --------------------------------------------

@@ -206,4 +206,27 @@ class OpsSpec extends AnyFunSuite {
     val fp = TextAnalysis.fingerprint(docs).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(fp(0L) == fp(3L) && fp(0L) != fp(1L) && fp(0L).length == 16)
   }
+
+  test("capped surprisal: OOV bucket carries residual mass, exact by hand") {
+    // vocab a:3 b:1 c:1, total 5; cap at 1 -> LM {a}, residual 2
+    // s(a) = floor(-ln(3/5)*1000) = 510, s(oov) = floor(-ln(2/5)*1000) = 916
+    // doc: 3*510 + 2*916 = 3362; 3362 div 5 = 672
+    val tiny = Seq((0L, "a a a b c")).toDF("doc_id", "text")
+    val r = TextAnalysis.unigramSurprisal(tiny, maxVocab = 1).collect()(0)
+    assert(r.getLong(1) == 5 && r.getLong(2) == 672)
+  }
+
+  test("surprisal: full-vocab cap is a no-op; shuffle LM path row-identical") {
+    val full = TextAnalysis.unigramSurprisal(docs).orderBy("doc_id").collect().toSeq
+    val big = TextAnalysis.unigramSurprisal(docs, maxVocab = 1 << 20)
+      .orderBy("doc_id").collect().toSeq
+    assert(full == big)
+    for (mv <- Seq(3, 1 << 20)) {
+      val b = TextAnalysis.unigramSurprisal(docs, maxVocab = mv)
+        .orderBy("doc_id").collect().toSeq
+      val s = TextAnalysis.unigramSurprisal(docs, maxVocab = mv, broadcastLm = false)
+        .orderBy("doc_id").collect().toSeq
+      assert(b == s, s"broadcast vs shuffle LM mismatch at maxVocab=$mv")
+    }
+  }
 }
