@@ -679,6 +679,22 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // corpus-global idf over the pruned shard set: a shard-aligned window
+    // ([Jan3, Jan8) = days 2..6) makes the merged per-shard (df, N, avgdl)
+    // EXACTLY the flat single-index stats over the window, so the
+    // flat-table BM25 oracle must reproduce the scores (x10000 quantized)
+    "lf_bm25_global" -> ((s, d) => {
+      val root = shardedDocsWithTs(s, d)
+      graft.command.LogicalSearch.bm25TopK(s, root, "ts",
+        graft.command.Logical.LogicalRange(
+          min = Some(utcTs("2024-01-03T00:00:00Z")),
+          max = Some(utcTs("2024-01-08T00:00:00Z")), maxInclude = false),
+        "spark dup", k = 10, idCol = "doc_id", globalIdf = true)
+        .select(col("docId").as("doc_id"),
+          round(col("score") * 10000).cast("long").as("score_q4"))
+        .orderBy(desc("score_q4"), asc("doc_id"))
+    }),
+
     // logical_range_filter: shard-key-ordered page (offset+limit) out of a
     // two-day window — plans as TakeOrdered over the two pruned shards
     "log_range" -> ((s, d) => graft.command.Logical.rangeFilter(
@@ -1584,6 +1600,24 @@ object SparkEntry {
         |SELECT doc_id, score FROM t
         |WHERE score > 0 AND ((d = 2 AND h >= 6) OR (d BETWEEN 3 AND 6))
         |ORDER BY doc_id""".stripMargin,
+
+    // flat single-index BM25 over the shard-aligned window [Jan3, Jan8)
+    // (= doc_id%10 IN 2..6): the merged cross-shard stats must reproduce it
+    "lf_bm25_global" ->
+      """WITH wd AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 BETWEEN 2 AND 6),
+        |words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM wd),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM words GROUP BY doc_id),
+        |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+        |tf AS (SELECT doc_id, w, count(*) AS tf FROM words
+        |  WHERE w IN ('spark', 'dup') GROUP BY doc_id, w),
+        |dfx AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+        |sc AS (SELECT tf.doc_id,
+        |  sum(ln((n - df + 0.5) / (df + 0.5) + 1.0)
+        |      * tf * (1.2 + 1.0) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))) AS score
+        | FROM tf JOIN dfx USING (w) JOIN dl USING (doc_id) CROSS JOIN stats
+        | GROUP BY tf.doc_id)
+        |SELECT doc_id, CAST(round(score * 10000) AS BIGINT) AS score_q4
+        |FROM sc ORDER BY score_q4 DESC, doc_id LIMIT 10""".stripMargin,
 
     // the logical_* gates run over a day-sharded COPY of events; shard
     // assignment never changes row content, so the flat table is the oracle

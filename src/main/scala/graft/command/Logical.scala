@@ -83,16 +83,17 @@ object Logical {
     * the read side must derive shard names with the SAME zone — a session
     * tz change between write and read would otherwise silently prune
     * shards that hold in-range rows.
+    *
+    * All marker/listing/retention file IO in this object goes through the
+    * Hadoop `FileSystem` API ([[graft.core.Fs]]) so the data root can be
+    * any scheme Spark reads — `file:`, `hdfs:`, `s3a:`, ...
     */
   private def writeMarker(spark: SparkSession, root: String, shardKey: String,
       granularity: String): Unit = {
     val tz = spark.conf.get("spark.sql.session.timeZone")
     val marker =
       s"""{"shardKey":"$shardKey","granularity":"$granularity","timeZone":"$tz"}"""
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(root, "_logical"),
-      marker.getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+    graft.core.Fs.writeString(spark, s"$root/_logical", marker)
   }
 
   /** Continuous ingestion into the sharded layout: a STREAMING DataFrame
@@ -124,32 +125,31 @@ object Logical {
   private val markerCache =
     new java.util.concurrent.ConcurrentHashMap[String, (Long, Marker)]()
 
-  private def markerOf(root: String): Marker = {
-    val p = java.nio.file.Paths.get(root, "_logical")
-    if (!java.nio.file.Files.exists(p)) Marker("day", None)
-    else {
-      val stamp = java.nio.file.Files.getLastModifiedTime(p).toMillis
-      val cached = markerCache.get(root)
-      if (cached != null && cached._1 == stamp) cached._2
-      else {
-        val s = new String(java.nio.file.Files.readAllBytes(p),
-          java.nio.charset.StandardCharsets.UTF_8)
-        val tzR = """"timeZone":"([^"]+)"""".r
-        val m = Marker(
-          if (s.contains("\"month\"")) "month" else "day",
-          tzR.findFirstMatchIn(s).map(_.group(1)))
-        markerCache.put(root, (stamp, m))
-        m
-      }
+  private def markerOf(spark: SparkSession, root: String): Marker = {
+    val path = s"$root/_logical"
+    graft.core.Fs.mtime(spark, path) match {
+      case None => Marker("day", None)
+      case Some(stamp) =>
+        val cached = markerCache.get(root)
+        if (cached != null && cached._1 == stamp) cached._2
+        else {
+          val s = graft.core.Fs.readString(spark, path)
+          val tzR = """"timeZone":"([^"]+)"""".r
+          val m = Marker(
+            if (s.contains("\"month\"")) "month" else "day",
+            tzR.findFirstMatchIn(s).map(_.group(1)))
+          markerCache.put(root, (stamp, m))
+          m
+        }
     }
   }
 
   /** Effective marker for a read: an explicit granularity overrides the
     * recorded one (the tz always comes from the marker when present).
     */
-  private def resolvedMarker(root: String,
+  private def resolvedMarker(spark: SparkSession, root: String,
       granularity: Option[String]): Marker = {
-    val m = markerOf(root)
+    val m = markerOf(spark, root)
     granularity.map(g => m.copy(granularity = g)).getOrElse(m)
   }
 
@@ -248,7 +248,7 @@ object Logical {
   def pruned(spark: SparkSession, root: String, shardKey: String,
       range: LogicalRange = LogicalRange(),
       granularity: Option[String] = None): DataFrame = {
-    val m = resolvedMarker(root, granularity)
+    val m = resolvedMarker(spark, root, granularity)
     val df = table(spark, root)
     val withShards =
       shardPred(spark, df, shardKey, range, m).map(df.where).getOrElse(df)
@@ -265,7 +265,7 @@ object Logical {
       range: LogicalRange = LogicalRange(),
       filter: Option[Column] = None,
       granularity: Option[String] = None): DataFrame = {
-    val m = resolvedMarker(root, granularity)
+    val m = resolvedMarker(spark, root, granularity)
     val df = table(spark, root)
     val counted: DataFrame = (filter, range.min, range.max) match {
       case (None, min, max) if min.isDefined || max.isDefined =>
@@ -356,17 +356,18 @@ object Logical {
   }
 
   /** `logical_shard_list` (reference logical_shard_list.rb): the shard
-    * names in key order — straight off the partition directory listing,
-    * no data read.
+    * names in key order — straight off the partition directory listing
+    * (one `FileSystem.listStatus`, any scheme), no data read.
     */
-  def shardList(root: String): Seq[String] = {
-    val d = new java.io.File(root)
-    if (!d.isDirectory) Seq.empty
-    else d.listFiles.iterator
-      .filter(f => f.isDirectory && f.getName.startsWith(s"$ShardCol="))
-      .map(_.getName.stripPrefix(s"$ShardCol="))
-      .toSeq.sorted
-  }
+  def shardList(spark: SparkSession, root: String): Seq[String] =
+    graft.core.Fs.listDirNames(spark, root)
+      .filter(_.startsWith(s"$ShardCol="))
+      .map(_.stripPrefix(s"$ShardCol="))
+      .sorted
+
+  /** [[shardList]] against the active session's filesystem config. */
+  def shardList(root: String): Seq[String] =
+    shardList(SparkSession.active, root)
 
   private def minusMicro(t: java.sql.Timestamp): java.sql.Timestamp =
     java.sql.Timestamp.from(t.toInstant.minusNanos(1000))
@@ -420,9 +421,9 @@ object Logical {
   def windowPlan(spark: SparkSession, root: String, shardKey: String,
       range: LogicalRange = LogicalRange(),
       granularity: Option[String] = None): (Seq[String], Set[String]) = {
-    val digits = shardList(root).filter(s => s.nonEmpty && s.forall(_.isDigit))
+    val digits = shardList(spark, root).filter(s => s.nonEmpty && s.forall(_.isDigit))
     if (range.min.isEmpty && range.max.isEmpty) return (digits, Set.empty)
-    val m = resolvedMarker(root, granularity)
+    val m = resolvedMarker(spark, root, granularity)
     val ntz = isNtz(table(spark, root), shardKey)
     val lo = loShardName(spark, range, m, ntz)
     val hi = hiShardName(spark, range, m, ntz)
@@ -461,25 +462,22 @@ object Logical {
       granularity: Option[String] = None): Int = {
     require(range.min.isDefined || range.max.isDefined,
       "removeRange needs a bounded range; delete the directory to drop all")
-    val m = resolvedMarker(root, granularity)
+    val m = resolvedMarker(spark, root, granularity)
     val df = table(spark, root)
     val ntz = isNtz(df, shardKey)
     val loB = range.min.map(t => shardOf(spark, t, m, ntz))
     val hiB = range.max.map(t => shardOf(spark, t, m, ntz))
-    def del(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles.foreach(del)
-      f.delete(): Unit
-    }
+    val F = graft.core.Fs
     var dropped = 0
     // digit-only shard names: the null-key partition
     // (__HIVE_DEFAULT_PARTITION__) holds rows whose shard key is NULL —
     // in no range by the inRange contract — and the lexicographic
     // comparison would wrongly cover it on a min-only bound
-    shardList(root).filter(_.forall(_.isDigit)).foreach { s =>
+    shardList(spark, root).filter(_.forall(_.isDigit)).foreach { s =>
       val isBoundary = loB.contains(s) || hiB.contains(s)
       val inShardRange = loB.forall(s >= _) && hiB.forall(s <= _)
       if (inShardRange && !isBoundary) {
-        del(new java.io.File(root, s"$ShardCol=$s")); dropped += 1
+        F.delete(spark, s"$root/$ShardCol=$s"): Unit; dropped += 1
       } else if (isBoundary) {
         // rewrite the boundary shard with its SURVIVORS (rows outside the
         // removal range); an emptied shard is removed outright. Crash-safe
@@ -488,23 +486,25 @@ object Logical {
         // deletes — at no instant are the surviving rows unreachable
         // (dot-dirs are invisible to parquet discovery, so a reader mid-
         // operation sees either the old or the new shard, never half).
-        val shardDir = new java.io.File(root, s"$ShardCol=$s")
-        val rows = spark.read.parquet(shardDir.getPath)
+        // All moves go through FileSystem.rename — atomic on HDFS/POSIX;
+        // on stores without atomic rename the window is the store's own.
+        val shardDir = s"$root/$ShardCol=$s"
+        val rows = spark.read.parquet(shardDir)
         val keep = rows.where(!rowPred(rows, shardKey, range).getOrElse(lit(true)))
-        val tmp = new java.io.File(root, s".rewrite_$s")
-        keep.write.mode("overwrite").parquet(tmp.getPath)
-        val kept = spark.read.parquet(tmp.getPath).limit(1).count() > 0
-        val backup = new java.io.File(root, s".old_$s")
-        if (backup.exists) del(backup)
-        if (!shardDir.renameTo(backup))
+        val tmp = s"$root/.rewrite_$s"
+        keep.write.mode("overwrite").parquet(tmp)
+        val kept = spark.read.parquet(tmp).limit(1).count() > 0
+        val backup = s"$root/.old_$s"
+        if (F.exists(spark, backup)) F.delete(spark, backup): Unit
+        if (!F.rename(spark, shardDir, backup))
           throw new java.io.IOException(s"backup rename failed for shard $s")
         if (kept) {
-          if (!tmp.renameTo(shardDir)) {
-            backup.renameTo(shardDir) // restore; nothing was lost
+          if (!F.rename(spark, tmp, shardDir)) {
+            F.rename(spark, backup, shardDir): Unit // restore; nothing was lost
             throw new java.io.IOException(s"rename failed for shard $s")
           }
-        } else { del(tmp); dropped += 1 }
-        del(backup)
+        } else { F.delete(spark, tmp): Unit; dropped += 1 }
+        F.delete(spark, backup): Unit
       }
     }
     dropped

@@ -57,12 +57,10 @@ object LogicalSearch {
     // digit-named shards only: the null-key partition is unreachable from
     // any windowed search (null shard keys are in no range), so indexing
     // it would be pure wasted work
-    val todo = Logical.shardList(root)
+    val todo = Logical.shardList(spark, root)
       .filter(s => s.nonEmpty && s.forall(_.isDigit))
-      .filter { s =>
-        !java.nio.file.Files.exists(
-          java.nio.file.Paths.get(indexDir(root, s), "manifest.json"))
-      }
+      .filter(s =>
+        !graft.core.Fs.exists(spark, s"${indexDir(root, s)}/manifest.json"))
     todo.foreach { s =>
       val docs = spark.read
         .parquet(s"$root/${Logical.ShardCol}=$s")
@@ -124,24 +122,55 @@ object LogicalSearch {
       .where(col(Logical.ShardCol).cast("string") === shard)
       .select(col(idCol).cast("long").as("docId"))
 
+  /** Merged corpus-wide BM25 statistics over `shards`: N and total tokens
+    * sum over the manifests (already open on their readers), and per-term
+    * df sums over one lexicon-side [[IndexReader.termStats]] per shard —
+    * rows ∝ query terms × shards, never postings. avgdl derives as
+    * totalTokens/numDocs in the SAME double arithmetic a flat single-index
+    * build uses, so scores under merged stats are bit-identical to one
+    * index over the union of the shards' rows.
+    */
+  def corpusStats(spark: SparkSession, root: String, shards: Seq[String],
+      terms: Seq[String]): graft.search.CorpusStats = {
+    val readers = shards.map(s => reader(spark, root, s))
+    val n = readers.map(_.manifest.numDocs).sum
+    val tt = readers.map(_.manifest.totalTokens).sum
+    val df = readers.flatMap(_.termStats(terms).iterator.map {
+      case (t, (d, _)) => t -> d
+    }).groupMapReduce(_._1)(_._2)(_ + _)
+    graft.search.CorpusStats(n, if (n == 0) 0.0 else tt.toDouble / n, df)
+  }
+
   /** Per-shard BM25 top-k over the window, merged globally by
-    * (score desc, docId asc). idf is per-shard (each shard's own df/N),
-    * the same semantics as the reference's per-table indexes — scores are
-    * comparable across shards of similar composition, and exact within a
-    * shard. Boundary trim as in [[search]].
+    * (score desc, docId asc). idf is per-shard by default (each shard's
+    * own df/N), the same semantics as the reference's per-table indexes —
+    * scores are comparable across shards of similar composition, and exact
+    * within a shard. `globalIdf = true` scores every shard under the
+    * MERGED (df, N, avgdl) of the pruned shard set ([[corpusStats]]) —
+    * rank-stable across shards even when term stats drift between days,
+    * and identical to one flat index over the window when the window is
+    * shard-aligned. Boundary trim as in [[search]].
     */
   def bm25TopK(spark: SparkSession, root: String, shardKey: String,
       range: Logical.LogicalRange, query: String, k: Int,
-      idCol: String = "docId"): DataFrame = {
+      idCol: String = "docId", globalIdf: Boolean = false): DataFrame = {
     import spark.implicits._
     val (shards, boundarySet) =
       Logical.windowPlan(spark, root, shardKey, range)
     if (shards.isEmpty)
       return Seq.empty[(Long, Double, String)].toDF("docId", "score", "shard")
+    val stats =
+      if (!globalIdf) None
+      else {
+        val r0 = reader(spark, root, shards.head)
+        val terms =
+          graft.search.Searcher.queryTokens(r0, query).map(_.term).distinct
+        Some(corpusStats(spark, root, shards, terms))
+      }
     val perShard = shards.map { s =>
       val r = reader(spark, root, s)
       if (!boundarySet.contains(s))
-        Engine.bm25TopK(r, query, k)
+        Engine.bm25TopK(r, query, k, corpusStats = stats)
           .toDF("docId", "score").withColumn("shard", lit(s))
       else {
         // boundary: trim to the window BEFORE taking the shard's top-k —
@@ -149,7 +178,8 @@ object LogicalSearch {
         // out-of-window ones. Exhaustive scoring over the shard's matches
         // (cost ∝ one day's matches, the same order as the semi-join)
         // keeps the merge exact.
-        Engine.bm25TopK(r, query, r.manifest.numDocs.toInt, useWand = false)
+        Engine.bm25TopK(r, query, r.manifest.numDocs.toInt, useWand = false,
+            corpusStats = stats)
           .toDF("docId", "score").withColumn("shard", lit(s))
           .join(inWindowIds(spark, root, shardKey, range, s, idCol),
             Seq("docId"), "left_semi")

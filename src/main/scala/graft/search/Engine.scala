@@ -15,6 +15,13 @@ import org.apache.spark.sql.functions._
   * tree-reduce of k-heaps via [[TopKAgg]]. No shuffle touches posting data
   * larger than the per-shard candidate lists.
   */
+/** Corpus-wide BM25 statistics (total docs, global avgdl, per-term df) for
+  * scoring ONE index's postings under GLOBAL idf — merged over a shard set
+  * by [[graft.command.LogicalSearch.corpusStats]].
+  */
+final case class CorpusStats(
+    numDocs: Long, avgDoclen: Double, df: Map[String, Long])
+
 object Engine {
 
   /** Full-text match with reference score semantics:
@@ -86,21 +93,29 @@ object Engine {
       text: String,
       k: Int,
       useWand: Boolean = true,
-      bm25: Bm25 = Bm25()
+      bm25: Bm25 = Bm25(),
+      corpusStats: Option[CorpusStats] = None
   ): Dataset[ScoredDoc] = {
     val spark = reader.spark
     import spark.implicits._
     val qtoks = Searcher.queryTokens(reader, text)
     if (qtoks.isEmpty) return spark.emptyDataset[ScoredDoc]
     val terms = qtoks.map(_.term).distinct
-    val stats = reader.termStats(terms) // tiny: one row per query term
-    val n = reader.manifest.numDocs
-    val avgdl = reader.manifest.avgDoclen
+    // df/N/avgdl default to THIS index's own manifest+lexicon; an explicit
+    // CorpusStats scores these postings under corpus-wide statistics (the
+    // cross-shard-comparable mode of LogicalSearch.bm25TopK)
+    val (n, avgdl, dfOf) = corpusStats match {
+      case Some(cs) => (cs.numDocs, cs.avgDoclen, cs.df)
+      case None =>
+        val stats = reader.termStats(terms) // tiny: one row per query term
+        (reader.manifest.numDocs, reader.manifest.avgDoclen,
+          stats.map { case (t, (df, _)) => t -> df })
+    }
     val withPos = reader.manifest.withPositions
     // stable term order → bit-identical float sums in every path
     val termIdx: Map[String, Int] = terms.zipWithIndex.toMap
     val idfs: Map[String, Double] =
-      terms.map(t => t -> bm25.idf(n, stats.get(t).map(_._1).getOrElse(0L))).toMap
+      terms.map(t => t -> bm25.idf(n, dfOf.getOrElse(t, 0L))).toMap
 
     val delB = reader.deletedBroadcast
     def scoreShard(segRows: Seq[graft.index.SegmentRow],

@@ -258,6 +258,28 @@ class LogicalSpec extends AnyFunSuite {
       rng("2024-01-09T18:00:00Z", max = "2024-01-09T22:00:00Z")) == 1)
   }
 
+  test("explicit file:-scheme root drives the Hadoop FileSystem route") {
+    // same lifecycle as the POSIX tests but through an explicit URI scheme:
+    // marker write/read, listing, count, select paging, and removeRange's
+    // backup/rename dance all resolve via FileSystem, not java.io.File
+    val dir = "file://" + java.nio.file.Files
+      .createTempDirectory("graft_logical_fs_").toString + "/t"
+    Logical.writeSharded(rowsDf, "t", dir)
+    assert(Logical.shardList(spark, dir) == Seq("20240101", "20240102",
+      "20240103", "20240104", "20240201"))
+    assert(Logical.count(spark, dir, "t",
+      rng("2024-01-01T23:59:59Z", max = "2024-01-03T00:00:00Z",
+        maxInc = false)) == 3)
+    assert(Logical.select(spark, dir, "t", rng(max = "2024-01-31T00:00:00Z"),
+      sortKeys = Seq("-v"), limit = 2).select("id")
+      .collect().map(_.getLong(0)).toSeq == Seq(6L, 5L))
+    // boundary rewrite + whole-shard drop through FileSystem.rename/delete
+    assert(Logical.removeRange(spark, dir, "t",
+      rng("2024-01-02T06:00:00Z", max = "2024-01-04T23:59:59Z")) == 2)
+    assert(Logical.table(spark, dir).select("id")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L, 7L))
+  }
+
   test("inRange scalar twin: border semantics") {
     import Logical.inRange
     assert(inRange(5.0, Some(5.0), true, Some(6.0), true))
