@@ -581,6 +581,19 @@ object SparkEntry {
         .select("doc_id").orderBy("doc_id")
     }),
 
+    // normalized contamination: the bench side is planted as a CASE
+    // VARIANT (upper-cased) — raw shingles would match nothing; the
+    // gpt3Normalize hook must recover every hit
+    "dd_contamination_norm" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Dedup.contaminationHits(
+          docs.filter(col("source") =!= "src0"),
+          docs.filter(col("source") === "src0")
+            .withColumn("text", upper(col("text"))),
+          k = 4, normalize = Some(Dedup.gpt3Normalize))
+        .orderBy("doc_id")
+    }),
+
     // CCNet-style chunk-level dedup stats vs the whole corpus (10-word
     // non-overlapping windows; 96 of 500 docs carry duplicated chunks)
     "dd_chunk_dup" -> ((s, d) =>
@@ -1502,6 +1515,23 @@ object SparkEntry {
          |WHERE source <> 'src0'
          |  AND doc_id NOT IN (SELECT cg.doc_id FROM cg JOIN bgm USING (g))
          |ORDER BY doc_id""".stripMargin,
+
+    // bench side planted upper-cased; both sides pass through the GPT-3
+    // normalizer (lower, strip non-[a-z0-9 ], collapse spaces, trim)
+    "dd_contamination_norm" ->
+      """WITH tn AS (SELECT doc_id, source,
+        |  trim(regexp_replace(regexp_replace(lower(
+        |    CASE WHEN source = 'src0' THEN upper(text) ELSE text END),
+        |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS text FROM documents),
+        |t2 AS (SELECT doc_id, source, text, string_split(text, ' ') AS w FROM tn),
+        |cg AS (SELECT t2.doc_id AS doc_id, unnest(CASE WHEN len(w) >= 4
+        |  THEN list_distinct([array_to_string(list_slice(w, i, i + 3), ' ') for i in range(1, len(w) - 2)])
+        |  ELSE [text] END) AS g FROM t2 WHERE source <> 'src0'),
+        |bgm AS (SELECT DISTINCT unnest(CASE WHEN len(w) >= 4
+        |  THEN list_distinct([array_to_string(list_slice(w, i, i + 3), ' ') for i in range(1, len(w) - 2)])
+        |  ELSE [text] END) AS g FROM t2 WHERE source = 'src0')
+        |SELECT cg.doc_id AS doc_id, CAST(count(*) AS BIGINT) AS hit_grams
+        |FROM cg JOIN bgm USING (g) GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
     "ta_split" ->
       """SELECT doc_id,

@@ -38,7 +38,11 @@ object Suggest {
     // straddling pair is always (last event of bucket k, first event of
     // bucket k+1) — a bounded per-(user,bucket) aggregate + an adjacent-
     // bucket self-join, both hash-keyed with map-side combine.
-    val bucketSec = math.max(86400L, sessionGapSec)
+    // The bucket is the SMALLEST the exactness constraint allows (one
+    // hour, or the session gap if larger): a bot putting 10⁸ events into
+    // one single day still spreads over ≥24 partitions, bounding window
+    // width absolutely, not per-day.
+    val bucketSec = math.max(3600L, sessionGapSec)
     val withB = log.withColumn("__b", floor(col("ts") / bucketSec))
     val w = Window.partitionBy("user", "__b").orderBy("ts")
     val inBucket = withB

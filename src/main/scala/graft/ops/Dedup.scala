@@ -848,15 +848,32 @@ object Dedup {
     * never shuffled on content. Set `broadcastBench = false` only when the
     * "benchmark" side is itself corpus-scale.
     */
+  /** The GPT-3 decontamination normalizer (Brown et al. 2020 §C applies
+    * its n-gram rule to lowercased, punctuation-stripped text): lowercase,
+    * replace every character outside [a-z0-9 ] with a space, collapse
+    * space runs, trim. Pure codegen'd string functions — folds into the
+    * shingling map stage at no extra pass.
+    */
+  val gpt3Normalize: Column => Column = c =>
+    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", " "), " +", " "))
+
   def contaminationHits(
       corpus: DataFrame,
       bench: DataFrame,
       k: Int = 5,
       textCol: String = "text",
-      broadcastBench: Boolean = true
+      broadcastBench: Boolean = true,
+      /** Applied to BOTH sides' text before shingling (e.g.
+        * [[gpt3Normalize]]) so case/punctuation variants still match;
+        * None compares raw shingles.
+        */
+      normalize: Option[Column => Column] = None
   ): DataFrame = {
-    val cg = shingles(corpus, textCol, k)
-    val bgRaw = bench.select(explode(gramsExpr(textCol, k)).as("g")).distinct()
+    def norm(df: DataFrame): DataFrame =
+      normalize.map(f => df.withColumn(textCol, f(col(textCol)))).getOrElse(df)
+    val cg = shingles(norm(corpus), textCol, k)
+    val bgRaw = norm(bench)
+      .select(explode(gramsExpr(textCol, k)).as("g")).distinct()
     val bg = if (broadcastBench) broadcast(bgRaw) else bgRaw
     cg.join(bg, "g")
       .groupBy("doc_id")
@@ -871,10 +888,11 @@ object Dedup {
       bench: DataFrame,
       k: Int = 5,
       textCol: String = "text",
-      broadcastBench: Boolean = true
+      broadcastBench: Boolean = true,
+      normalize: Option[Column => Column] = None
   ): DataFrame =
     corpus.join(
-      contaminationHits(corpus, bench, k, textCol, broadcastBench),
+      contaminationHits(corpus, bench, k, textCol, broadcastBench, normalize),
       Seq("doc_id"), "left_anti")
 
   // ---- chunk-level corpus dedup (CCNet-style line dedup analogue) ------

@@ -67,4 +67,26 @@ class SuggestSpec extends AnyFunSuite {
     val plan = Suggest.learn(df, 600L)._2.queryExecution.sparkPlan.toString
     assert(plan.contains("__b"), s"window not bucketed:\n$plan")
   }
+
+  test("single-day bot spreads over sub-day buckets with exact pairs") {
+    // one bot, ALL events inside one day: the hour-bucketed window must
+    // bound each partition at the per-hour volume (not the whole day)
+    // while still producing the naive pair multiset exactly
+    val botLog = (0 until 24).flatMap { h =>
+      (0 until 50).map(i => ("bot", h * 3600L + i * 70L, s"q${(h * 50 + i) % 7}"))
+    }
+    val df = botLog.toDF("user", "ts", "query")
+    val (_, got) = Suggest.learn(df, sessionGapSec = 600L)
+    val expected = botLog.sortBy(_._2).sliding(2).collect {
+      case Seq((_, t1, q1), (_, t2, q2))
+        if t2 - t1 <= 600L && q1 != q2 => (q1, q2)
+    }.toSeq.groupBy(identity).map { case (k, v) => (k._1, k._2, v.size.toLong) }.toSet
+    val gotSet = got.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(gotSet == expected)
+    // partition width is the hour's volume: 24 buckets of 50, never 1200
+    val widths = df.withColumn("__b", org.apache.spark.sql.functions.floor(
+        org.apache.spark.sql.functions.col("ts") / 3600L))
+      .groupBy("user", "__b").count().collect().map(_.getLong(2))
+    assert(widths.length == 24 && widths.forall(_ == 50L))
+  }
 }
