@@ -77,6 +77,11 @@ object Bench {
     val cpusNN = math.max(1, cpus / 16)
     val legPlan = Seq.fill(reps)(Seq(cpus, cpusN, cpusNN)).flatten
     val bestFps = scala.collection.mutable.Map[Int, Double]().withDefaultValue(0.0)
+    // every rep's throughput is RECORDED in the JSON (not just the best):
+    // a throttled leg shows up as visible evidence instead of silently
+    // deflating the headline (round-4 verdict item 1)
+    val legFps = scala.collection.mutable.Map[Int, Vector[Double]]()
+      .withDefaultValue(Vector.empty)
     var lastBuildSec = 0.0
     var lastManifest: graft.index.IndexManifest = null
     val buildDir = s"$buildBase/graft-bench-build"
@@ -99,6 +104,7 @@ object Bench {
             hotTermDf = math.max(1000L, buildN / 8), nSalts = 8))
       }
       val fps = buildN / sec
+      legFps(legCpus) = legFps(legCpus) :+ fps
       if (fps > bestFps(legCpus)) bestFps(legCpus) = fps
       if (legCpus == cpus) { lastBuildSec = sec; lastManifest = manifest }
       System.err.println(f"[bench] build leg local[$legCpus]: $fps%.1f files/s")
@@ -118,7 +124,8 @@ object Bench {
     // queries make the job long enough (~10 s at the low level) that the
     // fixed job-submission overhead stops deflating the fast leg — the r3
     // 256-query figure understated the workload's scalability for exactly
-    // that reason (BASELINE.md §3). Alternating best-of-2 per level.
+    // that reason (BASELINE.md §3). One leg per level, best-of-2
+    // IN-SESSION reps, every rep recorded in the JSON.
     val qBatch = (0 until 1024).map { i =>
       val a = queryTerms(i % queryTerms.size)
       val b = queryTerms((i * 7 + 3) % queryTerms.size)
@@ -126,18 +133,22 @@ object Bench {
       (i.toLong, if (a == b) s"$a $c" else s"$a $b $c")
     }
     val bestQps = scala.collection.mutable.Map[Int, Double]().withDefaultValue(0.0)
-    // one leg per level, best-of-2 in-session reps (the build phase above
-    // already brackets these in time, bounding throttle-burst bias)
+    val qRepQps = scala.collection.mutable.Map[Int, Vector[Double]]()
+      .withDefaultValue(Vector.empty)
+    // one leg per level, best-of-2 in-session reps, each rep recorded
+    // (the build phase above already brackets these in time, bounding
+    // throttle-burst bias; BASELINE.md §3 documents the noise envelope)
     Seq(cpusN, cpusNN).foreach { legCpus =>
       val s = session(legCpus)
       val rd = new IndexReader(s, buildDir).cacheForServing()
       Engine.bm25TopKBatch(rd, qBatch, 10).count() // warm (footers, JIT)
-      val sec = (1 to 2).map { _ =>
-        time(Engine.bm25TopKBatch(rd, qBatch, 10).count())._2
-      }.min
-      val qps = qBatch.size / sec
-      if (qps > bestQps(legCpus)) bestQps(legCpus) = qps
-      System.err.println(f"[bench] query batch leg local[$legCpus]: $qps%.1f qps")
+      (1 to 2).foreach { _ =>
+        val sec = time(Engine.bm25TopKBatch(rd, qBatch, 10).count())._2
+        val qps = qBatch.size / sec
+        qRepQps(legCpus) = qRepQps(legCpus) :+ qps
+        if (qps > bestQps(legCpus)) bestQps(legCpus) = qps
+      }
+      System.err.println(f"[bench] query batch leg local[$legCpus]: ${bestQps(legCpus)}%.1f qps")
       s.stop()
     }
     val qEff = bestQps(cpusN) / bestQps(cpusNN) / (cpusN.toDouble / cpusNN)
@@ -237,31 +248,84 @@ object Bench {
       "ft_bm25_topk", "dd_ngram_jaccard", "dd_lsh_pairs", "sim_topk",
       "ta_quality", "log_count", "log_range", "lf_search",
       "ta_gopher_keep", "dd_contamination", "dd_chunk_dup")
-    // warm once (documents-index open/build, parquet footers, JIT) then
-    // time once: the number measures the OPERATOR, not one-time index
-    // amortization — the same warm-then-measure discipline as the bm25 and
-    // batch phases above (methodology note in BASELINE.md §3)
-    val qTimes = headline.map { name =>
+    // warm once (documents-index open/build, parquet footers, JIT), then
+    // BEST-OF-3 with every rep recorded: the best is the un-throttled
+    // operator cost (same discipline as the bm25 latencies above), and the
+    // rep spread makes a throttle burst visible in the artifact instead of
+    // inflating the headline (round-4: three queries read >2x purely from
+    // single-shot timing on a throttled host)
+    val qReps: Seq[(String, Seq[Double])] = headline.map { name =>
       val fn = SparkEntry.queries(name)
       fn(spark, sfDir).collect()
-      val (_, s) = time(fn(spark, sfDir).collect())
-      name -> s
+      name -> (1 to 3).map(_ => time(fn(spark, sfDir).collect())._2)
     }
+    val qTimes = qReps.map { case (n, rs) => n -> rs.min }
+
+    // ---- composed cleaning pipeline over the synthetic corpus -----------
+    // gopherKeep -> decontaminate -> dedupCorpus -> hashSplit in one run:
+    // pins the COMPOSITION cost the per-operator gates can't see. Each
+    // stage materializes (persist+count) so stage boundaries are real wall
+    // clock, and the previous stage unpersists as soon as its consumer is
+    // materialized. SPARK_GRAFT_CLEAN_N sizes the corpus (default = the
+    // build corpus; the 10x leg is run with 3200000 and recorded in
+    // BASELINE.md). Thresholds are permissive for code text (code repeats
+    // tokens by nature; the default Gopher thresholds are prose-tuned).
+    val cleanN: Long = sys.env.get("SPARK_GRAFT_CLEAN_N").map(_.toLong).getOrElse(buildN)
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.storage.StorageLevel
+    def mat(df: DataFrame): (DataFrame, Long, Double) = {
+      val pdf = df.persist(StorageLevel.MEMORY_AND_DISK)
+      val (n, sec) = time(pdf.count())
+      (pdf, n, sec)
+    }
+    val cleanDocs = {
+      import spark.implicits._
+      spark.range(0, cleanN, 1, 64)
+        .map(i => (i, Corpus.file(42L, i).content)).toDF("doc_id", "text")
+    }
+    val benchSide = cleanDocs.filter(org.apache.spark.sql.functions.col("doc_id") % 1000 === 0)
+    val (gKept, gN, gSec) = mat(graft.ops.TextAnalysis.gopherKeep(cleanDocs,
+      maxDupWordQ3 = 900, maxTop2Q3 = 600, maxDup5Q3 = 600))
+    // k = 13 — the GPT-3 rule's n-gram size (Brown et al. 2020 §C); short
+    // shingles over-fire on code, whose 5-gram idioms repeat corpus-wide
+    val (dcKept, dcN, dcSec) = mat(graft.ops.Dedup.decontaminate(gKept, benchSide, k = 13))
+    gKept.unpersist()
+    val (ddKept, ddN, ddSec) = mat(graft.ops.Dedup.dedupCorpus(dcKept))
+    dcKept.unpersist()
+    val (spOut, spN, spSec) = mat(graft.ops.TextAnalysis.hashSplit(ddKept))
+    ddKept.unpersist(); spOut.unpersist()
+    System.err.println(f"[bench] cleaning pipeline ($cleanN files): gopher $gSec%.1fs/$gN, " +
+      f"decontam $dcSec%.1fs/$dcN, dedup $ddSec%.1fs/$ddN, split $spSec%.1fs/$spN")
 
     val total = lastBuildSec + lats.sum / 1000.0 + qTimes.map(_._2).sum
     val qJson = (qTimes.map { case (k, v) => s""""$k":${f"$v%.3f"}""" } ++
       Seq(s""""index_build":${f"$lastBuildSec%.3f"}"""))
       .mkString("{", ",", "}")
+    def secArr(xs: Seq[Double]): String =
+      xs.map(v => f"$v%.3f").mkString("[", ",", "]")
+    def fpsArr(xs: Seq[Double]): String =
+      xs.map(v => f"$v%.1f").mkString("[", ",", "]")
+    val qRepsJson = qReps.map { case (k, rs) => s""""$k":${secArr(rs)}""" }
+      .mkString("{", ",", "}")
+    val buildLegsJson = Seq(cpus, cpusN, cpusNN)
+      .map(c => s""""$c":${fpsArr(legFps(c))}""").mkString("{", ",", "}")
+    val qScaleRepsJson = Seq(cpusN, cpusNN)
+      .map(c => s""""$c":${fpsArr(qRepQps(c))}""").mkString("{", ",", "}")
+    def stage(sec: Double, n: Long): String = s"""{"sec":${f"$sec%.3f"},"rows":$n}"""
+    val cleaningJson =
+      s"""{"files":$cleanN,"gopher":${stage(gSec, gN)},"decontaminate":${stage(dcSec, dcN)},""" +
+      s""""dedup":${stage(ddSec, ddN)},"split":${stage(spSec, spN)}}"""
     println(
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qJson,"sf":"$sfDir",""" +
         s""""cpus":$cpus,"build":{"files":$buildN,"sec":${f"$lastBuildSec%.3f"},"files_per_sec":${f"${bestFps(cpus)}%.1f"},""" +
         s""""total_tokens":${lastManifest.totalTokens},"num_docs":${lastManifest.numDocs}},""" +
+        s""""build_legs":$buildLegsJson,"query_reps":$qRepsJson,"cleaning":$cleaningJson,""" +
         s""""scaling":{"n_cpus":$cpusNN,"n_files_per_sec":${f"${bestFps(cpusNN)}%.1f"},""" +
         s""""xn_cpus":$cpusN,"xn_files_per_sec":${f"${bestFps(cpusN)}%.1f"},"efficiency":${f"$effLow%.3f"}},""" +
         s""""scaling_capped":{"n_cpus":$cpusN,"xn_cpus":$cpus,""" +
         s""""xn_files_per_sec":${f"${bestFps(cpus)}%.1f"},"efficiency":${f"$effHigh%.3f"},"bandwidth_ceiling":0.51},""" +
         s""""query_scaling":{"n_cpus":$cpusNN,"n_qps":${f"${bestQps(cpusNN)}%.1f"},""" +
-        s""""xn_cpus":$cpusN,"xn_qps":${f"${bestQps(cpusN)}%.1f"},"n_queries":${qBatch.size},"efficiency":${f"$qEff%.3f"}},""" +
+        s""""xn_cpus":$cpusN,"xn_qps":${f"${bestQps(cpusN)}%.1f"},"n_queries":${qBatch.size},"efficiency":${f"$qEff%.3f"},"reps":$qScaleRepsJson},""" +
         s""""bm25":{"n_queries":${bmQueries.size},"p50_ms":${f"${pct(0.5)}%.1f"},"p95_ms":${f"${pct(0.95)}%.1f"}},""" +
         s""""bm25_batch":{"n":${batch.size},"sec":${f"$batchSec%.3f"},"qps":${f"${batch.size / batchSec}%.1f"}},""" +
         s""""bm25_local":{"n_queries":${bmQueries.size},"p50_ms":${f"${lpct(0.5)}%.2f"},"p95_ms":${f"${lpct(0.95)}%.2f"},"qps":${f"${localN / localSec}%.1f"},"qps_mt$mtThreads":${f"${localN / localMtSec}%.1f"}},""" +

@@ -174,17 +174,19 @@ object SparkEntry {
     // geo sort: nearest-50 by great-circle distance to a fixed center
     // (reference grn_geo_distance + sortby 'geo_distance(col, "pt")',
     // lib/geo.c); coordinates derive deterministically from doc_id in both
-    // engines, output sorts on FLOORED meters so float ulps can't reorder,
-    // and the page is TakeOrderedAndProject (no global sort)
+    // engines, output sorts on FLOORED DECAMETERS — coarse enough that a
+    // ULP drift between Math trig and libm trig cannot flip a boundary
+    // (meter-level floors could land exactly on an integer) — and the page
+    // is TakeOrderedAndProject (no global sort)
     "q11_geo_sort" -> ((s, d) => {
       val g = t(s, d, "documents")
         .withColumn("lat", expr("(doc_id * 7919 % 18000) / 100.0 - 90.0"))
         .withColumn("lon", expr("(doc_id * 104729 % 36000) / 100.0 - 180.0"))
       g.select(col("doc_id"),
           floor(graft.functions.TextFunctions.geoDistance(
-            col("lat"), col("lon"), lit(35.68), lit(139.76)))
-            .cast("long").as("dist_m"))
-        .orderBy("dist_m", "doc_id").limit(50)
+            col("lat"), col("lon"), lit(35.68), lit(139.76)) / 10.0)
+            .cast("long").as("dist_dam"))
+        .orderBy("dist_dam", "doc_id").limit(50)
     }),
 
     // ---- full-text engine over the documents index ----
@@ -1049,12 +1051,12 @@ object SparkEntry {
       """WITH g AS (SELECT doc_id,
         |  (doc_id * 7919 % 18000) / 100.0 - 90.0 AS lat,
         |  (doc_id * 104729 % 36000) / 100.0 - 180.0 AS lon FROM documents)
-        |SELECT doc_id, CAST(floor(6371009.0 * 2 * asin(sqrt(
+        |SELECT doc_id, CAST(floor((6371009.0 * 2 * asin(sqrt(
         |    pow(sin(radians(35.68 - lat) / 2), 2) +
         |    cos(radians(lat)) * cos(radians(35.68)) *
         |      pow(sin(radians(139.76 - lon) / 2), 2)
-        |  ))) AS BIGINT) AS dist_m
-        |FROM g ORDER BY dist_m, doc_id LIMIT 50""".stripMargin,
+        |  ))) / 10.0) AS BIGINT) AS dist_dam
+        |FROM g ORDER BY dist_dam, doc_id LIMIT 50""".stripMargin,
 
     "ft_symdiff" ->
       s"""WITH a AS ${tfOf("spark")}, b AS ${tfOf("dup")}

@@ -47,6 +47,21 @@ trait GTokenizer extends Serializable {
     tokenizeNormalized(normalizer(s), mode)
   def tokenizeNormalized(n: Normalized, mode: TokenizeMode): Vector[Token]
 
+  /** Cursor entry point with the pre-tokenized-delimiter feature ENABLED —
+    * the reference's index-build and search token cursors pass
+    * GRN_TOKEN_CURSOR_ENABLE_TOKENIZED_DELIMITER (lib/ii.c:5864,5968,6226;
+    * the intended load behavior per the tokenized_delimiter fixtures'
+    * expectations), so an input containing U+FFFE is pre-tokenized
+    * content. The base (ngram-family) behavior drops the marker and
+    * tokenizes the remaining text normally; [[DelimitTokenizer]] overrides
+    * to emit whole segments. Inputs without the marker take the normal
+    * path unchanged (the reference's have_tokenized_delimiter scan,
+    * lib/tokenizer.c:68-96).
+    */
+  def tokenizeEnabled(s: String, mode: TokenizeMode): Vector[Token] =
+    if (s == null || s.indexOf('\uFFFE') < 0) tokenize(s, mode)
+    else tokenize(s.filter(_ != '\uFFFE'), mode)
+
   /** Add-mode tokenize without per-token allocation — the index-build hot
     * path. Default falls back to the Token path (used by filter chains whose
     * terms are rewritten strings, not spans).
@@ -214,6 +229,36 @@ final class DelimitTokenizer(val normalizer: String => Normalized) extends GToke
 
   override def tokenizeAddNormalized(nz: Normalized, sink: AddSink): Unit =
     emitTokens(nz)((i, end, pos) => sink.acceptSpan(i, end, pos))
+
+  /** U+FFFE pre-tokenized content: each non-empty delimiter-separated
+    * segment is ONE whole token with interior blanks KEPT — the fixture's
+    * "Kurosawa Akira" stays a single tag (reference
+    * grn_tokenizer_tokenized_delimiter_next, lib/tokenizer.c:252-289,
+    * via delimited_next's have_tokenized_delimiter branch,
+    * lib/tokenizers.c:160-171). Segments normalize blank-keeping when
+    * this tokenizer normalizes at all.
+    */
+  override def tokenizeEnabled(s: String, mode: TokenizeMode): Vector[Token] =
+    if (s == null || s.indexOf('\uFFFE') < 0) tokenize(s, mode)
+    else {
+      val out = Vector.newBuilder[Token]
+      var pos = 0
+      s.split('\uFFFE').foreach { seg =>
+        if (seg.nonEmpty) {
+          // keys keep interior blanks: blank-keeping auto form when this
+          // tokenizer normalizes, the raw segment otherwise (Normalizer
+          // .none's .text would drop the blanks a tag key must keep)
+          val v =
+            if (normalizer eq Normalizer.AutoFn) Normalizer.autoKeepBlank(seg).text
+            else seg
+          if (v.nonEmpty) {
+            out += Token(v, pos, forcePrefix = false, 0, 0)
+            pos += 1
+          }
+        }
+      }
+      out.result()
+    }
 
   private def emitTokens(nz: Normalized)(f: (Int, Int, Int) => Unit): Unit = {
     val e = nz.length

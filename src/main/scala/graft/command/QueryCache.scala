@@ -91,6 +91,18 @@ object QueryCache {
     lru.clear(); nHit = 0L; nMiss = 0L; nOversized = 0L; totalBytes = 0L
   }
 
+  /** `cache_limit` (reference lib/proc.c cache_limit command): set the
+    * byte budget — evicting immediately to fit — and return the PREVIOUS
+    * budget, the reference command's reply shape.
+    */
+  def setMaxBytes(b: Long): Long = lru.synchronized {
+    require(b > 0, s"cache byte budget must be positive, got $b")
+    val prev = maxBytes
+    maxBytes = b
+    evictToBudget()
+    prev
+  }
+
   /** One-row ops snapshot of the result cache — hit/miss/refusal counts
     * and budget occupancy (the reference's status command reports its
     * grn_cache the same way).

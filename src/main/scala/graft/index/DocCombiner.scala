@@ -175,6 +175,15 @@ object DocCombiner {
       docId: Long,
       content: String
   ): Array[(String, Long, Int, Array[Int])] = {
+    if (content.indexOf('\uFFFE') >= 0) {
+      // pre-tokenized content: the build cursor honors the U+FFFE
+      // delimiter (GTokenizer.tokenizeEnabled) — the rare-doc allocating
+      // Token path; the scan costs one indexOf on the common path
+      val toks = tok.tokenizeEnabled(content, graft.analysis.TokenizeMode.Add)
+      comb.reset(tok.normalizeWith("", comb.scratch))
+      toks.foreach(t => comb.acceptTerm(t.term, t.pos))
+      return comb.result(docId)
+    }
     val nz = tok.normalizeWith(content, comb.scratch)
     comb.reset(nz)
     tok.tokenizeAddNormalized(nz, comb)

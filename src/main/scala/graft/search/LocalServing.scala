@@ -35,6 +35,7 @@ final class LocalServing(
     maxCachedBytes: Long = 256L << 20
 ) {
   require(maxCachedBytes > 0, "maxCachedBytes must be positive")
+  LocalServing.register(this)
 
   /** Cached postings of one term: per-shard merged (salt-combined) blocks. */
   private final class Entry(val perShard: Array[(Int, Array[PostingBlock])], val bytes: Long)
@@ -195,5 +196,26 @@ final class LocalServing(
     val spark = reader.spark
     import spark.implicits._
     spark.createDataset(bm25TopK(text, k, bm25))
+  }
+}
+
+object LocalServing {
+  // live instances for the SQL metrics surface (graft_metrics()): weak
+  // keys, so a dropped serving instance unregisters via GC — the registry
+  // never pins a retired reader or its session
+  private val live = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[LocalServing, String]())
+
+  private[search] def register(s: LocalServing): Unit =
+    live.put(s, s.reader.dir): Unit
+
+  /** (indexDir, instance) snapshot of the live serving instances. */
+  def liveInstances: Seq[(String, LocalServing)] = {
+    val out = Seq.newBuilder[(String, LocalServing)]
+    live.synchronized {
+      val it = live.entrySet().iterator()
+      while (it.hasNext) { val e = it.next(); out += ((e.getValue, e.getKey)) }
+    }
+    out.result().sortBy(_._1)
   }
 }

@@ -39,8 +39,11 @@ object Searcher {
 
   /** Tokenize query text in GET mode against the index's analysis chain. */
   def queryTokens(reader: IndexReader, text: String): Seq[QTok] = {
+    // tokenizeEnabled: search cursors honor the U+FFFE pre-tokenized
+    // delimiter (reference token_info_build opens its cursor with
+    // ENABLE_TOKENIZED_DELIMITER, lib/ii.c:5864)
     Tokenizers.byName(reader.manifest.tokenizerName)
-      .tokenize(text, TokenizeMode.Get)
+      .tokenizeEnabled(text, TokenizeMode.Get)
       .map(t => QTok(t.term, t.pos))
   }
 

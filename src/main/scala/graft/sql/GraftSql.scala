@@ -256,6 +256,71 @@ object GraftSql {
         .queryExecution.analyzed
     })
 
+  private def litLong(e: Expression, fn: String, what: String): Long = {
+    require(e.foldable, s"$fn: $what must be an integer literal, got $e")
+    e.eval() match {
+      case l: Long => l
+      case i: Int => i.toLong
+      case s: Short => s.toLong
+      case b: Byte => b.toLong
+      case other => throw new IllegalArgumentException(
+        s"$fn: $what must be an integer literal, got $other")
+    }
+  }
+
+  /** `graft_cache_limit([bytes])` — the reference `cache_limit` command
+    * (lib/proc.c registration over grn_cache): with an argument, sets the
+    * query-result cache's byte budget (evicting immediately to fit);
+    * always returns one row (prev_max_bytes, max_bytes) — the reference
+    * replies with the previous limit the same way.
+    */
+  val cacheLimitTvfDescription: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) = (
+    FunctionIdentifier("graft_cache_limit"),
+    new ExpressionInfo(GraftSql.getClass.getCanonicalName, "graft_cache_limit"),
+    (args: Seq[Expression]) => {
+      require(args.length <= 1,
+        s"graft_cache_limit([bytes]) takes 0-1 arguments, got ${args.length}")
+      val spark = SparkSession.active
+      import spark.implicits._
+      val prev = args.headOption match {
+        case Some(a) => graft.command.QueryCache.setMaxBytes(
+          litLong(a, "graft_cache_limit", "bytes"))
+        case None => graft.command.QueryCache.maxBytes
+      }
+      Seq((prev, graft.command.QueryCache.maxBytes))
+        .toDF("prev_max_bytes", "max_bytes")
+        .queryExecution.analyzed
+    })
+
+  /** `graft_metrics()` — ops snapshot of the serving surfaces as one SQL
+    * table (the reference's `status` command role): a `query_cache` row
+    * ([[graft.command.QueryCache.metricsDF]]) plus one `serving:<dir>` row
+    * per live [[graft.search.LocalServing]] instance. Unified columns;
+    * -1 marks a metric a component does not track.
+    */
+  val metricsTvfDescription: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) = (
+    FunctionIdentifier("graft_metrics"),
+    new ExpressionInfo(GraftSql.getClass.getCanonicalName, "graft_metrics"),
+    (args: Seq[Expression]) => {
+      require(args.isEmpty, s"graft_metrics() takes no arguments, got ${args.length}")
+      val spark = SparkSession.active
+      import spark.implicits._
+      val qc = {
+        val r = graft.command.QueryCache.metricsDF(spark).head()
+        ("query_cache", r.getLong(0), r.getLong(1), -1L, r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5))
+      }
+      val serving = graft.search.LocalServing.liveInstances.map {
+        case (dir, s) =>
+          (s"serving:$dir", s.hits, s.misses, s.fallbacks,
+            s.oversizedTerms.toLong, -1L, s.cachedBytesNow, -1L)
+      }
+      (qc +: serving)
+        .toDF("component", "hits", "misses", "fallbacks", "oversized",
+          "entries", "bytes", "max_bytes")
+        .queryExecution.analyzed
+    })
+
   /** Install on a LIVE session: registers `graft_match` + the scored TVFs
     * + the Groonga scalar/geo UDF families (`edit_distance`, `html_untag`,
     * `string_length`, `fuzzy_search`, `prefix_rk_search`, `geo_distance`,
@@ -274,7 +339,8 @@ object GraftSql {
     val (ident, info, builder) = functionDescription
     cs.sessionState.functionRegistry.registerFunction(ident, info, builder)
     for ((i, nfo, b) <- Seq(searchTvfDescription, bm25TvfDescription,
-      logicalCountTvfDescription, logicalRangeTvfDescription))
+      logicalCountTvfDescription, logicalRangeTvfDescription,
+      cacheLimitTvfDescription, metricsTvfDescription))
       cs.sessionState.tableFunctionRegistry.registerFunction(i, nfo, b)
     graft.functions.GrnScalars.register(spark)
     graft.functions.GrnGeo.register(spark)
@@ -399,6 +465,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction(GraftSql.bm25TvfDescription)
     ext.injectTableFunction(GraftSql.logicalCountTvfDescription)
     ext.injectTableFunction(GraftSql.logicalRangeTvfDescription)
+    ext.injectTableFunction(GraftSql.cacheLimitTvfDescription)
+    ext.injectTableFunction(GraftSql.metricsTvfDescription)
     ext.injectOptimizerRule(s => IndexMatchRewrite(s))
   }
 }

@@ -110,4 +110,24 @@ class TokenizerSpec extends AnyFunSuite {
     assert(ts(0).startOff == 0 && ts(0).endOff == 3)
     assert(ts(1).startOff == 4 && ts(1).endOff == 7)
   }
+
+  test("U+FFFE pre-tokenized delimiter (tokenizeEnabled)") {
+    // ngram family: marker stripped, remaining text tokenizes normally
+    // (reference fixture table_create/default_tokenizer/bigram/
+    // tokenized_delimiter — "Th\uFFFEis is a p\uFFFEen." indexes as the
+    // bigrams of "This is a pen.")
+    assert(posed(bigram.tokenizeEnabled("Th\uFFFEis a p\uFFFEen.", Add)) ==
+      posed(bigram.tokenize("This a pen.", Add)))
+    // delimit: each segment is ONE token, interior blanks kept
+    assert(delimit.tokenizeEnabled(
+      "Samurai\uFFFEKurosawa Akira\uFFFE\uFFFEJapan", Add).map(_.term) ==
+      Vector("samurai", "kurosawa akira", "japan"))
+    // raw (:none) variant keeps case and blanks
+    assert(Tokenizers.byName("TokenDelimit:none").tokenizeEnabled(
+      "Samurai\uFFFEKurosawa Akira", Add).map(_.term) ==
+      Vector("Samurai", "Kurosawa Akira"))
+    // no marker -> identical to the plain path
+    assert(posed(delimit.tokenizeEnabled("a b", Add)) ==
+      posed(delimit.tokenize("a b", Add)))
+  }
 }

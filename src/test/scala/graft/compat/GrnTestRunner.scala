@@ -199,6 +199,12 @@ object GrnTestRunner {
         cmds += COnError(line.stripPrefix("#@on-error ").trim == "omit")
       }
       else if (line.startsWith("#@omit")) {
+        val reason = line.stripPrefix("#@omit").trim
+        // the U+FFFE pre-tokenized delimiter IS implemented in this model
+        // (GTokenizer.tokenizeEnabled), so fixtures the reference omits
+        // only for that limitation run — and must pass — here
+        if (reason.contains("tokenized delimiter is disabled")) ()
+        else
         // unconditional grntest omit pragma (fixture documents a known
         // reference limitation; the .expected is not authoritative)
         throw new OmittedFixture(line.stripPrefix("#@omit").trim)
@@ -1104,7 +1110,8 @@ object GrnTestRunner {
                 case (Some(lex), Some(src)) =>
                   src.rows.foreach { m =>
                     lexiconAdd(lex, (if (ix.srcCol == "_key") m.get("_key")
-                      else m.get(ix.srcCol)).orNull)
+                      else m.get(ix.srcCol)).orNull,
+                      src.columns.get(ix.srcCol))
                   }
                   deadLexTerms -= ix.lexicon
                 case _ => ()
@@ -1565,7 +1572,8 @@ object GrnTestRunner {
                 case (Some(lex), Some(srcTd)) =>
                   srcTd.rows.foreach { m =>
                     lexiconAdd(lex,
-                      (if (src == "_key") m.get("_key") else m.get(src)).orNull)
+                      (if (src == "_key") m.get("_key") else m.get(src)).orNull,
+                      srcTd.columns.get(src))
                   }
                 case _ => ()
               }
@@ -1738,7 +1746,8 @@ object GrnTestRunner {
             indexes.filter(_.srcTable == table).foreach { ix =>
               tables.get(ix.lexicon).foreach { lex =>
                 lexiconAdd(lex,
-                  (if (ix.srcCol == "_key") m.get("_key") else m.get(ix.srcCol)).orNull)
+                  (if (ix.srcCol == "_key") m.get("_key") else m.get(ix.srcCol)).orNull,
+                  tables.get(table).flatMap(_.columns.get(ix.srcCol)))
               }
             }
             // suggest learner: loading into event_<dataset> runs
@@ -1810,8 +1819,13 @@ object GrnTestRunner {
 
   // --------------------------------------------------------------- typing
 
+  /** KEY normalization of a KEY_NORMALIZE table: blanks KEPT — the
+    * reference normalizes keys without GRN_STRING_REMOVE_BLANK
+    * (grn_table_add path), so "Kurosawa Akira" keys as "kurosawa akira".
+    */
   private def normOf(td: TableDef): Option[String => String] =
-    td.normalizer.map(_ => (s: String) => if (s == null) null else Normalizer.auto(s).text)
+    td.normalizer.map(_ =>
+      (s: String) => if (s == null) null else Normalizer.autoKeepBlank(s).text)
 
   /** `--each 'dst = geo_distance(src, "POINT")'` assignment form. */
   private val eachGeoRe =
@@ -1892,7 +1906,7 @@ object GrnTestRunner {
         val lex = tables(range)
         val tok = graft.analysis.Tokenizers.byName(lexTokName(lex))
         val out = nf.arrayNode()
-        tok.tokenize(n.asText, graft.analysis.TokenizeMode.Add)
+        tok.tokenizeEnabled(n.asText, graft.analysis.TokenizeMode.Add)
           .foreach(t => out.add(nf.textNode(t.term)))
         out
       } else n
@@ -3448,22 +3462,35 @@ object GrnTestRunner {
     * reference grn_ii_column_update): tokens become lexicon keys in
     * first-appearance order; existing keys are untouched.
     */
-  private def lexiconAdd(lex: TableDef, node: JsonNode): Unit = {
+  private def lexiconAdd(lex: TableDef, node: JsonNode,
+      srcColType: Option[String] = None): Unit = {
     if (node == null || node.isNull || !lex.keyed) return
     val vals: Seq[String] =
       if (node.isArray) node.elements().asScala.map(_.asText).toSeq
       else if (node.isObject) node.fieldNames().asScala.toSeq
       else Seq(node.asText)
     if (vals.isEmpty) return
-    val tok = lex.tokenizer.map(_ =>
+    // a source column whose RANGE is this lexicon holds REFERENCES: its
+    // values are keys (tokenized once at string->vector cast time —
+    // reference db.c:7007-7021 builds a uvector of ids), never
+    // re-tokenized text ("Kurosawa Akira" stays one tag key)
+    val asKeys = srcColType.contains(lex.name)
+    val tok = if (asKeys) None else lex.tokenizer.map(_ =>
       graft.analysis.Tokenizers.byName(lexTokName(lex)))
+    // key normalization keeps interior blanks (PAT keys like
+    // "kurosawa akira"), unlike the token-side normalizer
+    val keyNorm: String => String =
+      if (lex.normalizer.isDefined)
+        (v: String) => graft.analysis.Normalizer.autoKeepBlank(v).text
+      else identity
     val norm = normOf(lex)
     val known = mutable.Set[String](
       lex.rows.flatMap(_.get("_key")).map(_.asText).toSeq: _*)
     vals.filter(_.nonEmpty).foreach { v =>
       val terms = tok match {
         case Some(t) =>
-          t.tokenize(v, graft.analysis.TokenizeMode.Add).map(_.term)
+          t.tokenizeEnabled(v, graft.analysis.TokenizeMode.Add).map(_.term)
+        case None if asKeys => Seq(keyNorm(v))
         case None => Seq(norm.map(_(v)).getOrElse(v))
       }
       terms.foreach { t =>
@@ -3501,10 +3528,14 @@ object GrnTestRunner {
               else if (node.isArray) node.elements().asScala.map(_.asText).toSeq
               else if (node.isObject) node.fieldNames().asScala.toSeq
               else Seq(node.asText)
+            val refCol = // reference columns: values are keys (see lexiconAdd)
+              src.columns.get(ix.srcCol).contains(tableName)
             vals.filter(_.nonEmpty).foreach { v =>
-              tok match {
+              (if (refCol) None else tok) match {
                 case Some(t) =>
-                  t.tokenize(v, graft.analysis.TokenizeMode.Add).foreach(seen += _.term)
+                  t.tokenizeEnabled(v, graft.analysis.TokenizeMode.Add).foreach(seen += _.term)
+                case None if refCol => seen += (if (td.normalizer.isDefined)
+                  graft.analysis.Normalizer.autoKeepBlank(v).text else v)
                 case None => seen += norm.map(_(v)).getOrElse(v)
               }
             }
@@ -4132,11 +4163,15 @@ object GrnTestRunner {
                     else if (node.isArray) node.elements().asScala.map(_.asText).toSeq
                     else if (node.isObject) node.fieldNames().asScala.toSeq
                     else Seq(node.asText)
+                  val refCol = // reference columns: values are keys
+                    src.columns.get(ix.srcCol).contains(tableName)
                   val terms = mutable.Set[String]()
                   vals.filter(_.nonEmpty).foreach { v =>
-                    tok match {
-                      case Some(t) => t.tokenize(v, graft.analysis.TokenizeMode.Add)
+                    (if (refCol) None else tok) match {
+                      case Some(t) => t.tokenizeEnabled(v, graft.analysis.TokenizeMode.Add)
                         .foreach(tk => terms += tk.term)
+                      case None if refCol => terms += (if (td.normalizer.isDefined)
+                        graft.analysis.Normalizer.autoKeepBlank(v).text else v)
                       case None => terms += norm.map(_(v)).getOrElse(v)
                     }
                   }

@@ -272,6 +272,41 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(msgs(e).exists(_.contains("no index at")), s"unexpected error: $e")
   }
 
+  test("graft_cache_limit sets the budget and replies with the previous") {
+    installAndView()
+    val before = graft.command.QueryCache.maxBytes
+    try {
+      val r0 = spark.sql("SELECT * FROM graft_cache_limit()").head()
+      assert(r0.getLong(0) == before && r0.getLong(1) == before)
+      val r1 = spark.sql("SELECT * FROM graft_cache_limit(1048576)").head()
+      assert(r1.getLong(0) == before && r1.getLong(1) == 1048576L)
+      assert(graft.command.QueryCache.maxBytes == 1048576L)
+      // non-positive budgets are rejected, budget unchanged
+      intercept[Throwable] {
+        spark.sql("SELECT * FROM graft_cache_limit(0)").collect()
+      }
+      assert(graft.command.QueryCache.maxBytes == 1048576L)
+    } finally graft.command.QueryCache.setMaxBytes(before): Unit
+  }
+
+  test("graft_metrics reports the query cache and live serving instances") {
+    installAndView()
+    val serving = new graft.search.LocalServing(reader)
+    val rows = spark.sql("SELECT * FROM graft_metrics()").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.contains("query_cache"))
+    val qc = rows("query_cache")
+    assert(qc.getLong(7) == graft.command.QueryCache.maxBytes)
+    val sKey = s"serving:$dir"
+    assert(rows.contains(sKey), s"serving row missing: ${rows.keys}")
+    // exercise the serving path; the counters must move in the next snapshot
+    serving.bm25TopK("banana", 1): Unit
+    val after = spark.sql(
+      s"SELECT hits + misses FROM graft_metrics() WHERE component = '$sKey'")
+      .head().getLong(0)
+    assert(after >= 1L, s"serving counters did not move: $after")
+  }
+
   test("config-route extensions session rewrites too (injectOptimizerRule)") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext)
