@@ -78,4 +78,31 @@ object Fs {
     val (f, p) = fs(spark, src)
     f.rename(p, new Path(dst))
   }
+
+  /** (child file count, total child bytes) of `path`'s immediate entries;
+    * (0, 0) when the path is missing — the deletes-sidecar fingerprint
+    * shape (tombstone appends change count/bytes without touching any
+    * manifest).
+    */
+  def dirStats(spark: SparkSession, path: String): (Long, Long) = {
+    val (f, p) = fs(spark, path)
+    if (!f.exists(p)) (0L, 0L)
+    else {
+      var n = 0L; var bytes = 0L
+      f.listStatus(p).foreach { st => n += 1; bytes += st.getLen }
+      (n, bytes)
+    }
+  }
+
+  /** (modification time millis, length) of a file; None when missing. */
+  def mtimeAndSize(spark: SparkSession, path: String): Option[(Long, Long)] = {
+    val (f, p) = fs(spark, path)
+    if (!f.exists(p)) None
+    else { val st = f.getFileStatus(p); Some((st.getModificationTime, st.getLen)) }
+  }
+
+  def mkdirs(spark: SparkSession, path: String): Unit = {
+    val (f, p) = fs(spark, path)
+    f.mkdirs(p): Unit
+  }
 }

@@ -2,7 +2,6 @@ package graft.index
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import java.nio.file.{Files, Paths}
 
 /** Record deletion — Groonga's `delete` / `truncate` commands (reference
   * lib/proc.c:5207-5211, grn_ii_truncate lib/grn_ii.h:171) re-expressed
@@ -46,7 +45,7 @@ object Deletes {
 
   private[index] def deletedIdsDf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    if (Files.exists(Paths.get(dir, "deletes")))
+    if (graft.core.Fs.exists(spark, s"$dir/deletes"))
       spark.read.parquet(s"$dir/deletes").select("docId").distinct()
     else spark.emptyDataset[Long].toDF("docId")
   }

@@ -5,7 +5,6 @@ import graft.codec.{PostingCodec, PostingBlock}
 import graft.core.{Posting, Sha256}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession, SaveMode}
 import org.apache.spark.sql.functions._
-import java.nio.file.{Files, Paths, Path}
 
 /** Build configuration.
   *
@@ -147,13 +146,15 @@ object IndexBuilder {
     */
   def build(spark: SparkSession, docsIn: DataFrame, dir: String, cfg: IndexConfig): IndexManifest = {
     import spark.implicits._
-    val base = Paths.get(dir)
-    Files.createDirectories(base)
+    // sidecar files (stage markers, hot terms, manifest) go through the
+    // Hadoop FileSystem API so the index dir can be file:/hdfs:/s3a:
+    val F = graft.core.Fs
+    F.mkdirs(spark, dir)
 
-    def stageDone(name: String): Boolean = Files.exists(base.resolve(s"_stage_$name.done"))
+    def stageDone(name: String): Boolean = F.exists(spark, s"$dir/_stage_$name.done")
     def markDone(name: String, payload: String = "ok"): Unit =
-      Files.writeString(base.resolve(s"_stage_$name.done"), payload)
-    def stagePayload(name: String): String = Files.readString(base.resolve(s"_stage_$name.done"))
+      F.writeString(spark, s"$dir/_stage_$name.done", payload)
+    def stagePayload(name: String): String = F.readString(spark, s"$dir/_stage_$name.done")
     var tLast = System.nanoTime()
     def lap(what: String): Unit = {
       val t = System.nanoTime()
@@ -259,7 +260,7 @@ object IndexBuilder {
       val lex = spark.read.parquet(s"$dir/lexicon")
       val hotTerms: Array[String] =
         lex.filter(col("df") >= cfg.hotTermDf).select("term").as[String].collect().sorted
-      Files.writeString(base.resolve("_hot_terms"), hotTerms.mkString("\n"))
+      F.writeString(spark, s"$dir/_hot_terms", hotTerms.mkString("\n"))
       lap("hot terms from lexicon")
 
       // norms sidecar: doclen per doc, computed by a dedicated counting pass
@@ -306,8 +307,9 @@ object IndexBuilder {
     val tokStats = spark.read.parquet(s"$dir/lexicon").agg(sum("cf")).collect()(0)
     val totalTokens = if (tokStats.isNullAt(0)) 0L else tokStats.getLong(0)
     val hotTerms: Array[String] = {
-      val p = base.resolve("_hot_terms")
-      if (Files.exists(p)) Files.readString(p).split("\n").filter(_.nonEmpty) else Array.empty
+      val p = s"$dir/_hot_terms"
+      if (F.exists(spark, p)) F.readString(spark, p).split("\n").filter(_.nonEmpty)
+      else Array.empty
     }
     val manifest = IndexManifest(
       numDocs = numDocs,
@@ -322,7 +324,7 @@ object IndexBuilder {
       stagesDone = Seq("docs", "lexicon", "norms", "segments")
     )
     lap("stage manifest stats")
-    Files.writeString(base.resolve("manifest.json"), IndexManifest.toJson(manifest))
+    F.writeString(spark, s"$dir/manifest.json", IndexManifest.toJson(manifest))
     manifest
   }
 
@@ -437,8 +439,7 @@ object IndexBuilder {
       cfg: IndexConfig
   ): IndexManifest = {
     import spark.implicits._
-    val base = Paths.get(dir)
-    Files.createDirectories(base)
+    graft.core.Fs.mkdirs(spark, dir)
     var postings = postingsIn
     if (!postings.columns.contains("positions"))
       postings = postings.withColumn("positions", array().cast("array<int>"))
@@ -503,7 +504,7 @@ object IndexBuilder {
       // what produced them, so the scan-verify escape must stay off
       builtFromContent = false
     )
-    Files.writeString(base.resolve("manifest.json"), IndexManifest.toJson(manifest))
+    graft.core.Fs.writeString(spark, s"$dir/manifest.json", IndexManifest.toJson(manifest))
     manifest
   }
 

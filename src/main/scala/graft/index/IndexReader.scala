@@ -2,13 +2,15 @@ package graft.index
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import java.nio.file.{Files, Paths}
-
-/** Read-side handle over a built index directory. */
+/** Read-side handle over a built index directory. Sidecar file IO
+  * (manifest, deletes fingerprint) goes through the Hadoop FileSystem
+  * API ([[graft.core.Fs]]) so the index dir can be any scheme Spark
+  * reads — `file:`, `hdfs:`, `s3a:`, ...
+  */
 class IndexReader(val spark: SparkSession, val dir: String) extends Serializable {
 
   val manifest: IndexManifest =
-    IndexManifest.fromJson(Files.readString(Paths.get(dir, "manifest.json")))
+    IndexManifest.fromJson(graft.core.Fs.readString(spark, s"$dir/manifest.json"))
   // posting payloads are NOT self-describing across layout versions (a v2
   // payload's first byte is a varint count that aliases the v3 flag byte) —
   // fail loudly instead of decoding garbage
@@ -98,7 +100,7 @@ class IndexReader(val spark: SparkSession, val dir: String) extends Serializable
       case Some(s) => s
       case None =>
         val s: Set[Long] =
-          if (java.nio.file.Files.exists(Paths.get(dir, "deletes"))) {
+          if (graft.core.Fs.exists(spark, s"$dir/deletes")) {
             import spark.implicits._
             spark.read.parquet(s"$dir/deletes").select("docId").as[Long]
               .collect().toSet
@@ -197,19 +199,8 @@ class IndexReader(val spark: SparkSession, val dir: String) extends Serializable
     * fetches only when the cache generation is current).
     */
   def cacheEpoch: String = {
-    val del = Paths.get(dir, "deletes")
-    val delTag =
-      if (!Files.exists(del)) "0"
-      else {
-        val s = Files.list(del)
-        try {
-          var n = 0L
-          var bytes = 0L
-          s.forEach { p => n += 1; bytes += Files.size(p) }
-          s"$n:$bytes"
-        } finally s.close()
-      }
-    s"${manifest.contentShaXor}:${manifest.numDocs}:${manifest.stagesDone.size}:$delTag"
+    val (n, bytes) = graft.core.Fs.dirStats(spark, s"$dir/deletes")
+    s"${manifest.contentShaXor}:${manifest.numDocs}:${manifest.stagesDone.size}:$n:$bytes"
   }
 
   /** Re-verify the per-row content digest invariant against the manifest

@@ -2,7 +2,6 @@ package graft.index
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
-import java.nio.file.{Files, Paths}
 
 /** One weighted match target: `title * 10` of a
   * `--match_columns "title * 10 || body"` spec (reference
@@ -92,8 +91,7 @@ object SectionedIndex {
         } else docsIn.select(col("docId"), col(c).as("content"))
       c -> IndexBuilder.build(spark, input, s"$dir/sec_$c", cfg)
     }.toMap
-    Files.createDirectories(Paths.get(dir))
-    Files.writeString(Paths.get(dir, "_sections"), sections.mkString("\n"))
+    graft.core.Fs.writeString(spark, s"$dir/_sections", sections.mkString("\n"))
     out
   }
 
@@ -105,7 +103,7 @@ object SectionedIndex {
 final class SectionedReader(val spark: SparkSession, val dir: String) extends Serializable {
 
   val sectionNames: Seq[String] =
-    Files.readString(Paths.get(dir, "_sections")).split("\n").toSeq.filter(_.nonEmpty)
+    graft.core.Fs.readString(spark, s"$dir/_sections").split("\n").toSeq.filter(_.nonEmpty)
 
   val readers: Map[String, IndexReader] =
     sectionNames.map(c => c -> new IndexReader(spark, s"$dir/sec_$c")).toMap

@@ -70,23 +70,12 @@ object GraftSql {
       java.util.concurrent.ConcurrentHashMap[
         String, (String, java.lang.ref.SoftReference[IndexReader])]]()
 
-  private def indexFingerprint(dir: String): String = {
-    import java.nio.file.{Files, Paths}
-    val mf = Paths.get(dir, "manifest.json")
-    require(Files.exists(mf),
-      s"graft: no index at $dir (missing manifest.json)")
-    val del = Paths.get(dir, "deletes")
-    val delTag =
-      if (!Files.exists(del)) "0"
-      else {
-        val s = Files.list(del)
-        try {
-          var n = 0L; var bytes = 0L
-          s.forEach { p => n += 1; bytes += Files.size(p) }
-          s"$n:$bytes"
-        } finally s.close()
-      }
-    s"${Files.getLastModifiedTime(mf)}:${Files.size(mf)}:$delTag"
+  private def indexFingerprint(spark: SparkSession, dir: String): String = {
+    val mf = graft.core.Fs.mtimeAndSize(spark, s"$dir/manifest.json")
+      .getOrElse(throw new IllegalArgumentException(
+        s"graft: no index at $dir (missing manifest.json)"))
+    val (n, bytes) = graft.core.Fs.dirStats(spark, s"$dir/deletes")
+    s"${mf._1}:${mf._2}:$n:$bytes"
   }
 
   def readerFor(spark: SparkSession, dir: String): IndexReader = {
@@ -99,7 +88,7 @@ object GraftSql {
       }
       m
     }
-    val fp = indexFingerprint(dir)
+    val fp = indexFingerprint(spark, dir)
     // hold the reader in a local strong ref through the compute so a GC
     // between insert and return can never hand back a cleared reference
     var result: IndexReader = null

@@ -6,7 +6,6 @@ import graft.index.{BlockRow, IndexBuilder, IndexConfig, IndexManifest, SegmentR
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
-import java.nio.file.{Files, Paths}
 
 /** Incremental index maintenance — the Spark-native form of the
   * reference's real-time update path (column-set hooks →
@@ -45,22 +44,15 @@ object IncrementalIndex {
       .start()
   }
 
-  def deltaDirs(baseDir: String): Seq[String] = {
-    val p = Paths.get(baseDir, "deltas")
-    if (!Files.exists(p)) Seq.empty
-    else {
-      val s = Files.list(p)
-      try s.iterator().asInstanceOf[java.util.Iterator[java.nio.file.Path]]
-        .asScala.filter(d => Files.exists(d.resolve("manifest.json")))
-        .map(_.toString).toSeq.sorted
-      finally s.close()
-    }
-  }
-  private implicit class RichIt[A](it: java.util.Iterator[A]) {
-    def asScala: Iterator[A] = new Iterator[A] {
-      def hasNext = it.hasNext; def next() = it.next()
-    }
-  }
+  def deltaDirs(spark: SparkSession, baseDir: String): Seq[String] =
+    graft.core.Fs.listDirNames(spark, s"$baseDir/deltas")
+      .filter(d => graft.core.Fs.exists(spark,
+        s"$baseDir/deltas/$d/manifest.json"))
+      .sorted.map(d => s"$baseDir/deltas/$d")
+
+  /** [[deltaDirs]] against the active session's filesystem config. */
+  def deltaDirs(baseDir: String): Seq[String] =
+    deltaDirs(SparkSession.active, baseDir)
 
   /** Sort-merge base + delta indexes into `outDir`: posting lists of the
     * same (term, shard, salt) are decoded, merged by docId, and
@@ -73,11 +65,11 @@ object IncrementalIndex {
     import spark.implicits._
     require(dirs.nonEmpty, "nothing to compact")
     val manifests = dirs.map(d =>
-      IndexManifest.fromJson(Files.readString(Paths.get(d, "manifest.json"))))
+      IndexManifest.fromJson(graft.core.Fs.readString(spark, s"$d/manifest.json")))
     require(manifests.map(m => (m.tokenizerName, m.withPositions, m.nShards, m.withWeights)).distinct.size == 1,
       "incompatible index configs (tokenizer/positions/shards/weights must match)")
     val m0 = manifests.head
-    Files.createDirectories(Paths.get(outDir))
+    graft.core.Fs.mkdirs(spark, outDir)
 
     // docs: union (docIds must be globally unique across deltas)
     dirs.map(d => spark.read.parquet(s"$d/docs"))
@@ -87,7 +79,7 @@ object IncrementalIndex {
     // tombstones carry forward: union the inputs' deletes so a merge never
     // resurrects deleted docs (queries keep subtracting them until a
     // Deletes.compact physically drops the rows)
-    val deleteDirs = dirs.filter(d => Files.exists(Paths.get(d, "deletes")))
+    val deleteDirs = dirs.filter(d => graft.core.Fs.exists(spark, s"$d/deletes"))
     if (deleteDirs.nonEmpty) {
       deleteDirs.map(d => spark.read.parquet(s"$d/deletes"))
         .reduce(_ unionByName _).distinct()
@@ -164,7 +156,7 @@ object IncrementalIndex {
       withWeights = m0.withWeights,
       builtFromContent = manifests.forall(_.builtFromContent)
     )
-    Files.writeString(Paths.get(outDir, "manifest.json"), IndexManifest.toJson(merged))
+    graft.core.Fs.writeString(spark, s"$outDir/manifest.json", IndexManifest.toJson(merged))
     merged
   }
 }

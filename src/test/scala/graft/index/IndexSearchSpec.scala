@@ -212,6 +212,27 @@ class IndexSearchSpec extends AnyFunSuite {
     assert(before == after)
   }
 
+  test("index builds and serves at an explicit file:-scheme dir (Hadoop FS route)") {
+    // sidecar IO (stage markers, hot terms, manifest, deletes fingerprint)
+    // resolves via FileSystem, so any Spark-readable scheme works
+    val d = "file://" + java.nio.file.Files.createTempDirectory("graft_idx_fs_").toString
+    import spark.implicits._
+    val files = Corpus.generate(spark, 50, seed = 11L, partitions = 2)
+    val withIds = IndexBuilder.assignDocIds(spark, files.toDF(), Seq("repo", "path", "commit"))
+    val m = IndexBuilder.build(spark, withIds, d,
+      IndexConfig(nShards = 2, buildPartitions = 2, hotTermDf = 1000000L, nSalts = 1))
+    assert(m.numDocs == 50)
+    val r = new IndexReader(spark, d)
+    assert(r.manifest.numDocs == 50)
+    assert(Engine.bm25TopK(r, "if return", 5).collect().nonEmpty)
+    // tombstones + cacheEpoch through the same route
+    val e0 = r.cacheEpoch
+    assert(Deletes.delete(r, col("docId") === 0L) == 1L)
+    r.invalidateDeletes()
+    assert(r.deletedIds == Set(0L))
+    assert(r.cacheEpoch != e0)
+  }
+
   test("docId assignment is the deterministic global sort rank") {
     import spark.implicits._
     val files = Corpus.generate(spark, 100, seed = 3L, partitions = 3).toDF()
