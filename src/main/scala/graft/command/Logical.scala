@@ -457,11 +457,60 @@ object Logical {
     * per-day tables); at most the 2 BOUNDARY shards rewrite with the
     * surviving rows. Returns the number of shards dropped whole.
     */
+  /** Finish or roll back a [[removeRange]] interrupted by JVM death: for
+    * every `.old_<shard>` backup left behind — the op's only durable
+    * intermediate state — either the rewrite already renamed into place
+    * (shard dir exists → drop the backup), or a completed rewrite dir is
+    * waiting (rename it in, then drop the backup), or nothing replaced
+    * the shard (rename the backup back — full rollback, no rows lost).
+    * Orphan `.rewrite_*` dirs without a backup are pre-rename leftovers
+    * and simply delete. Idempotent; call on startup or before a
+    * [[removeRange]]. Returns (completed, rolledBack) shard counts.
+    */
+  def recover(spark: SparkSession, root: String): (Int, Int) = {
+    val F = graft.core.Fs
+    val names = F.listDirNames(spark, root)
+    var completed = 0
+    var rolledBack = 0
+    names.filter(_.startsWith(".old_")).foreach { b =>
+      val s = b.stripPrefix(".old_")
+      val shardDir = s"$root/$ShardCol=$s"
+      val rewrite = s"$root/.rewrite_$s"
+      if (F.exists(spark, shardDir)) {
+        // crash fell between the second rename and the backup delete
+        F.delete(spark, s"$root/$b"): Unit
+        completed += 1
+      } else if (F.exists(spark, rewrite) &&
+          F.exists(spark, s"$rewrite/_SUCCESS")) {
+        // survivors fully written: finish the op
+        if (!F.rename(spark, rewrite, shardDir))
+          throw new java.io.IOException(s"recover: rename failed for shard $s")
+        F.delete(spark, s"$root/$b"): Unit
+        completed += 1
+      } else {
+        // no (complete) replacement: roll the original back
+        if (F.exists(spark, rewrite)) F.delete(spark, rewrite): Unit
+        if (!F.rename(spark, s"$root/$b", shardDir))
+          throw new java.io.IOException(s"recover: rollback failed for shard $s")
+        rolledBack += 1
+      }
+    }
+    // pre-rename rewrite leftovers (their shard was never moved aside)
+    names.filter(_.startsWith(".rewrite_")).foreach { r =>
+      val s = r.stripPrefix(".rewrite_")
+      if (F.exists(spark, s"$root/$ShardCol=$s") &&
+          !F.exists(spark, s"$root/.old_$s"))
+        F.delete(spark, s"$root/$r"): Unit
+    }
+    (completed, rolledBack)
+  }
+
   def removeRange(spark: SparkSession, root: String, shardKey: String,
       range: LogicalRange,
       granularity: Option[String] = None): Int = {
     require(range.min.isDefined || range.max.isDefined,
       "removeRange needs a bounded range; delete the directory to drop all")
+    recover(spark, root): Unit // heal any interrupted predecessor first
     val m = resolvedMarker(spark, root, granularity)
     val df = table(spark, root)
     val ntz = isNtz(df, shardKey)

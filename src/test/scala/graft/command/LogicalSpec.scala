@@ -280,6 +280,36 @@ class LogicalSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L, 7L))
   }
 
+  test("recover finishes or rolls back an interrupted removeRange") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_logical_rec_").toString + "/t"
+    Logical.writeSharded(rowsDf, "t", dir)
+    val F = graft.core.Fs
+    // shard 20240101: crash AFTER backup rename, BEFORE rewrite rename —
+    // a complete rewrite (with _SUCCESS) is waiting; recover finishes it
+    rowsDf.filter($"id" === 1L).withColumn("_writeme", lit(1)).drop("_writeme")
+      .write.parquet(s"$dir/.rewrite_20240101")
+    assert(F.rename(spark, s"$dir/_shard=20240101", s"$dir/.old_20240101"))
+    // shard 20240102: crash right after backup rename — nothing replaced
+    // it; recover must roll the original back untouched
+    assert(F.rename(spark, s"$dir/_shard=20240102", s"$dir/.old_20240102"))
+    // shard 20240103: pre-rename rewrite leftover next to an intact shard
+    rowsDf.filter($"id" === 5L).write.parquet(s"$dir/.rewrite_20240103")
+    val (completed, rolledBack) = Logical.recover(spark, dir)
+    assert(completed == 1 && rolledBack == 1, s"$completed/$rolledBack")
+    assert(!F.exists(spark, s"$dir/.old_20240101") &&
+      !F.exists(spark, s"$dir/.old_20240102") &&
+      !F.exists(spark, s"$dir/.rewrite_20240101") &&
+      !F.exists(spark, s"$dir/.rewrite_20240103"))
+    // 20240101 now holds only the rewrite's survivor (id 1); 20240102's
+    // rows (3, 4) are fully restored; everything else untouched
+    assert(Logical.table(spark, dir).select("id").as[Long].collect().toSet ==
+      Set(1L, 3L, 4L, 5L, 6L, 7L))
+    // idempotent: a second pass is a no-op
+    assert(Logical.recover(spark, dir) == ((0, 0)))
+  }
+
   test("inRange scalar twin: border semantics") {
     import Logical.inRange
     assert(inRange(5.0, Some(5.0), true, Some(6.0), true))
