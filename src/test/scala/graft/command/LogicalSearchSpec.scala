@@ -102,6 +102,48 @@ class LogicalSearchSpec extends AnyFunSuite {
     assert(got == Set(24L, 25L), s"in-window doc lost behind trimmed top-k: $got")
   }
 
+  test("globalIdf: merged stats reproduce a flat index bit-for-bit; per-shard drifts") {
+    import spark.implicits._
+    // term stats DRIFT across days: 'apple' df is 2/3 on day 1, 1/3 on
+    // day 2; every doc is 2 tokens so tf-normalization is identical
+    val rows = Seq(
+      (31L, "2024-03-01T01:00:00Z", "apple xx"),
+      (32L, "2024-03-01T02:00:00Z", "apple yy"),
+      (33L, "2024-03-01T03:00:00Z", "zed ww"),
+      (34L, "2024-03-02T01:00:00Z", "apple zz"),
+      (35L, "2024-03-02T02:00:00Z", "quux vv"),
+      (36L, "2024-03-02T03:00:00Z", "quux uu")
+    ).map { case (id, t, x) => (id, ts(t), x) }.toDF("doc_id", "t", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_lsearch_gidf_").toString + "/t"
+    Logical.writeSharded(rows, "t", dir)
+    LogicalSearch.buildIndexes(spark, dir, "doc_id", "text"): Unit
+    val w = rng("2024-03-01T00:00:00Z", max = "2024-03-03T00:00:00Z",
+      maxInc = false) // shard-aligned: both days interior
+    def scores(globalIdf: Boolean): Map[Long, Double] =
+      LogicalSearch.bm25TopK(spark, dir, "t", w, "apple", k = 6,
+          idCol = "doc_id", globalIdf = globalIdf)
+        .select("docId", "score").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // per-shard idf: day-2's lone 'apple' doc outranks day-1's despite
+    // identical tf and doclen — the cross-shard comparability artifact
+    val perShard = scores(globalIdf = false)
+    assert(perShard(34L) > perShard(31L), perShard.toString)
+    // global idf: all three 'apple' docs score EQUAL, and every score is
+    // bit-identical to one flat index over the same six rows
+    val global = scores(globalIdf = true)
+    assert(global(31L) == global(32L) && global(31L) == global(34L))
+    val flatDir = java.nio.file.Files
+      .createTempDirectory("graft_lsearch_flat_").toString
+    graft.index.IndexBuilder.build(spark,
+      rows.select(col("doc_id").as("docId"), col("text").as("content")),
+      flatDir, LogicalSearch.defaultConfig)
+    val flat = graft.search.Engine
+      .bm25TopK(new graft.index.IndexReader(spark, flatDir), "apple", 6)
+      .collect().map(s => s.docId -> s.score).toMap
+    assert(global == flat, s"global $global\nflat $flat")
+  }
+
   test("bm25TopK merges per-shard top-k by score with boundary trim") {
     LogicalSearch.buildIndexes(spark, root, "doc_id", "text"): Unit
     val got = LogicalSearch.bm25TopK(spark, root, "t",
