@@ -171,4 +171,32 @@ class PlanAuditSpec extends AnyFunSuite {
       s"page is not a partial top-k:\n$p")
     assert(!p.contains("Exchange"), s"unexpected shuffle:\n$p")
   }
+
+  test("ta_surprisal: the LM side joins BROADCAST; shuffle only on request") {
+    // the capped LM (top-K + OOV) must reach tokens as a broadcast hash
+    // join — a token-keyed shuffle of the exploded corpus would be the
+    // 100 TB bottleneck the cap exists to avoid
+    val docs = graft.SparkEntry.queries("ta_surprisal")(spark, dir)
+    val p = docs.queryExecution.sparkPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"LM join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"LM join shuffled:\n$p")
+    // broadcastLm=false drops the HINT and lets Catalyst pick; with
+    // auto-broadcast off (an over-budget LM's situation) the join keys on
+    // token — while the hinted default still broadcasts regardless
+    val tbl = spark.read.parquet(s"$dir/documents.parquet")
+    val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val shuffled = graft.ops.TextAnalysis
+        .unigramSurprisal(tbl, broadcastLm = false)
+        .queryExecution.sparkPlan.toString
+      assert(shuffled.contains("SortMergeJoin") ||
+        shuffled.contains("ShuffledHashJoin"),
+        s"broadcastLm=false did not key the join on token:\n$shuffled")
+      val hinted = graft.ops.TextAnalysis.unigramSurprisal(tbl)
+        .queryExecution.sparkPlan.toString
+      assert(hinted.contains("BroadcastHashJoin"),
+        s"explicit broadcast hint lost:\n$hinted")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+  }
 }
