@@ -35,7 +35,6 @@ final class LocalServing(
     maxCachedBytes: Long = 256L << 20
 ) {
   require(maxCachedBytes > 0, "maxCachedBytes must be positive")
-  LocalServing.register(this)
 
   /** Cached postings of one term: per-shard merged (salt-combined) blocks. */
   private final class Entry(val perShard: Array[(Int, Array[PostingBlock])], val bytes: Long)
@@ -197,6 +196,10 @@ final class LocalServing(
     import spark.implicits._
     spark.createDataset(bm25TopK(text, k, bm25))
   }
+
+  // LAST statement of the constructor: the instance must be fully
+  // initialized before the metrics registry can observe it
+  LocalServing.register(this)
 }
 
 object LocalServing {
